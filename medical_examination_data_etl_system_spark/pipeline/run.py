@@ -1,0 +1,80 @@
+"""The composed pipeline: records → reports (reference E1 parity).
+
+``process_records`` mirrors reference text_processing.py:144-177
+(``POST /process``): flatten → enrich → clean → rewrite → render, all
+lazy until the caller acts (collect / write). CSV checkpoints are
+optional sinks, matching the reference's two timestamped CSV artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.pipeline.clean import postprocess_multilang
+from medical_examination_data_etl_system_spark.pipeline.dims import fallback_dims
+from medical_examination_data_etl_system_spark.pipeline.enrich import enrich
+from medical_examination_data_etl_system_spark.pipeline.ingest import flatten, records_to_df
+from medical_examination_data_etl_system_spark.pipeline.llm import rewrite_distinct_summaries
+from medical_examination_data_etl_system_spark.pipeline.render import render_reports, with_generic_columns
+
+
+def process_records(
+    spark: SparkSession,
+    records: list[dict[str, Any]] | dict[str, Any],
+    dims: dict[str, DataFrame] | None = None,
+    output_dir: str | None = None,
+    llm_mode: str = "azure",
+) -> DataFrame:
+    """records → (record_id, report, request), ordered by batch position.
+
+    With no ``dims``, deterministic fallback dims are derived from the
+    batch itself (reference db_to_dataframe.py:61-95). With no
+    ``output_dir``, no CSV artifacts are written.
+    """
+    nested = records_to_df(spark, records)
+    flat = flatten(nested)
+    if dims is None:
+        dims = fallback_dims(flat)
+    enriched = enrich(flat, dims)
+    return reports_from_fact(enriched, output_dir=output_dir, llm_mode=llm_mode)
+
+
+def reports_from_fact(
+    fact: DataFrame, output_dir: str | None = None, llm_mode: str = "azure"
+) -> DataFrame:
+    """E3 parity: any SUBSET ∪ {ord, request} fact frame → reports."""
+    cleaned = postprocess_multilang(fact)
+
+    if output_dir:
+        write_csv_checkpoint(cleaned.drop("request"), os.path.join(output_dir, "output_01_preprocessed"))
+
+    generic = with_generic_columns(cleaned)
+    rewrites = rewrite_distinct_summaries(generic, mode=llm_mode)
+    reports = render_reports(cleaned, rewrites).orderBy("rec_ord").drop("rec_ord")
+
+    if output_dir:
+        write_csv_checkpoint(reports, os.path.join(output_dir, "output_02_text_processed"))
+    return reports
+
+
+def write_csv_checkpoint(df: DataFrame, base_dir: str) -> str:
+    """Timestamped header CSV (reference text_processing.py:157-166 / S7).
+
+    Single-file parity via coalesce(1) — checkpoint CSVs are per-batch
+    artifacts, small by construction.
+    """
+    ts = datetime.now().strftime("%y%m%d_%H%M")
+    path = os.path.join(base_dir, f"csv_{ts}")
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
+def reports_to_json(reports: DataFrame) -> dict[str, list[dict[str, str]]]:
+    """S8 (reference text_processing.py:174): the API response payload."""
+    rows = [{"report": r["report"]} for r in reports.select("report").collect()]
+    return {"rows": rows}
