@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  The query set is broadcast (small side); the corpus is scanned once,
+  map-only, with the dot product computed via higher-order functions
+  (JVM-side, no Python). Per-query top-k via window rank.
+- ``lsh_bucketed_topk``: the scale path — sign-random-projection buckets
+  (deterministic hash-derived hyperplanes) shrink the candidate set from
+  |corpus| to |bucket|; exact cosine re-ranks within buckets. Recall<1
+  by construction (probe multiple buckets to trade cost for recall).
+
+At 100 TB the corpus side stays partitioned; only buckets matching a
+query's bucket are scanned (bucket id is a join key → hash join, no
+cartesian product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(_dot(v, v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cos_sim, rank).
+
+    Self-matches are excluded. Ties break on neighbor id (deterministic).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH (deterministic hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _srp_bucket(vec: Column, num_planes: int, dim: int) -> Column:
+    """Bucket id from the signs of ``num_planes`` pseudo-random
+    hyperplane dot products. Plane components are deterministic
+    hash-derived values in [-1, 1] — reproducible across runs/engines
+    with no stored model."""
+    bits = []
+    for p in range(num_planes):
+        # component_j = (xxhash64(p, j) % 1000)/500 - 1  — fixed per (p, j)
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j, p=p: (F.pmod(F.xxhash64(F.lit(p), j), F.lit(1000)).cast("double") / 500.0 - 1.0),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append((dot > 0).cast("long"))
+    bucket = None
+    for i, b in enumerate(bits):
+        term = F.shiftleft(b, i)
+        bucket = term if bucket is None else bucket.bitwiseXOR(term)
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket, then
+    exact cosine re-rank. Returns the same shape as ``cosine_topk``."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _srp_bucket(F.col(vec_col), num_planes, dim).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _srp_bucket(F.col(vec_col), num_planes, dim).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators: tokenization stats, quality scoring,
+language ID, document fingerprinting.
+
+Everything here is pure built-in column expressions (JVM, whole-stage
+codegen) — at 100 TB these run as a map-only stage fused into the scan;
+no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, 0 for empty/blank text (bigint)."""
+    trimmed = F.trim(text)
+    return (
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+
+
+# A BPE-ish pre-tokenizer: words, numbers, or single non-space symbols —
+# the classic "GPT-2-style" regex shape, simplified to what Java and RE2
+# both support (no lookahead), so the oracle can reproduce it.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pretokens (words / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features: length, token stats, punctuation
+    density, stopword ratio. Composable into downstream filters."""
+    n_chars = F.length(text).cast("long")
+    n_tok = token_count(text)
+    toks = F.split(F.trim(text), r"\s+")
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS))).cast("long")
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), 0)).cast("long")
+    avg_token_len = F.when(n_tok > 0, F.round((n_chars - (n_tok - 1)) / n_tok, 4)).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "n_punct": n_punct,
+        "n_stopwords": stop_hits,
+        "avg_token_len": avg_token_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Length-and-composition score in [0, 1]: favors documents with a
+    few hundred tokens and a moderate stopword ratio (a standard web-
+    corpus quality heuristic, deterministic and oracle-expressible)."""
+    f = quality_features(text)
+    length_component = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    stop_ratio = F.when(f["n_tokens"] > 0, f["n_stopwords"] / f["n_tokens"]).otherwise(F.lit(0.0))
+    stop_component = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3))
+    return F.round(length_component * stop_component, 4)
+
+
+# ---------------------------------------------------------------------------
+# Language ID (character-class heuristic)
+# ---------------------------------------------------------------------------
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/charset heuristic language ID.
+
+    Priority-ordered character-class detection (CJK → kana → hangul →
+    cyrillic → latin-with-diacritics → default 'en'). Deterministic and
+    expressible in RE2 for the DuckDB oracle.
+    """
+    return (
+        F.when(text.rlike("[぀-ヿ]"), "ja")  # kana wins over shared CJK ideographs
+        .when(text.rlike("[一-鿿]"), "zh")
+        .when(text.rlike("[가-힯]"), "ko")
+        .when(text.rlike("[Ѐ-ӿ]"), "ru")
+        .when(text.rlike("[àâçéèêëîïôùûüÿœæ]"), "fr")
+        .when(text.rlike("[äöüß]"), "de")
+        .when(text.rlike("[áéíóúñ¿¡]"), "es")
+        .otherwise("en")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def content_fingerprint(text: Column) -> Column:
+    """MD5 of the normalized text — exact-dup detection key, stable
+    across engines (the DuckDB oracle computes the identical digest)."""
+    return F.md5(normalized_text(text))
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over character
+    ``window``-grams of the normalized text. Engine-specific hash →
+    rows-only oracle."""
+    norm = normalized_text(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - window + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(window))),
+    )
+    return F.array_min(grams)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set to a document frame."""
+    text = F.col(text_col)
+    feats = quality_features(text)
+    out = df
+    for name, col in feats.items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("bpe_tokens", bpe_token_count(text))
+        .withColumn("quality", quality_score(text))
+        .withColumn("lang_pred", lang_id(text))
+        .withColumn("fingerprint", content_fingerprint(text))
+    )

@@ -1,0 +1,269 @@
+"""LLM-data-pipeline queries over documents/embeddings (SURVEY.md §2b
+X1-X5): text analysis, dedup (exact + near-dup), similarity search,
+multimodal columns.
+
+Approximate/hash-based operators (MinHash, SimHash, SRP-LSH) have no
+cross-engine oracle (engine-specific hash functions) → rows-only checks;
+the exact operators all carry DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators import multimodal, similarity
+from medical_examination_data_etl_system_spark.operators.dedup import (
+    dedup_documents_exact,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from medical_examination_data_etl_system_spark.operators.text_analysis import (
+    bpe_token_count,
+    content_fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from medical_examination_data_etl_system_spark.queries import QueryDef, load
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    feats = quality_features(text)
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_calc"),
+        token_count(text).alias("n_tokens"),
+        bpe_token_count(text).alias("n_bpe_tokens"),
+        feats["n_stopwords"].alias("n_stopwords"),
+        feats["avg_token_len"].alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> list_contains(['the','a','of','and','to','in','is','for','on','with'], lower(t)))) AS BIGINT) AS n_stopwords,
+       CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+            THEN round((length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1))
+                       / len(string_split_regex(trim(text), '\\s+')), 4)
+            ELSE 0.0 END AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        quality_score(text).alias("quality"),
+        lang_id(text).alias("lang_pred"),
+        content_fingerprint(text).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              tk -> list_contains(['the','a','of','and','to','in','is','for','on','with'], lower(tk)))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(least(n_tokens / 100.0, 1.0) *
+             (1.0 - abs((CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) - 0.3)), 4) AS quality,
+       CASE WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+            WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+            WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+            WHEN regexp_matches(text, '[àâçéèêëîïôùûüÿœæ]') THEN 'fr'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+            ELSE 'en' END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM t
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# X1/X2 — dedup
+# ---------------------------------------------------------------------------
+
+
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup_documents_exact(docs).select("doc_id", "fingerprint", "lang", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, fingerprint, lang, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def docs_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (threshold 0.5). Hash-based → rows-only."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.5)
+
+
+def docs_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 near-dup pairs. Hash-based → rows-only."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs)
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard pairs within the same source block."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+NGRAM_JACCARD_SQL = """
+WITH grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 0) + 1),
+           i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+1], ' ')
+         )) AS ng
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ng, b.ng))), 4) AS jaccard
+FROM grams a JOIN grams b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ng, b.ng))), 4) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+# ---------------------------------------------------------------------------
+# X3 — similarity search
+# ---------------------------------------------------------------------------
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors (vec_id % 100 == 0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-5 (scale path). Rows-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_bucketed_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal columns
+# ---------------------------------------------------------------------------
+
+
+def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings as one multimodal row (text + vector +
+    typed metadata), vector reduced to an L2 norm for the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "label",
+            "n_chars",
+            F.round(similarity.l2_norm(F.col("embedding")), 4).alias("emb_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_JOIN_SQL = """
+SELECT doc_id, lang, source, label, n_chars,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS emb_norm
+FROM documents JOIN embeddings ON doc_id = vec_id
+ORDER BY doc_id
+"""
+
+
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesized media payloads → mapInPandas
+    feature extraction (stub decoder). Digest/size are oracle-checkable;
+    the feature vector itself is dropped for the comparison."""
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_from_documents(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "modality", "n_bytes", "digest").orderBy("media_id")
+
+
+MULTIMODAL_BINARY_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+ORDER BY media_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
+    "text_quality_langid": QueryDef(text_quality_langid, QUALITY_SQL),
+    "docs_dedup_exact": QueryDef(docs_dedup_exact, DEDUP_EXACT_SQL),
+    "docs_near_dup_minhash": QueryDef(docs_near_dup_minhash, None),
+    "docs_near_dup_simhash": QueryDef(docs_near_dup_simhash, None),
+    "docs_ngram_jaccard": QueryDef(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "emb_cosine_topk": QueryDef(emb_cosine_topk, COSINE_TOPK_SQL),
+    "emb_lsh_topk": QueryDef(emb_lsh_topk, None),
+    "multimodal_doc_embedding_join": QueryDef(multimodal_doc_embedding_join, MULTIMODAL_JOIN_SQL),
+    "multimodal_binary_features": QueryDef(multimodal_binary_features, MULTIMODAL_BINARY_SQL),
+}

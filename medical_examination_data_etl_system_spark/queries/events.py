@@ -1,0 +1,146 @@
+"""Event-time windows + JSON extraction over the events table
+(SURVEY.md §2b X10, X11-json).
+
+Batch mode here; medical_examination_data_etl_system_spark/streaming hosts the Structured
+Streaming variants of the same aggregations (same semantics, watermarked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.queries import QueryDef, load
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour wide, every 30 minutes — each event lands
+    in exactly two windows."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# An event at ts belongs to the two hour-wide windows starting at
+# trunc30(ts) and trunc30(ts) - 30min — enumerate via a 2-row offset join.
+SLIDING_SQL = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user: 15-minute inactivity gap.
+
+    Spark's ``session_window`` merges events whose [ts, ts+gap) windows
+    overlap, i.e. a new session starts when the gap is ≥ 15 min — the
+    oracle's lag/cumsum sessionization uses the same boundary rule.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction from the props column + aggregate."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "events_tumbling_hourly": QueryDef(events_tumbling_hourly, TUMBLING_SQL),
+    "events_sliding_windows": QueryDef(events_sliding_windows, SLIDING_SQL),
+    "events_session_windows": QueryDef(events_session_windows, SESSION_SQL),
+    "events_json_extract": QueryDef(events_json_extract, JSON_SQL),
+}

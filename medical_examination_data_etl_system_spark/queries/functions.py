@@ -1,0 +1,145 @@
+"""Scalar-function battery: date/time, math, string, array (SURVEY.md
+§2b X11). Computed integer columns are cast to bigint on both sides so
+the oracle's schema comparison can't trip on width differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.queries import QueryDef, load
+
+
+def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction + truncation: orders per (year, quarter)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            "o_totalprice",
+        )
+        .groupBy("o_year", "o_quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_month").alias("n_months"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_year", "o_quarter")
+    )
+
+
+DATETIME_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT)    AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       count(*)                             AS n_orders,
+       count(DISTINCT CAST(month(o_orderdate) AS BIGINT)) AS n_months,
+       round(sum(o_totalprice), 2)          AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY o_year, o_quarter
+"""
+
+
+def fn_math_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + string scalar functions over part."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_type", 1, 6).alias("type_prefix"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+            F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("log_price"),
+            F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("abs_diff"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+MATH_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_brand)                                  AS brand_upper,
+       substr(p_type, 1, 6)                            AS type_prefix,
+       CAST(length(p_name) AS BIGINT)                  AS name_len,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6)          AS size_sqrt,
+       round(ln(p_retailprice + 1.0), 6)               AS log_price,
+       round(abs(p_retailprice - 1000.0), 2)           AS abs_diff,
+       concat_ws('|', p_brand, p_type)                 AS brand_type
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + element ops from split tokens."""
+    part = load(spark, sf_dir, "part")
+    toks = F.split(F.col("p_type"), " ")
+    return (
+        part.select(
+            "p_partkey",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.element_at(toks, 1).alias("first_token"),
+            F.element_at(toks, -1).alias("last_token"),
+            F.array_contains(toks, "PLATED").cast("boolean").alias("has_plated"),
+            F.array_join(F.array_sort(toks), "_").alias("sorted_tokens"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ARRAY_SQL = """
+SELECT p_partkey,
+       CAST(len(string_split(p_type, ' ')) AS BIGINT)       AS n_tokens,
+       string_split(p_type, ' ')[1]                         AS first_token,
+       string_split(p_type, ' ')[-1]                        AS last_token,
+       list_contains(string_split(p_type, ' '), 'PLATED')   AS has_plated,
+       array_to_string(list_sort(string_split(p_type, ' ')), '_') AS sorted_tokens
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def fn_conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN + coalesce + nullif battery over customer balances."""
+    cust = load(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+    )
+    return (
+        cust.select("c_custkey", tier.alias("tier"), "c_acctbal", "c_mktsegment")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("tier")
+    )
+
+
+CASE_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+GROUP BY 1
+ORDER BY tier
+"""
+
+
+QUERIES = {
+    "fn_datetime_extract": QueryDef(fn_datetime_extract, DATETIME_SQL),
+    "fn_math_string": QueryDef(fn_math_string, MATH_STRING_SQL),
+    "fn_array_ops": QueryDef(fn_array_ops, ARRAY_SQL),
+    "fn_conditional_case": QueryDef(fn_conditional_case, CASE_SQL),
+}

@@ -1,0 +1,386 @@
+"""Relational operator battery: joins, aggregates, windows, set ops,
+keep-first dedup (SURVEY.md §2b X1, X6-X9).
+
+The join battery deliberately covers the join types the reference never
+uses (inner / semi / anti / range-theta) so the engine demonstrably owns
+the full relational surface; the window battery is the scaled-out form
+of the reference's "first-occurrence" semantics (SURVEY.md §2a A2,
+A5-A8 are windows in disguise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.queries import QueryDef, load
+
+# ---------------------------------------------------------------------------
+# X6 — join battery
+# ---------------------------------------------------------------------------
+
+
+def join_inner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dim with projection + filter pushdown."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+JOIN_INNER_SQL = """
+SELECT o_orderkey, c_custkey, c_name, o_totalprice, o_orderstatus
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE' AND o_totalprice > 100000
+ORDER BY o_orderkey
+"""
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having ≥1 high-priority order (EXISTS)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all (NOT EXISTS)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def join_range_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-theta join: lineitems shipped 60-90 days after their
+    order date — per-order counts. The range predicate rides on the
+    equi-join (no cartesian blowup)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter((lag_days >= 60) & (lag_days <= 90))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("late_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT o_orderkey, count(*) AS n_late_lines,
+       round(sum(l_extendedprice), 2) AS late_value
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', o_orderdate, l_shipdate) BETWEEN 60 AND 90
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""
+
+# ---------------------------------------------------------------------------
+# X7 — aggregation battery
+# ---------------------------------------------------------------------------
+
+
+def agg_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT + plain aggregates per group."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey)  AS n_nations,
+       count(*)                     AS n_customers,
+       round(sum(c_acctbal), 2)     AS total_acctbal,
+       round(min(c_acctbal), 2)     AS min_acctbal,
+       round(max(c_acctbal), 2)     AS max_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (grouping sets)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two independent dimensions."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) vs exact — rows-only oracle: the
+    sketch estimate is engine-specific by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8 — window battery
+# ---------------------------------------------------------------------------
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative order value per customer (frame: unbounded→current)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value — the canonical top-k-per-group."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days between consecutive orders per customer."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+# ---------------------------------------------------------------------------
+# X9 — set operations
+# ---------------------------------------------------------------------------
+
+
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nations having customers or suppliers."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct().orderBy("nationkey")
+
+
+SET_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having BOTH customers and suppliers."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep
+    # surplus duplicate occurrences from the left side.
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+SET_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+# ---------------------------------------------------------------------------
+# X1 — keep-first dedup (the scaled form of the pipeline's A2)
+# ---------------------------------------------------------------------------
+
+
+def dedup_first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-FIRST dedup by sort key: the first line (lowest linenumber)
+    of every order. Same window pattern as pipeline/clean.py A2."""
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # extend the sort key so "first" is deterministic across engines.
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    )
+
+
+DEDUP_FIRST_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS _rn
+      FROM lineitem)
+WHERE _rn = 1
+ORDER BY l_orderkey
+"""
+
+
+QUERIES = {
+    "join_inner_enrich": QueryDef(join_inner_enrich, JOIN_INNER_SQL),
+    "join_semi_customers_with_orders": QueryDef(join_semi_customers_with_orders, JOIN_SEMI_SQL),
+    "join_anti_customers_without_orders": QueryDef(join_anti_customers_without_orders, JOIN_ANTI_SQL),
+    "join_range_ship_lag": QueryDef(join_range_ship_lag, JOIN_RANGE_SQL),
+    "agg_distinct_per_segment": QueryDef(agg_distinct_per_segment, AGG_DISTINCT_SQL),
+    "agg_rollup_region_nation": QueryDef(agg_rollup_region_nation, AGG_ROLLUP_SQL),
+    "agg_cube_status_priority": QueryDef(agg_cube_status_priority, AGG_CUBE_SQL),
+    "agg_approx_distinct_parts": QueryDef(agg_approx_distinct_parts, None),
+    "window_running_total": QueryDef(window_running_total, WINDOW_RUNNING_SQL),
+    "window_topk_orders_per_customer": QueryDef(window_topk_orders_per_customer, WINDOW_TOPK_SQL),
+    "window_order_gaps": QueryDef(window_order_gaps, WINDOW_LAG_SQL),
+    "set_union_nations": QueryDef(set_union_nations, SET_UNION_SQL),
+    "set_intersect_nations": QueryDef(set_intersect_nations, SET_INTERSECT_SQL),
+    "set_except_nations": QueryDef(set_except_nations, SET_EXCEPT_SQL),
+    "dedup_first_lineitem_per_order": QueryDef(dedup_first_lineitem_per_order, DEDUP_FIRST_SQL),
+}
