@@ -77,33 +77,47 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows = num_hashes // bands
-    base = docs.select(F.col(id_col).alias("_id"), char_shingles(F.col(text_col), shingle_k).alias("_sh"))
-    sigs = minhash_signature(F.col("_sh"), num_hashes)
-    with_sig = base.select(
-        "_id",
-        "_sh",
-        F.array(
-            *[
-                F.xxhash64(F.concat_ws("|", F.lit(b), *[s.cast("string") for s in sigs[b * rows : (b + 1) * rows]]))
-                for b in range(bands)
-            ]
-        ).alias("_bands"),
+    shingled = docs.select(
+        F.col(id_col).alias("_id"), char_shingles(F.col(text_col), shingle_k).alias("_sh")
     )
-
-    banded = with_sig.select("_id", "_sh", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
+    sigs = minhash_signature(F.col("_sh"), num_hashes)
+    # Candidate generation moves ONLY (doc_id, band_idx, band_hash) — the
+    # shingle arrays never enter the LSH shuffle. At 100 TB the exploded
+    # band frame is O(docs × bands) longs, orders of magnitude smaller
+    # than the corpus; both self-join sides share one exchange
+    # (ReusedExchange) since the subplans are identical.
+    banded = shingled.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            "|", F.lit(b), *[s.cast("string") for s in sigs[b * rows : (b + 1) * rows]]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band_idx", "_band_hash"),
+    )
     left = banded.select(
-        F.col("_band_idx").alias("bi"), F.col("_band_hash").alias("bh"),
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
+        F.col("_band_idx").alias("bi"), F.col("_band_hash").alias("bh"), F.col("_id").alias("id_a")
     )
     right = banded.select(
-        F.col("_band_idx").alias("bi"), F.col("_band_hash").alias("bh"),
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
+        F.col("_band_idx").alias("bi"), F.col("_band_hash").alias("bh"), F.col("_id").alias("id_b")
     )
     candidates = (
         left.join(right, ["bi", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact-Jaccard verification: join shingles back onto the (tiny)
+    # verified-candidate set — two hash joins keyed on doc_id.
+    verified = (
+        candidates.join(shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     )
     jaccard = F.round(
         F.size(F.array_intersect("sh_a", "sh_b"))
@@ -111,7 +125,7 @@ def minhash_near_duplicates(
         4,
     )
     return (
-        candidates.withColumn("jaccard", jaccard)
+        verified.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
