@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from medical_examination_data_etl_system_spark.operators.text_analysis import (
     content_fingerprint,
@@ -47,18 +48,60 @@ def dedup_documents_exact(docs: DataFrame, text_col: str = "text", id_col: str =
 # ---------------------------------------------------------------------------
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text."""
-    norm = normalized_text(text)
+def char_shingles(norm: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of a normalized-text column.
+
+    ``norm`` MUST be a materialized attribute (a column produced by a
+    prior ``select``), not an inline expression: an expression is
+    substituted into the ``transform`` lambda and re-evaluated once per
+    shingle position — for ``normalized_text``'s regex that turns an
+    O(len) scan into O(len·len) regex calls per document."""
     n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k))))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> list[Column]:
-    """num_hashes column expressions, each = min over shingles of a
-    seeded xxhash64. Deterministic across runs and partitionings."""
+def shingled_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(_id, _sh, _nsh): distinct k-shingle array + its size per doc.
+
+    Two projections so the normalization regex runs once per document
+    (see ``char_shingles``)."""
+    return (
+        docs.select(F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm"))
+        .select("_id", char_shingles(F.col("_norm"), k).alias("_sh"))
+        .withColumn("_nsh", F.size("_sh"))
+    )
+
+
+def hashed_shingled_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(_id, _hsh, _nsh): per-doc distinct k-shingles as xxhash64 longs.
+
+    The MinHash pipeline's working representation: every downstream pass
+    (signature family, exact-overlap verification) touches longs, never
+    shingle strings. 64-bit collisions are negligible at any realistic
+    corpus (~1e-9 at 10⁵ shingles/doc)."""
+    staged = docs.select(
+        F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm")
+    ).select("_id", char_shingles(F.col("_norm"), k).alias("_sh"))
+    return staged.select(
+        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hsh")
+    ).withColumn("_nsh", F.size("_hsh"))
+
+
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> list[Column]:
+    """num_hashes column expressions over a pre-hashed shingle array
+    (``array<long>``), each = min over shingles of a seeded xxhash64.
+
+    Hashing the 64-bit shingle hash (fixed-width input, seeded by the
+    hash index) instead of re-hashing the shingle STRING per index cuts
+    ~num_hashes× string traversals+allocations down to one string hash
+    per shingle plus cheap long re-hashes. Deterministic across runs and
+    partitionings."""
     return [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s))))
+        F.array_min(F.transform(shingle_hashes, lambda h, i=i: F.xxhash64(F.lit(i), h)))
         for i in range(num_hashes)
     ]
 
@@ -77,10 +120,15 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows = num_hashes // bands
-    shingled = docs.select(
-        F.col(id_col).alias("_id"), char_shingles(F.col(text_col), shingle_k).alias("_sh")
+    # Persisted: the hashed-shingle frame feeds both self-join sides AND
+    # both verification joins — without a materialization barrier Spark
+    # recomputes shingling+hashing once per consumer (4×). MinHash
+    # pipelines conventionally persist signatures; MEMORY_AND_DISK spills
+    # rather than OOMs at scale.
+    shingled = hashed_shingled_documents(docs, text_col, id_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signature(F.col("_sh"), num_hashes)
+    sigs = minhash_signature(F.col("_hsh"), num_hashes)
     # Candidate generation moves ONLY (doc_id, band_idx, band_hash) — the
     # shingle arrays never enter the LSH shuffle. At 100 TB the exploded
     # band frame is O(docs × bands) longs, orders of magnitude smaller
@@ -101,29 +149,31 @@ def minhash_near_duplicates(
             )
         ).alias("_band_idx", "_band_hash"),
     )
-    left = banded.select(
-        F.col("_band_idx").alias("bi"), F.col("_band_hash").alias("bh"), F.col("_id").alias("id_a")
-    )
-    right = banded.select(
-        F.col("_band_idx").alias("bi"), F.col("_band_hash").alias("bh"), F.col("_id").alias("id_b")
-    )
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)  # (id, band) longs — tiny
+    a, b = banded.alias("a"), banded.alias("b")
     candidates = (
-        left.join(right, ["bi", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        a.join(
+            b,
+            (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._band_hash") == F.col("b._band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
     # Exact-Jaccard verification: join shingles back onto the (tiny)
-    # verified-candidate set — two hash joins keyed on doc_id.
-    verified = (
-        candidates.join(shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-        .join(shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    # verified-candidate set — two hash joins keyed on doc_id. Only the
+    # intersection is computed; |A∪B| = |A| + |B| − |A∩B| from the
+    # pre-computed sizes (halves the per-pair array work).
+    verified = candidates.join(
+        shingled.select(F.col("_id").alias("id_a"), F.col("_hsh").alias("sh_a"), F.col("_nsh").alias("n_a")),
+        "id_a",
+    ).join(
+        shingled.select(F.col("_id").alias("id_b"), F.col("_hsh").alias("sh_b"), F.col("_nsh").alias("n_b")),
+        "id_b",
     )
-    jaccard = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        4,
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 4)
     return (
         verified.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
@@ -206,9 +256,11 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def word_ngrams(text: Column, n: int = 2) -> Column:
-    """Distinct word n-grams (joined by single space) of normalized text."""
-    toks = F.split(normalized_text(text), " ")
+def word_ngrams(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-grams (joined by single space) from a token-array
+    column. Like ``char_shingles``, ``toks`` must be a materialized
+    attribute — an inline split/regex expression would re-run per n-gram
+    position inside the lambda."""
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     return F.array_distinct(
         F.transform(
@@ -229,21 +281,42 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for pairs within the same block
     (blocking keeps the pair space linear-ish; at 100 TB the block
     column would be a coarse cluster key such as an LSH band)."""
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
-        word_ngrams(F.col(text_col), n).alias("_ng"),
+    # Inverted-index formulation: explode n-grams and count shared grams
+    # per pair by aggregation. Pairs sharing no gram never materialize —
+    # unlike an array_intersect over every within-block pair, which is
+    # quadratic in non-overlapping pairs. Shuffled rows are (id, gram)
+    # tokens; pair volume is Σ_g df(g)² — bounded, since a gram's df
+    # within a block is bounded by the block. (At 100 TB, cap df for
+    # ultra-frequent grams before pairing; not needed at tested scales.)
+    base = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+        )
+        .select("_id", "_blk", word_ngrams(F.col("_toks"), n).alias("_ng"))
+        .withColumn("_n", F.size("_ng"))
     )
-    left = base.select(F.col("_blk"), F.col("_id").alias("id_a"), F.col("_ng").alias("ng_a"))
-    right = base.select(F.col("_blk"), F.col("_id").alias("id_b"), F.col("_ng").alias("ng_b"))
-    jaccard = F.round(
-        F.size(F.array_intersect("ng_a", "ng_b")) / F.size(F.array_union("ng_a", "ng_b")), 4
+    grams = base.select("_id", "_blk", "_n", F.explode("_ng").alias("_g"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    jaccard = F.round(F.col("_inter") / (F.col("n_a") + F.col("n_b") - F.col("_inter")), 4)
     return (
-        left.join(right, "_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jaccard)
+        pairs.select("id_a", "id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )

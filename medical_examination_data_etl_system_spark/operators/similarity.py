@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -91,6 +92,83 @@ def _srp_bucket(vec: Column, num_planes: int, dim: int) -> Column:
         term = F.shiftleft(b, i)
         bucket = term if bucket is None else bucket.bitwiseXOR(term)
     return bucket
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and round(cos, 4) ≥ threshold. Exact all-pairs.
+
+    Blocked-GEMM execution: vectors are hashed into ``num_blocks``
+    blocks; each of the B(B+1)/2 block pairs becomes one task that
+    computes the full cosine matrix between the two blocks with a numpy
+    matmul (Arrow batch in, BLAS kernel inside) and emits only the
+    above-threshold pairs. Per-pair higher-order-function dot products
+    are ~1000× slower than this; per-task memory is bounded by
+    2·(n/B)·dim floats, so B sizes the working set, and the quadratic
+    work is spread over B(B+1)/2 independent tasks.
+
+    At 100 TB all-pairs is infeasible regardless of kernel; the scale
+    path is SRP bucketing (``_srp_bucket``) as candidate blocking with
+    this same exact verification inside buckets.
+    """
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
+    blocks = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_blk"))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    block_pairs = a.join(b, F.col("a._blk") <= F.col("b._blk")).select(
+        F.col("a._blk").alias("blk_a"),
+        F.col("a._rows").alias("rows_a"),
+        F.col("b._blk").alias("blk_b"),
+        F.col("b._rows").alias("rows_b"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def _pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["_id"] for r in row["rows_a"]], dtype=np.int64)
+                va = np.array([list(r["_v"]) for r in row["rows_a"]], dtype=np.float64)
+                ids_b = np.array([r["_id"] for r in row["rows_b"]], dtype=np.int64)
+                vb = np.array([list(r["_v"]) for r in row["rows_b"]], dtype=np.float64)
+                na = va / np.linalg.norm(va, axis=1, keepdims=True)
+                nb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+                cos = np.round(na @ nb.T, 4)
+                hit = cos >= threshold
+                if row["blk_a"] == row["blk_b"]:
+                    # Diagonal block pair: both orientations present —
+                    # keep one per unordered pair.
+                    hit &= ids_a[:, None] < ids_b[None, :]
+                ia, ib = np.nonzero(hit)
+                if len(ia):
+                    lo = np.minimum(ids_a[ia], ids_b[ib])
+                    hi = np.maximum(ids_a[ia], ids_b[ib])
+                    yield pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[ia, ib]})
+
+    n_tasks = num_blocks * (num_blocks + 1) // 2
+    return (
+        block_pairs.repartition(n_tasks, "blk_a", "blk_b")
+        .mapInPandas(_pairs, schema=out_schema)
+        .orderBy("id_a", "id_b")
+    )
 
 
 def lsh_bucketed_topk(

@@ -115,16 +115,24 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
-    """Winnowing-style fingerprint: min xxhash64 over character
-    ``window``-grams of the normalized text. Engine-specific hash →
-    rows-only oracle."""
-    norm = normalized_text(text)
+def with_rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8, out_col: str = "roll_fp"
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min MD5 over character
+    ``window``-grams of the normalized text.
+
+    MD5 (not xxhash64) so the DuckDB oracle computes the identical
+    digest. Normalization is materialized in its own projection first —
+    an inline expression would re-run the regex once per gram position
+    inside the ``transform`` lambda (see ``dedup.char_shingles``)."""
+    staged = df.withColumn("_rfp_norm", normalized_text(F.col(text_col)))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - window + 1, F.lit(1))),
-        lambda i: F.xxhash64(F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(window))),
+        F.sequence(
+            F.lit(1), F.greatest(F.length(F.col("_rfp_norm")) - (window - 1), F.lit(1))
+        ),
+        lambda i: F.md5(F.col("_rfp_norm").substr(i, F.lit(window))),
     )
-    return F.array_min(grams)
+    return staged.withColumn(out_col, F.array_min(grams)).drop("_rfp_norm")
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

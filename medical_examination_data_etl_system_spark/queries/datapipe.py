@@ -26,6 +26,7 @@ from medical_examination_data_etl_system_spark.operators.text_analysis import (
     quality_features,
     quality_score,
     token_count,
+    with_rolling_fingerprint,
 )
 from medical_examination_data_etl_system_spark.queries import QueryDef, load
 
@@ -195,6 +196,42 @@ ORDER BY query_id, rank
 """
 
 
+def emb_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
+    via block-nested self-join; scale path = SRP-bucket blocking with the
+    same in-bucket verification."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.4)
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprint (min-MD5 over
+    8-grams of normalized text)."""
+    docs = load(spark, sf_dir, "documents")
+    return with_rolling_fingerprint(docs).select("doc_id", "roll_fp").orderBy("doc_id")
+
+
+ROLLING_FP_SQL = """
+WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+           FROM documents)
+SELECT doc_id,
+       list_aggregate(list_transform(
+         range(1, greatest(length(norm) - 7, 1) + 1),
+         i -> md5(substr(norm, i, 8))), 'min') AS roll_fp
+FROM t
+ORDER BY doc_id
+"""
+
+
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-5 (scale path). Rows-only."""
     emb = load(spark, sf_dir, "embeddings")
@@ -263,6 +300,8 @@ QUERIES = {
     "docs_near_dup_simhash": QueryDef(docs_near_dup_simhash, None),
     "docs_ngram_jaccard": QueryDef(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
     "emb_cosine_topk": QueryDef(emb_cosine_topk, COSINE_TOPK_SQL),
+    "emb_near_dup_cosine": QueryDef(emb_near_dup_cosine, EMB_NEAR_DUP_SQL),
+    "text_rolling_fingerprint": QueryDef(text_rolling_fingerprint, ROLLING_FP_SQL),
     "emb_lsh_topk": QueryDef(emb_lsh_topk, None),
     "multimodal_doc_embedding_join": QueryDef(multimodal_doc_embedding_join, MULTIMODAL_JOIN_SQL),
     "multimodal_binary_features": QueryDef(multimodal_binary_features, MULTIMODAL_BINARY_SQL),
