@@ -44,10 +44,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from medical_examination_data_etl_system_spark.queries import datapipe, events, functions, relational, tpch
+    from medical_examination_data_etl_system_spark.queries import (
+        datapipe,
+        events,
+        functions,
+        relational,
+        streaming,
+        tpch,
+    )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (tpch, relational, events, functions, datapipe):
+    for mod in (tpch, relational, events, functions, datapipe, streaming):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

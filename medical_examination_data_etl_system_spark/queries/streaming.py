@@ -1,0 +1,75 @@
+"""Streaming queries in the driver battery: each drains a Structured
+Streaming query over the events table with an availableNow trigger and
+returns the materialized result, so streaming correctness sits in the
+same DuckDB-oracle gate as batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from medical_examination_data_etl_system_spark.queries import QueryDef
+from medical_examination_data_etl_system_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    sessionize_stateful,
+    stream_tumbling_counts,
+)
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_tumbling_hourly``: identical result via
+    readStream + watermark + windowed agg, drained with availableNow."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(
+        stream_tumbling_counts(stream), "q_stream_tumbling", output_mode="complete"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+# Same oracle as the batch tumbling query — that is the point.
+STREAM_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer (applyInPandasWithState): emits CLOSED
+    sessions (a later event from the same user arrived ≥ 15 min after the
+    session's last event); each user's trailing open session stays in
+    state — so the oracle drops each user's last session."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(sessionize_stateful(stream, gap_minutes=15), "q_stream_sessions")
+    return out.orderBy("user_id", "session_start")
+
+
+STREAM_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = {
+    "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
+    "stream_sessionize_stateful": QueryDef(stream_sessionize_stateful, STREAM_SESSIONS_SQL),
+}

@@ -1,0 +1,33 @@
+"""Structured Streaming surface of the engine.
+
+The reference pipeline is synchronous request/response batch
+(`/root/reference/text_processing.py:144-177`); it has no streaming
+operators. This package is the driver-mandated extension: the same
+event-time aggregations as `queries/events.py`, expressed over
+`readStream` with watermarks, plus a custom stateful sessionizer built
+on `applyInPandasWithState`. Batch/stream parity is tested —
+`tests/test_streaming.py` runs each stream with an availableNow trigger
+and compares against the batch implementation on the same data.
+"""
+
+from medical_examination_data_etl_system_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    run_available_now,
+    sessionize_stateful,
+    stream_session_counts,
+    stream_sliding_counts,
+    stream_tumbling_counts,
+    write_parquet_stream,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "run_available_now",
+    "sessionize_stateful",
+    "stream_session_counts",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "write_parquet_stream",
+]

@@ -1,0 +1,255 @@
+"""Streaming event-time operators over the events table.
+
+Design notes (100 TB posture):
+- File-source streams read incrementally (``maxFilesPerTrigger`` bounds
+  per-batch volume); state stores are per-key and RocksDB-backed on a
+  real cluster (``spark.sql.streaming.stateStore.providerClass``).
+- Watermarks bound state: windowed aggregations drop state for windows
+  older than the watermark; late events beyond the delay are dropped —
+  tested in ``tests/test_streaming.py::test_watermark_append_semantics``.
+- The stateful sessionizer keeps O(1) state per user (open session
+  accumulator), not the event list — state size is #active-users, not
+  #events.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Raw file schema: the testdata events parquet stores ts as
+# TIMESTAMP(NANOS), which Spark's reader rejects as a timestamp — it is
+# read as raw nano longs (legacy.parquet.nanosAsLong) and converted to a
+# microsecond timestamp in ``read_events_stream`` (lossless: the
+# generator emits microsecond-precision values). Mirrors
+# ``queries.load``'s batch-side handling.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over event parquet (a file, directory, or glob).
+
+    Explicit schema — streaming sources cannot infer (and the engine
+    never relies on inference, SURVEY.md §1.2).
+    """
+    import os
+
+    # FileStreamSource requires a directory or glob; turn a plain file
+    # path into a glob matching exactly that file ("x.parquet" →
+    # "x.parque[t]") so the source's basePath resolves to its directory.
+    if os.path.isfile(path):
+        path = f"{path[:-1]}[{path[-1]}]"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations — streaming twins of queries/events.py
+# ---------------------------------------------------------------------------
+
+
+def stream_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows per event type (streaming twin of
+    ``events_tumbling_hourly``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (streaming twin of
+    ``events_sliding_windows``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def stream_session_counts(
+    events: DataFrame, gap: str = "15 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows per user (streaming twin of
+    ``events_session_windows``). Streaming session windows REQUIRE a
+    watermark (state must be boundable)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionizer via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+# Open-session accumulator: start/last as epoch microseconds. O(1) per user.
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+_US_PER_MIN = 60_000_000
+
+
+def _make_sessionizer(gap_minutes: int):
+    gap_us = gap_minutes * _US_PER_MIN
+
+    def sessionize(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        else:
+            start_us = last_us = None
+            n, sv = 0, 0.0
+
+        closed: list[tuple[int, int, int, float]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            # Force microsecond resolution: Arrow may deliver ns or us.
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            vals = pdf["value"].to_numpy()
+            for t_us, v in zip(ts_us, vals):
+                if start_us is None:
+                    start_us, last_us, n, sv = int(t_us), int(t_us), 1, float(v)
+                elif t_us - last_us >= gap_us:
+                    closed.append((start_us, last_us, n, sv))
+                    start_us, last_us, n, sv = int(t_us), int(t_us), 1, float(v)
+                else:
+                    last_us, n, sv = int(t_us), n + 1, sv + float(v)
+
+        state.update((start_us, last_us, n, sv))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [round(c[3], 2) for c in closed],
+                }
+            )
+
+    return sessionize
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator.
+
+    Emits a session row when a subsequent event from the same user
+    arrives ≥ gap after the session's last event (i.e. CLOSED sessions;
+    each user's open trailing session stays in state awaiting more
+    events — correct unbounded-stream semantics). A new session starts
+    when the inter-event gap is ≥ gap, the same boundary rule as
+    ``session_window`` and the DuckDB lag/cumsum oracle.
+
+    This is the engine's template for operators Spark lacks natively:
+    per-key state via ``applyInPandasWithState`` with an explicit state
+    schema, Arrow-batched, O(1) state per key.
+    """
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        _make_sessionizer(gap_minutes),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 300
+) -> DataFrame:
+    """Drain the stream's available data into an in-memory table and
+    return it as a batch DataFrame (test/driver harness path)."""
+    spark = stream_df.sparkSession
+    name = f"{name}_{int(time.time() * 1000) % 10_000_000}"  # unique per run
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def write_parquet_stream(
+    stream_df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+):
+    """Production sink: parquet files + checkpointed offsets/state, so a
+    restarted query resumes exactly-once from the checkpoint."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )
