@@ -26,7 +26,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -187,12 +187,8 @@ def _render_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def render_reports(cleaned: DataFrame, rewrites: DataFrame) -> DataFrame:
-    """cleaned SUBSET frame + rewrite table → (record_id, report, request).
-
-    ``rewrites`` is the persisted output of
-    ``llm.rewrite_distinct_summaries`` keyed by (LANG_NO, SUMMARY).
-    """
+def _prepare_render_rows(cleaned: DataFrame, rewrites: DataFrame) -> DataFrame:
+    """Shared renderer input: generic per-language columns + REWRITTEN."""
     df = with_generic_columns(cleaned)
     df = df.withColumn("_summary_key", F.trim(F.col("SUMMARY")))
     rw = rewrites.select(
@@ -210,7 +206,7 @@ def render_reports(cleaned: DataFrame, rewrites: DataFrame) -> DataFrame:
     # ``summary_translated.get(summary, summary)``.
     df = df.withColumn("REWRITTEN", F.coalesce(F.col("SUMMARY_REWRITTEN"), F.col("_summary_key")))
 
-    narrow = df.select(
+    return df.select(
         "RECORD_ID",
         "LANG_NO",
         "ord",
@@ -223,4 +219,160 @@ def render_reports(cleaned: DataFrame, rewrites: DataFrame) -> DataFrame:
         "SUMMARY",
         "REWRITTEN",
     )
+
+
+def render_reports(cleaned: DataFrame, rewrites: DataFrame) -> DataFrame:
+    """Grouped-map renderer (v1): one Arrow batch per record, Python tree
+    assembly inside (reference logic near-verbatim).
+
+    ``rewrites`` is the persisted output of
+    ``llm.rewrite_distinct_summaries`` keyed by (LANG_NO, SUMMARY).
+    """
+    narrow = _prepare_render_rows(cleaned, rewrites)
     return narrow.groupBy("RECORD_ID").applyInPandas(_render_group, schema=_RENDER_SCHEMA)
+
+
+def render_reports_sql(cleaned: DataFrame, rewrites: DataFrame) -> DataFrame:
+    """Pure-Spark renderer (v2): the same tree assembly as
+    ``render_record``, expressed as windows + aggregation + higher-order
+    functions — no Python in the render path.
+
+    Why it exists (100 TB posture): v1 funnels each record through an
+    Arrow batch and a Python callback; a skewed giant record serializes
+    on one Python worker. Here every step is JVM-side and the only
+    per-record state is the collected block list.
+
+    Semantics mapping (reference text_processing.py:66-126):
+    - encounter-order value grouping (GROUP / SUMMARY / COMMENT) →
+      ``min(ord)`` windows per raw value (``grp_ord``/``sum_ord``/
+      ``com_ord``);
+    - the default-summary branch (one block per distinct comment) →
+      block key = (SUMMARY, COMMENT if default else NULL);
+    - first-occurrence item/comment dedup inside a block → row_number
+      windows ordered by ord, filtered inside the collected array;
+    - first-seen items-tuple block regrouping (:103-110) →
+      ``min(orig_idx)`` over (record, group, items) as primary sort key;
+    - "item line only when the items tuple changes" (:112-117) →
+      ``lag(items)`` over the final block order;
+    - line assembly → ``concat_ws('\\n', ...)`` (skips NULL parts) per
+      block, ``array_join(sort_array(collect_list(...)))`` per record.
+    """
+    from medical_examination_data_etl_system_spark.schemas import LANGU_MAP
+
+    rows = _prepare_render_rows(cleaned, rewrites)
+
+    lang = F.trim(F.col("LANG_NO").cast("string"))
+    default_text = F.lit("")
+    for lang_no, text in LANGU_MAP.items():
+        default_text = F.when(lang == lang_no, F.lit(text)).otherwise(default_text)
+
+    rows = rows.withColumns(
+        {
+            "_is_default": F.col("SUMMARY") == default_text,
+            "_code_t": F.trim(F.col("ITEM_CODE").cast("string")),
+            "_name_t": F.trim(F.col("ITEM_NAME").cast("string")),
+            "_comment_t": F.trim(F.col("COMMENT_G").cast("string")),
+            "_summary_t": F.trim(F.col("SUMMARY").cast("string")),
+            "_rewritten_t": F.trim(F.col("REWRITTEN").cast("string")),
+        }
+    )
+    # Block key: (raw SUMMARY, raw COMMENT for the default branch). All
+    # encounter orders are min(ord) per RAW value — groups unify
+    # non-adjacent repeats, exactly like pandas groupby(sort=False).
+    rows = rows.withColumn(
+        "_blk_com", F.when(F.col("_is_default"), F.col("COMMENT_G")).otherwise(F.lit(None))
+    )
+    w_grp = W.partitionBy("RECORD_ID", "GROUP")
+    w_sum = W.partitionBy("RECORD_ID", "GROUP", "SUMMARY")
+    w_blk = ["RECORD_ID", "GROUP", "SUMMARY", "_blk_com"]
+    rows = rows.withColumns(
+        {
+            "_grp_ord": F.min("ord").over(w_grp),
+            "_sum_ord": F.min("ord").over(w_sum),
+            "_com_ord": F.min("ord").over(W.partitionBy(*w_blk)),
+            # First occurrence of each ITEM_CODE / comment within a block.
+            "_fi": F.row_number().over(W.partitionBy(*w_blk, "_code_t").orderBy("ord")) == 1,
+            "_fc": F.row_number().over(W.partitionBy(*w_blk, "_comment_t").orderBy("ord")) == 1,
+        }
+    )
+
+    blocks = rows.groupBy(
+        "RECORD_ID",
+        "rec_ord",
+        "request",
+        "GROUP",
+        "_grp_ord",
+        "SUMMARY",
+        "_summary_t",
+        "_rewritten_t",
+        "_is_default",
+        "_sum_ord",
+        "_blk_com",
+        "_com_ord",
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ord", "_name_t", "_comment_t", "_fi", "_fc"))
+        ).alias("_rows")
+    )
+    blocks = blocks.withColumns(
+        {
+            "_items": F.transform(
+                F.filter("_rows", lambda r: r["_fi"]), lambda r: r["_name_t"]
+            ),
+            "_comments": F.when(
+                F.col("_is_default"), F.array(F.trim(F.col("_blk_com").cast("string")))
+            ).otherwise(
+                F.transform(F.filter("_rows", lambda r: r["_fc"]), lambda r: r["_comment_t"])
+            ),
+        }
+    )
+
+    # Block regrouping (reference :103-110): stable sort by (index of the
+    # first block with the same items tuple, original index).
+    w_group_blocks = W.partitionBy("RECORD_ID", "GROUP").orderBy("_sum_ord", "_com_ord")
+    blocks = blocks.withColumn("_orig_idx", F.row_number().over(w_group_blocks))
+    blocks = blocks.withColumn(
+        "_first_idx", F.min("_orig_idx").over(W.partitionBy("RECORD_ID", "GROUP", "_items"))
+    )
+    w_final = W.partitionBy("RECORD_ID", "GROUP").orderBy("_first_idx", "_orig_idx")
+    blocks = blocks.withColumns(
+        {
+            "_emit_group": F.row_number().over(w_final) == 1,
+            "_emit_items": ~F.lag("_items").over(w_final).eqNullSafe(F.col("_items")),
+        }
+    )
+
+    # Lines (reference :78-124): concat_ws skips NULL parts, so optional
+    # lines vanish. The summary line carries its own trailing newline —
+    # the later "\n" join doubles it, as the reference's str.join does.
+    block_text = F.concat_ws(
+        "\n",
+        F.when(F.col("_emit_group"), F.trim(F.col("GROUP").cast("string"))),
+        F.when(F.col("_emit_items"), F.concat(F.lit("    "), F.array_join("_items", "、"))),
+        F.concat(F.lit("        "), F.array_join("_comments", "、")),
+        F.when(
+            F.col("_summary_t") != "",
+            F.concat(F.lit("            "), F.col("_rewritten_t"), F.lit("\n")),
+        ),
+    )
+    blocks = blocks.withColumn("_text", block_text)
+
+    report = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("_grp_ord", "_first_idx", "_orig_idx", "_text"))
+            ),
+            lambda b: b["_text"],
+        ),
+        "\n",
+    )
+    return (
+        blocks.groupBy("RECORD_ID", "rec_ord", "request")
+        .agg(report.alias("report"))
+        .select(
+            F.col("RECORD_ID").cast("string").alias("record_id"),
+            "report",
+            "request",
+            F.col("rec_ord").cast("long").alias("rec_ord"),
+        )
+    )

@@ -20,7 +20,11 @@ from medical_examination_data_etl_system_spark.pipeline.dims import fallback_dim
 from medical_examination_data_etl_system_spark.pipeline.enrich import enrich
 from medical_examination_data_etl_system_spark.pipeline.ingest import flatten, records_to_df
 from medical_examination_data_etl_system_spark.pipeline.llm import rewrite_distinct_summaries
-from medical_examination_data_etl_system_spark.pipeline.render import render_reports, with_generic_columns
+from medical_examination_data_etl_system_spark.pipeline.render import (
+    render_reports,
+    render_reports_sql,
+    with_generic_columns,
+)
 
 
 def process_records(
@@ -29,6 +33,7 @@ def process_records(
     dims: dict[str, DataFrame] | None = None,
     output_dir: str | None = None,
     llm_mode: str = "azure",
+    renderer: str = "sql",
 ) -> DataFrame:
     """records → (record_id, report, request), ordered by batch position.
 
@@ -41,13 +46,23 @@ def process_records(
     if dims is None:
         dims = fallback_dims(flat)
     enriched = enrich(flat, dims)
-    return reports_from_fact(enriched, output_dir=output_dir, llm_mode=llm_mode)
+    return reports_from_fact(
+        enriched, output_dir=output_dir, llm_mode=llm_mode, renderer=renderer
+    )
 
 
 def reports_from_fact(
-    fact: DataFrame, output_dir: str | None = None, llm_mode: str = "azure"
+    fact: DataFrame,
+    output_dir: str | None = None,
+    llm_mode: str = "azure",
+    renderer: str = "sql",
 ) -> DataFrame:
-    """E3 parity: any SUBSET ∪ {ord, request} fact frame → reports."""
+    """E3 parity: any SUBSET ∪ {ord, request} fact frame → reports.
+
+    ``renderer``: "sql" (default) = pure-Spark windows/HOF renderer;
+    "python" = grouped-map applyInPandas renderer. Byte-identical
+    output — both run against the same goldens.
+    """
     cleaned = postprocess_multilang(fact)
 
     if output_dir:
@@ -55,7 +70,8 @@ def reports_from_fact(
 
     generic = with_generic_columns(cleaned)
     rewrites = rewrite_distinct_summaries(generic, mode=llm_mode)
-    reports = render_reports(cleaned, rewrites).orderBy("rec_ord").drop("rec_ord")
+    render = render_reports_sql if renderer == "sql" else render_reports
+    reports = render(cleaned, rewrites).orderBy("rec_ord").drop("rec_ord")
 
     if output_dir:
         write_csv_checkpoint(reports, os.path.join(output_dir, "output_02_text_processed"))

@@ -46,21 +46,24 @@ def _assert_reports_match(engine_rows, ref_df: pd.DataFrame):
             )
 
 
-def test_sample_request_parity(spark):
+@pytest.mark.parametrize("renderer", ["sql", "python"])
+def test_sample_request_parity(spark, renderer):
     records = sample_request()
-    engine = process_records(spark, records).collect()
+    engine = process_records(spark, records, renderer=renderer).collect()
     ref = run_reference(records)
     _assert_reports_match(engine, ref)
 
 
-def test_multilang_edge_parity(spark):
+@pytest.mark.parametrize("renderer", ["sql", "python"])
+def test_multilang_edge_parity(spark, renderer):
     records = multilang_edge_batch()
-    engine = process_records(spark, records).collect()
+    engine = process_records(spark, records, renderer=renderer).collect()
     ref = run_reference(records)
     _assert_reports_match(engine, ref)
 
 
-def test_custom_fact_parity(spark):
+@pytest.mark.parametrize("renderer", ["sql", "python"])
+def test_custom_fact_parity(spark, renderer):
     """Non-fallback dim content: real summaries (non-default renderer
     branch, A8 block merge), GROUPNO 0/null sentinel, A2 dedup."""
     fact, records = custom_fact_frame()
@@ -71,7 +74,7 @@ def test_custom_fact_parity(spark):
         "request",
         F.udf(lambda rid: req_json.get(rid, ""))(F.col("RECORD_ID")),
     ).select(*SUBSET, "ord", "request")
-    engine = reports_from_fact(sdf).collect()
+    engine = reports_from_fact(sdf, renderer=renderer).collect()
 
     ref = run_reference_from_fact(fact.drop(columns=["ord"]), records)
     assert len(engine) == len(ref)
