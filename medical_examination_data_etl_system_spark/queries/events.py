@@ -138,8 +138,43 @@ ORDER BY event_type
 """
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each click attributed to the
+    user's most recent view at or before it. Spark has no native as-of
+    join — ``operators.asof`` composes it from union + carry-forward
+    window (one shuffle on user_id)."""
+    from medical_examination_data_etl_system_spark.operators.asof import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    return (
+        asof_join_backward(clicks, views, ["user_id"], "ts", "ts")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.col("right_event_id").alias("view_event_id"),
+            F.col("right_ts").alias("view_ts"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ASOF_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS event_id, c.ts AS ts, c.value AS value,
+       v.event_id AS view_event_id, v.ts AS view_ts
+FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": QueryDef(events_tumbling_hourly, TUMBLING_SQL),
+    "events_asof_attribution": QueryDef(events_asof_attribution, ASOF_SQL),
     "events_sliding_windows": QueryDef(events_sliding_windows, SLIDING_SQL),
     "events_session_windows": QueryDef(events_session_windows, SESSION_SQL),
     "events_json_extract": QueryDef(events_json_extract, JSON_SQL),
