@@ -65,6 +65,97 @@ def cosine_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search — sampled centroids
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest
+    centroid (the inverted lists), probe each query's ``nprobe`` nearest
+    lists, exact-cosine re-rank inside them.
+
+    Centroids are a deterministic hash-sample of the corpus (k-means
+    refinement is an offline improvement, not a structural change). The
+    assignment pass is a single ``mapInPandas`` sweep — a numpy matmul
+    against the broadcast centroid matrix (C is small; cost O(n·C) with
+    BLAS). Candidates per query ≈ nprobe·n/C, so recall trades against
+    cost via nprobe — the standard IVF knob.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # Deterministic centroid sample: the num_centroids lowest xxhash64
+    # ids. Tiny → collected to the driver and closed over.
+    sampled = (
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+        .orderBy(F.xxhash64(F.col("_cid")))
+        .limit(num_centroids)
+        .collect()
+    )
+    cmat = np.array([list(r["_cv"]) for r in sampled], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_v", T.ArrayType(T.FloatType()), True),
+            T.StructField("_bucket", T.IntegerType(), False),
+        ]
+    )
+
+    def _assign_factory(probes: int):
+        def _assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+                vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                sims = vm @ cmat.T
+                top = np.argsort(-sims, axis=1)[:, :probes]
+                out = pdf.loc[pdf.index.repeat(probes)].reset_index(drop=True)
+                out["_bucket"] = top.ravel().astype("int32")
+                yield out
+
+        return _assign
+
+    base = lambda df: df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))  # noqa: E731
+    c_assigned = base(corpus).mapInPandas(_assign_factory(1), schema=assign_schema)
+    q_assigned = (
+        base(queries)
+        .mapInPandas(_assign_factory(nprobe), schema=assign_schema)
+        .select(
+            F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "_bucket"
+        )
+    )
+
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "_bucket")
+        .filter(F.col("_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sign-random-projection LSH (deterministic hyperplanes)
 # ---------------------------------------------------------------------------
 

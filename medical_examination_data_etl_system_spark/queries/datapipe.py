@@ -239,6 +239,15 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, queries, k=5)
 
 
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (sampled-centroid inverted lists, nprobe=2) approximate top-5.
+    Approximate → rows-only; recall vs exact is pinned in
+    tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(emb, queries, k=5)
+
+
 # ---------------------------------------------------------------------------
 # X5 — multimodal columns
 # ---------------------------------------------------------------------------
@@ -303,6 +312,7 @@ QUERIES = {
     "emb_near_dup_cosine": QueryDef(emb_near_dup_cosine, EMB_NEAR_DUP_SQL),
     "text_rolling_fingerprint": QueryDef(text_rolling_fingerprint, ROLLING_FP_SQL),
     "emb_lsh_topk": QueryDef(emb_lsh_topk, None),
+    "emb_ivf_topk": QueryDef(emb_ivf_topk, None),
     "multimodal_doc_embedding_join": QueryDef(multimodal_doc_embedding_join, MULTIMODAL_JOIN_SQL),
     "multimodal_binary_features": QueryDef(multimodal_binary_features, MULTIMODAL_BINARY_SQL),
 }

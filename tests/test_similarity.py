@@ -1,0 +1,56 @@
+"""Recall checks for the approximate similarity-search operators against
+the exact brute-force baseline (sf0.001 embeddings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators import similarity
+from medical_examination_data_etl_system_spark.queries import load
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 5
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx, exact):
+    hits = total = 0
+    for q, want in exact.items():
+        got = approx.get(q, set())
+        hits += len(got & want)
+        total += len(want)
+    return hits / total
+
+
+def test_ivf_recall_floor(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = _topk_sets(similarity.cosine_topk(emb, queries, k=K))
+    approx = _topk_sets(similarity.ivf_topk(emb, queries, k=K, num_centroids=16, nprobe=4))
+    assert len(exact) > 0
+    r = _recall(approx, exact)
+    assert r >= 0.3, f"IVF recall {r:.2f} below floor"
+
+
+def test_lsh_recall_floor(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = _topk_sets(similarity.cosine_topk(emb, queries, k=K))
+    approx = _topk_sets(similarity.lsh_bucketed_topk(emb, queries, k=K))
+    r = _recall(approx, exact)
+    assert r >= 0.2, f"LSH recall {r:.2f} below floor"
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """nprobe == num_centroids probes every list → exact result."""
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = _topk_sets(similarity.cosine_topk(emb, queries, k=K))
+    full = _topk_sets(similarity.ivf_topk(emb, queries, k=K, num_centroids=8, nprobe=8))
+    assert full == exact
