@@ -367,6 +367,67 @@ ORDER BY l_orderkey
 """
 
 
+def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: exact median / p90 (linear interpolation)
+    per return flag — ``percentile`` matches DuckDB ``quantile_cont``."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+       round(avg(l_extendedprice), 2) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, status rows × priority-class columns."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "prio", F.substring("o_orderpriority", 1, 1)
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("prio", ["1", "2", "3", "4", "5"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderstatus",
+            F.col("1").alias("p1"),
+            F.col("2").alias("p2"),
+            F.col("3").alias("p3"),
+            F.col("4").alias("p4"),
+            F.col("5").alias("p5"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderstatus,
+       count(*) FILTER (substring(o_orderpriority, 1, 1) = '1') AS p1,
+       count(*) FILTER (substring(o_orderpriority, 1, 1) = '2') AS p2,
+       count(*) FILTER (substring(o_orderpriority, 1, 1) = '3') AS p3,
+       count(*) FILTER (substring(o_orderpriority, 1, 1) = '4') AS p4,
+       count(*) FILTER (substring(o_orderpriority, 1, 1) = '5') AS p5
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "join_inner_enrich": QueryDef(join_inner_enrich, JOIN_INNER_SQL),
     "join_semi_customers_with_orders": QueryDef(join_semi_customers_with_orders, JOIN_SEMI_SQL),
@@ -376,6 +437,8 @@ QUERIES = {
     "agg_rollup_region_nation": QueryDef(agg_rollup_region_nation, AGG_ROLLUP_SQL),
     "agg_cube_status_priority": QueryDef(agg_cube_status_priority, AGG_CUBE_SQL),
     "agg_approx_distinct_parts": QueryDef(agg_approx_distinct_parts, None),
+    "agg_percentiles_by_flag": QueryDef(agg_percentiles_by_flag, PERCENTILES_SQL),
+    "pivot_status_by_priority": QueryDef(pivot_status_by_priority, PIVOT_SQL),
     "window_running_total": QueryDef(window_running_total, WINDOW_RUNNING_SQL),
     "window_topk_orders_per_customer": QueryDef(window_topk_orders_per_customer, WINDOW_TOPK_SQL),
     "window_order_gaps": QueryDef(window_order_gaps, WINDOW_LAG_SQL),
