@@ -137,9 +137,46 @@ ORDER BY tier
 """
 
 
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type construction + lookup: per-nation map of order-status →
+    count, consumed via element_at (scalar outputs for the oracle)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_status = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    as_map = per_status.groupBy("c_nationkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_map")
+    )
+    return as_map.select(
+        "c_nationkey",
+        F.coalesce(F.element_at("status_map", "F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.element_at("status_map", "O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.element_at("status_map", "P"), F.lit(0)).alias("n_p"),
+        F.array_join(F.map_keys("status_map"), ",").alias("statuses"),
+    ).orderBy("c_nationkey")
+
+
+MAP_SQL = """
+SELECT c_nationkey,
+       coalesce(count(*) FILTER (o_orderstatus = 'F'), 0) AS n_f,
+       coalesce(count(*) FILTER (o_orderstatus = 'O'), 0) AS n_o,
+       coalesce(count(*) FILTER (o_orderstatus = 'P'), 0) AS n_p,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "fn_datetime_extract": QueryDef(fn_datetime_extract, DATETIME_SQL),
     "fn_math_string": QueryDef(fn_math_string, MATH_STRING_SQL),
     "fn_array_ops": QueryDef(fn_array_ops, ARRAY_SQL),
     "fn_conditional_case": QueryDef(fn_conditional_case, CASE_SQL),
+    "fn_map_ops": QueryDef(fn_map_ops, MAP_SQL),
 }
