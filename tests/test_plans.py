@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the executed plans — broadcast joins for
+dims, filter/column pushdown into the parquet scan, partial (map-side)
+aggregation, and top-k as TakeOrderedAndProject. Guards against
+regressions that correctness tests can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.queries import all_queries, load
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _formatted_plan(df) -> str:
+    je = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark):
+    df = all_queries()["q3_shipping_priority"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact side
+    assert "PushedFilters: [IsNotNull" in plan  # predicate reached the scan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort + limit
+
+
+def test_q5_all_joins_broadcast(spark):
+    plan = _formatted_plan(all_queries()["q5_local_supplier_volume"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Partial+final hash aggregation: two HashAggregate nodes around one
+    exchange — map-side combine before the shuffle."""
+    plan = _formatted_plan(all_queries()["q1_pricing_summary"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_scan_column_pruning(spark):
+    """A 2-column projection must read a 2-column schema, not the table."""
+    li = load(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_shipdate") > "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _formatted_plan(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" in scan and "l_quantity" in scan and "l_shipdate" in scan
+    assert "l_extendedprice" not in scan and "l_returnflag" not in scan
+    assert "PushedFilters" in plan and "GreaterThan(l_shipdate" in plan
+
+
+def test_minhash_candidate_join_carries_no_arrays(spark):
+    """The LSH candidate self-join must move only (id, band) pairs —
+    shingle arrays enter the plan solely via the verification joins."""
+    from medical_examination_data_etl_system_spark.operators.dedup import minhash_near_duplicates
+
+    docs = load(spark, SF_DIR, "documents")
+    plan = _formatted_plan(minhash_near_duplicates(docs))
+    # The band-bucket join keys are the posexploded band columns.
+    assert "posexplode" in plan
+    # Exactly two joins read the (heavier) shingle arrays: the
+    # verification joins keyed on id_a / id_b.
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 3
+
+
+def test_renderer_sql_has_no_python_eval(spark):
+    """The default renderer must contain no Python evaluation operator."""
+    import json
+
+    from medical_examination_data_etl_system_spark.pipeline import process_records
+
+    recs = json.load(open("/root/reference/sample_request.json"))
+    df = process_records(spark, recs, renderer="sql")
+    plan = _formatted_plan(df)
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, f"Python operator {marker} in sql-renderer plan"
