@@ -300,7 +300,9 @@ def ngram_jaccard_pairs(
         .select("_id", "_blk", word_ngrams(F.col("_toks"), n).alias("_ng"))
         .withColumn("_n", F.size("_ng"))
     )
-    grams = base.select("_id", "_blk", "_n", F.explode("_ng").alias("_g"))
+    grams = base.select("_id", "_blk", "_n", F.explode("_ng").alias("_g")).persist(
+        StorageLevel.MEMORY_AND_DISK  # both self-join sides read this
+    )
     a, b = grams.alias("a"), grams.alias("b")
     pairs = (
         a.join(

@@ -254,6 +254,33 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-0
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (correlated scalar subquery → per-key aggregate join):
+    average yearly revenue lost if small-quantity orders (below 50% of
+    the part's average quantity) were not taken."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("_half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": QueryDef(q3_shipping_priority, Q3_SQL),
@@ -262,4 +289,5 @@ QUERIES = {
     "q10_returned_items": QueryDef(q10_returned_items, Q10_SQL),
     "q4_order_priority": QueryDef(q4_order_priority, Q4_SQL),
     "q14_promo_revenue": QueryDef(q14_promo_revenue, Q14_SQL),
+    "q17_small_quantity_revenue": QueryDef(q17_small_quantity_revenue, Q17_SQL),
 }
