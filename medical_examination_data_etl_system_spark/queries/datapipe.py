@@ -140,6 +140,17 @@ def docs_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs)
 
 
+def docs_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup: MinHash pairs → connected components →
+    keep each component's min-id representative. Iterative (driver-side
+    convergence loop) → non-SQL-expressible, rows-only."""
+    from medical_examination_data_etl_system_spark.operators.clustering import dedup_by_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return dedup_by_components(docs, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard pairs within the same source block."""
     docs = load(spark, sf_dir, "documents")
@@ -307,6 +318,7 @@ QUERIES = {
     "docs_dedup_exact": QueryDef(docs_dedup_exact, DEDUP_EXACT_SQL),
     "docs_near_dup_minhash": QueryDef(docs_near_dup_minhash, None),
     "docs_near_dup_simhash": QueryDef(docs_near_dup_simhash, None),
+    "docs_near_dup_components": QueryDef(docs_near_dup_components, None),
     "docs_ngram_jaccard": QueryDef(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
     "emb_cosine_topk": QueryDef(emb_cosine_topk, COSINE_TOPK_SQL),
     "emb_near_dup_cosine": QueryDef(emb_near_dup_cosine, EMB_NEAR_DUP_SQL),

@@ -1,0 +1,59 @@
+"""Exact component assertions for connected_components, plus the
+pairs→clusters→dedup integration over the real MinHash output."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators.clustering import (
+    connected_components,
+    dedup_by_components,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+
+
+def test_components_chain_triangle_isolated_pair(spark):
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_long_chain_converges(spark):
+    """A 20-node path is the worst case for neighbor propagation (the
+    min label travels one hop per round) — must converge within the cap."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 20)])
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 20
+
+
+def test_dedup_by_components_minhash_integration(spark):
+    from medical_examination_data_etl_system_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    kept = dedup_by_components(docs, pairs)
+
+    n_docs = docs.count()
+    n_losers = (
+        connected_components(pairs).filter(F.col("node") != F.col("comp")).count()
+    )
+    assert kept.count() == n_docs - n_losers
+    # every pair has at most one survivor
+    k = kept.select("doc_id")
+    both = (
+        pairs.join(k.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(k.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .count()
+    )
+    assert both == 0
