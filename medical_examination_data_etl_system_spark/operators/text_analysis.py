@@ -116,21 +116,28 @@ def content_fingerprint(text: Column) -> Column:
 
 
 def with_rolling_fingerprint(
-    df: DataFrame, text_col: str = "text", window: int = 8, out_col: str = "roll_fp"
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+    out_col: str = "roll_fp",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Winnowing-style document fingerprint: min MD5 over character
+    """Winnowing-style document fingerprint: min hash over character
     ``window``-grams of the normalized text.
 
-    MD5 (not xxhash64) so the DuckDB oracle computes the identical
-    digest. Normalization is materialized in its own projection first —
-    an inline expression would re-run the regex once per gram position
-    inside the ``transform`` lambda (see ``dedup.char_shingles``)."""
+    ``hash_fn``: "xxhash64" (default — ~2.5× faster, engine-side) or
+    "md5" (cross-engine: DuckDB computes the identical digest, used by
+    the oracle-checked query). Normalization is materialized in its own
+    projection first — an inline expression would re-run the regex once
+    per gram position inside the ``transform`` lambda (see
+    ``dedup.char_shingles``)."""
+    hasher = {"md5": F.md5, "xxhash64": F.xxhash64}[hash_fn]
     staged = df.withColumn("_rfp_norm", normalized_text(F.col(text_col)))
     grams = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.length(F.col("_rfp_norm")) - (window - 1), F.lit(1))
         ),
-        lambda i: F.md5(F.col("_rfp_norm").substr(i, F.lit(window))),
+        lambda i: hasher(F.col("_rfp_norm").substr(i, F.lit(window))),
     )
     return staged.withColumn(out_col, F.array_min(grams)).drop("_rfp_norm")
 

@@ -226,9 +226,13 @@ ORDER BY id_a, id_b
 
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprint (min-MD5 over
-    8-grams of normalized text)."""
+    8-grams of normalized text; md5 here so DuckDB reproduces it)."""
     docs = load(spark, sf_dir, "documents")
-    return with_rolling_fingerprint(docs).select("doc_id", "roll_fp").orderBy("doc_id")
+    return (
+        with_rolling_fingerprint(docs, hash_fn="md5")
+        .select("doc_id", "roll_fp")
+        .orderBy("doc_id")
+    )
 
 
 ROLLING_FP_SQL = """
