@@ -22,7 +22,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from medical_examination_data_etl_system_spark.schemas import BATCH_SCHEMA
+from medical_examination_data_etl_system_spark.schemas import BATCH_SCHEMA, RECORD_SCHEMA
 
 # ord = (_rec_idx << 40) | (item_pos << 20) | finding_pos.
 # Caps: 2^20 (~1M) items per record, 2^20 findings per item, 2^23 (~8M)
@@ -52,6 +52,30 @@ def records_to_df(spark: SparkSession, records: list[dict[str, Any]] | dict[str,
         for i, r in enumerate(records)
     ]
     return spark.createDataFrame(rows, schema=BATCH_SCHEMA)
+
+
+def records_from_json_files(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed batch ingest: JSON-lines record files → the nested
+    frame ``flatten`` expects.
+
+    The 100 TB path — ``records_to_df`` materializes a Python list on
+    the driver (right for the API's request/response shape, wrong for
+    bulk). Files are read with the explicit RECORD_SCHEMA (no inference,
+    SURVEY.md §1.2); the batch position ``_rec_idx`` — which the API path
+    pins by driver-side enumerate — is re-derived deterministically as a
+    dense rank over RECORD_ID, since files carry no meaningful row order.
+    """
+    raw = spark.read.schema(RECORD_SCHEMA).json(path)
+    from pyspark.sql import Window as W
+
+    # The unpartitioned window funnels record HEADERS (not findings)
+    # through one task — bounded by the ord bit-layout's 2^23-records-
+    # per-batch cap, so this is a small frame by construction; the heavy
+    # exploded data stays fully distributed.
+    return raw.withColumn(
+        "_rec_idx",
+        F.dense_rank().over(W.orderBy("RECORD_ID")).cast("long") - 1,
+    ).select(*[f.name for f in BATCH_SCHEMA.fields])
 
 
 def flatten(nested: DataFrame, drop_empty_comments: bool = True) -> DataFrame:
