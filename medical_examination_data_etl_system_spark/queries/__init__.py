@@ -51,10 +51,11 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         streaming,
         tpch,
+        tpch2,
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (tpch, relational, events, functions, datapipe, streaming):
+    for mod in (tpch, tpch2, relational, events, functions, datapipe, streaming):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
