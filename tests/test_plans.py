@@ -71,6 +71,43 @@ def test_minhash_candidate_join_carries_no_arrays(spark):
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 3
 
 
+def _simple_plan(df) -> str:
+    """One line per physical node — safe for exact node counts (the
+    formatted mode repeats every node in its detail section)."""
+    je = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    return je.explainString(mode)
+
+
+def test_q2_correlated_min_is_one_window(spark):
+    """Q2's correlated-min subquery must compile to a single Window over
+    broadcast-joined dims — not a re-scan / self-join per part."""
+    plan = _simple_plan(all_queries()["q2_min_cost_supplier"].fn(spark, SF_DIR))
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q18_semi_join_and_partial_agg(spark):
+    """Q18's IN-subquery must be a semi join feeding partial+final
+    aggregation; the dim joins stay broadcast."""
+    plan = _formatted_plan(all_queries()["q18_large_volume_customers"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # HAVING agg + final agg, each partial+final
+
+
+def test_q21_single_fact_shuffle_join(spark):
+    """Q21's EXISTS/NOT-EXISTS rewrite costs exactly one fact-fact
+    shuffle join (flagged lineitem x per-order stats on l_orderkey);
+    everything else broadcasts."""
+    plan = _simple_plan(all_queries()["q21_suppliers_who_kept_waiting"].fn(spark, SF_DIR))
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_renderer_sql_has_no_python_eval(spark):
     """The default renderer must contain no Python evaluation operator."""
     import json
