@@ -100,6 +100,77 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize pass: MEDIA_SCHEMA → MEDIA_SCHEMA with payload re-encoded
+    at the target geometry. Real plumbing (Arrow batches in/out, same
+    schema, metadata rewrite); stub codec: the 'resized' payload is the
+    original truncated to ``target_w * target_h // 256`` bytes — a
+    deterministic stand-in with the right shrinking behavior, so tests
+    and oracles can check byte lengths end-to-end."""
+    cap = max(target_w * target_h // 256, 1)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires an image codec (PIL) — plug it in here"
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(
+                lambda b: bytes(b[:cap]) if b is not None else None
+            )
+            pdf["meta"] = pdf["meta"].map(
+                lambda m: {**m, "width": target_w, "height": target_h} if m else None
+            )
+            yield pdf
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("offset_ms", T.IntegerType(), False),
+        T.StructField("frame_digest", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 5000, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (1→N fan-out
+    inside ``mapInPandas`` — the batch shape a real ffmpeg seek loop
+    would have). Frames at offsets 0, every_ms, … ≤ duration_ms, video
+    rows only. Stub decode: frame_digest = md5(payload ++ '#' ++
+    frame_no) — deterministic and reproducible by the SQL oracle."""
+    videos = media.filter(F.col("meta.modality") == "video")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg — plug it in here"
+                )
+            out: dict[str, list] = {"media_id": [], "frame_no": [], "offset_ms": [], "frame_digest": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                duration = (meta or {}).get("duration_ms") or 0
+                body = payload if payload is not None else b""
+                for frame_no in range(duration // every_ms + 1):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(frame_no)
+                    out["offset_ms"].append(frame_no * every_ms)
+                    out["frame_digest"].append(
+                        hashlib.md5(body + b"#" + str(frame_no).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media frame derived from the documents table (the
     container ships no real media): payload = utf-8 text bytes, metadata

@@ -316,6 +316,54 @@ ORDER BY media_id
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video subset: 1→N fan-out inside
+    mapInPandas (the ffmpeg-seek batch shape), one row per sampled
+    frame. Stub digests are md5(payload ++ '#' ++ frame_no), so the
+    oracle reproduces every value (text is ASCII → byte == char)."""
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_from_documents(docs)
+    return multimodal.sample_frames(media, every_ms=1000).orderBy("media_id", "frame_no")
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(f AS INT) AS frame_no,
+       CAST(f * 1000 AS INT) AS offset_ms,
+       md5(text || '#' || CAST(f AS VARCHAR)) AS frame_digest
+FROM documents,
+     UNNEST(range(0, CAST(n_chars * 7 AS INT) // 1000 + 1)) AS t(f)
+WHERE doc_id % 3 = 2
+ORDER BY media_id, frame_no
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass plumbing: media → mapInPandas re-encode at 320x240
+    (stub codec truncates payload to w*h/256 = 300 bytes). Geometry and
+    resulting byte length are oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_from_documents(docs)
+    resized = multimodal.resize_media(media, target_w=320, target_h=240)
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+    ).orderBy("media_id")
+
+
+RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       320 AS width, 240 AS height,
+       CAST(least(octet_length(encode(text)), 300) AS BIGINT) AS n_bytes,
+       sha256(substr(text, 1, 300)) AS digest
+FROM documents
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "text_quality_langid": QueryDef(text_quality_langid, QUALITY_SQL),
@@ -331,4 +379,6 @@ QUERIES = {
     "emb_ivf_topk": QueryDef(emb_ivf_topk, None),
     "multimodal_doc_embedding_join": QueryDef(multimodal_doc_embedding_join, MULTIMODAL_JOIN_SQL),
     "multimodal_binary_features": QueryDef(multimodal_binary_features, MULTIMODAL_BINARY_SQL),
+    "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAME_SAMPLE_SQL),
+    "multimodal_resize": QueryDef(multimodal_resize, RESIZE_SQL),
 }
