@@ -49,13 +49,14 @@ def all_queries() -> dict[str, QueryDef]:
         events,
         functions,
         relational,
+        skew,
         streaming,
         tpch,
         tpch2,
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (tpch, tpch2, relational, events, functions, datapipe, streaming):
+    for mod in (tpch, tpch2, relational, events, functions, datapipe, streaming, skew):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -108,6 +108,21 @@ def test_q21_single_fact_shuffle_join(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_salted_count_distinct_is_two_phase(spark):
+    """The salted rewrite must be two HashAggregate pairs (partial+final
+    per phase) with no single-task concentration: no expand-based
+    distinct on the full frame."""
+    plan = _simple_plan(all_queries()["skew_salted_count_distinct"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # two phases, each partial+final
+
+
+def test_salted_join_explodes_dim_not_fact(spark):
+    """The dim side replicates via explode; the fact side only gains a
+    salt column — no fact-side blow-up."""
+    plan = _simple_plan(all_queries()["skew_salted_join"].fn(spark, SF_DIR))
+    assert "Generate explode" in plan
+
+
 def test_renderer_sql_has_no_python_eval(spark):
     """The default renderer must contain no Python evaluation operator."""
     import json
