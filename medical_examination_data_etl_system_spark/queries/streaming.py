@@ -9,7 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from medical_examination_data_etl_system_spark.queries import QueryDef
+from pyspark.sql import functions as F
+
 from medical_examination_data_etl_system_spark.streaming import (
+    attribution_join,
     read_events_stream,
     run_available_now,
     sessionize_stateful,
@@ -69,7 +72,38 @@ ORDER BY user_id, session_start
 """
 
 
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases attributed to
+    same-user clicks within the prior 30 minutes. Two independent
+    readStream sources over the same file; drained availableNow, so the
+    result equals the batch interval join the oracle runs."""
+    clicks = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    out = run_available_now(
+        attribution_join(clicks, purchases, horizon_minutes=30), "q_stream_attrib"
+    )
+    return out.orderBy("purchase_id", "click_id")
+
+
+STREAM_ATTRIBUTION_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       p.ts AS purchase_ts, c.ts AS click_ts,
+       round(p.value, 2) AS purchase_value
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_sessionize_stateful": QueryDef(stream_sessionize_stateful, STREAM_SESSIONS_SQL),
+    "stream_click_attribution": QueryDef(stream_click_attribution, STREAM_ATTRIBUTION_SQL),
 }

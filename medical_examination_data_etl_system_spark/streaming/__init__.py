@@ -12,6 +12,7 @@ and compares against the batch implementation on the same data.
 
 from medical_examination_data_etl_system_spark.streaming.events import (
     EVENTS_SCHEMA,
+    attribution_join,
     read_events_stream,
     run_available_now,
     sessionize_stateful,
@@ -23,6 +24,7 @@ from medical_examination_data_etl_system_spark.streaming.events import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "attribution_join",
     "read_events_stream",
     "run_available_now",
     "sessionize_stateful",

@@ -122,6 +122,50 @@ def stream_session_counts(
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to
+    every click by the same user within ``horizon_minutes`` before it.
+
+    Both sides carry watermarks and the join has a two-sided time bound
+    — the two conditions Spark needs to evict join state (a click older
+    than watermark + horizon can never match again). Without them, a
+    stream-stream join's state grows without bound.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    cond = F.expr(
+        f"user_id = c_user AND purchase_ts >= click_ts "
+        f"AND purchase_ts < click_ts + INTERVAL {horizon_minutes} MINUTES"
+    )
+    return p.join(c, cond, "inner").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        F.round("value", 2).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful operator: gap-based sessionizer via applyInPandasWithState
 # ---------------------------------------------------------------------------
 
