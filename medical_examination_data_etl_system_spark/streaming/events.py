@@ -264,24 +264,46 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 300
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drain the stream's available data into an in-memory table and
-    return it as a batch DataFrame (test/driver harness path)."""
+    return it as a batch DataFrame (test/driver harness path).
+
+    ``state_partitions`` sizes the stateful shuffle for the drain. A
+    streaming query's state-store count is a per-query deployment knob
+    (``spark.sql.shuffle.partitions`` at the FIRST checkpoint fixes it
+    for the query's lifetime): a watermarked stream-stream join keeps
+    four state stores per partition, so a count sized for batch
+    analytics pays state-store maintenance per partition per microbatch
+    regardless of volume. Production queries size it to peak key
+    cardinality; the harness drains bounded test volumes, so a small
+    fixed count is the honest setting. The session default is restored
+    after the drain (the batch plans before/after are unaffected — the
+    materialized result is what's returned).
+    """
     spark = stream_df.sparkSession
     name = f"{name}_{int(time.time() * 1000) % 10_000_000}"  # unique per run
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_sec)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
