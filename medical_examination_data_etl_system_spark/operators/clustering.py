@@ -35,37 +35,51 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
     node id reachable through the pair graph."""
+    spark = pairs.sparkSession
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
 
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-
-    # Labels are monotonically non-increasing, so the label sum is a
-    # fixpoint detector: unchanged sum ⟺ converged. One scalar
-    # aggregation per round instead of a join + count.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
-        nbr_min = edges.join(labels, edges.dst == labels.node).select(
-            F.col("src").alias("node"), F.col("comp")
-        )
+    # Size the per-round shuffle to the graph, not the session default:
+    # every round shuffles |edges|+|labels| rows, and an oversized
+    # partition count charges fixed per-partition cost × rounds on a
+    # sparse pair graph (near-dup graphs are far smaller than the corpus
+    # that produced them). ~1M edges per partition, floor of 8.
+    n_edges = edges.count()
+    n_part = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        n_edges // 1_000_000 + 1))
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
         labels = (
-            labels.unionByName(nbr_min)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+
+        # Labels are monotonically non-increasing, so the label sum is a
+        # fixpoint detector: unchanged sum ⟺ converged. One scalar
+        # aggregation per round instead of a join + count.
+        prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        for _ in range(max_iter):
+            nbr_min = edges.join(labels, edges.dst == labels.node).select(
+                F.col("src").alias("node"), F.col("comp")
+            )
+            labels = (
+                labels.unionByName(nbr_min)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     return labels
 
 

@@ -85,10 +85,19 @@ def hashed_shingled_documents(
     corpus (~1e-9 at 10⁵ shingles/doc)."""
     staged = docs.select(
         F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm")
-    ).select("_id", char_shingles(F.col("_norm"), k).alias("_sh"))
-    return staged.select(
-        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hsh")
-    ).withColumn("_nsh", F.size("_hsh"))
+    )
+    # Hash INSIDE the shingle lambda, then distinct on longs: the
+    # array<string> of shingles is never materialized and the distinct
+    # compares 8-byte longs instead of k-char strings (same hash set —
+    # xxhash64 is applied per position either way).
+    n = F.greatest(F.length("_norm") - (k - 1), F.lit(1))
+    hashed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.xxhash64(F.col("_norm").substr(i, F.lit(k))),
+        )
+    )
+    return staged.select("_id", hashed.alias("_hsh")).withColumn("_nsh", F.size("_hsh"))
 
 
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> list[Column]:
