@@ -18,8 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
 from medical_examination_data_etl_system_spark.operators.text_analysis import (
     content_fingerprint,
     normalized_text,
@@ -129,14 +129,13 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows = num_hashes // bands
-    # Persisted: the hashed-shingle frame feeds both self-join sides AND
-    # both verification joins — without a materialization barrier Spark
+    # Persisted (tracked — release via operators.cache): the
+    # hashed-shingle frame feeds both self-join sides AND both
+    # verification joins — without a materialization barrier Spark
     # recomputes shingling+hashing once per consumer (4×). MinHash
     # pipelines conventionally persist signatures; MEMORY_AND_DISK spills
     # rather than OOMs at scale.
-    shingled = hashed_shingled_documents(docs, text_col, id_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    shingled = persist_tracked(hashed_shingled_documents(docs, text_col, id_col, shingle_k))
     sigs = minhash_signature(F.col("_hsh"), num_hashes)
     # Candidate generation moves ONLY (doc_id, band_idx, band_hash) — the
     # shingle arrays never enter the LSH shuffle. At 100 TB the exploded
@@ -158,7 +157,7 @@ def minhash_near_duplicates(
             )
         ).alias("_band_idx", "_band_hash"),
     )
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)  # (id, band) longs — tiny
+    banded = persist_tracked(banded)  # (id, band) longs — tiny
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -274,11 +273,18 @@ def word_ngrams(toks: Column, n: int = 2) -> Column:
     attribute — an inline split/regex expression would re-run per n-gram
     position inside the lambda."""
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    # Guarded sequence: sequence's default step is -1 when start > stop,
+    # so an unguarded sequence(1, 0) yields [1, 0] and slice(toks, 0, n)
+    # throws (INVALID_PARAMETER_VALUE.START) — and an explicit +1 step
+    # doesn't help (Spark raises "Illegal sequence boundaries: 1 to 0
+    # by 1" instead of returning []). CaseWhen evaluates lazily, so
+    # short/empty docs take the empty-array branch, matching the SQL
+    # oracle's range(1, greatest(len-1,0)+1) behavior.
+    positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+        F.transform(positions, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
 
 
@@ -289,6 +295,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = "source",
     n: int = 2,
     threshold: float = 0.2,
+    max_df: int = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within the same block
     (blocking keeps the pair space linear-ish; at 100 TB the block
@@ -297,9 +304,14 @@ def ngram_jaccard_pairs(
     # per pair by aggregation. Pairs sharing no gram never materialize —
     # unlike an array_intersect over every within-block pair, which is
     # quadratic in non-overlapping pairs. Shuffled rows are (id, gram)
-    # tokens; pair volume is Σ_g df(g)² — bounded, since a gram's df
-    # within a block is bounded by the block. (At 100 TB, cap df for
-    # ultra-frequent grams before pairing; not needed at tested scales.)
+    # tokens; pair volume is Σ_g df(g)² — ONE stop-word-like gram with
+    # df=d contributes d² pairs, so ultra-frequent grams are dropped
+    # from the index before pairing (df > max_df). That is structural at
+    # 100 TB, not tuning: a gram shared by a million docs says nothing
+    # about pairwise similarity but would alone emit 10¹² join rows.
+    # Recall loss is bounded: dropping a gram can only LOWER the counted
+    # intersection for pairs that shared it; max_df=10k exceeds any
+    # testdata df, so tested results are byte-identical with the cap on.
     # Grams enter the index as xxhash64 longs: the shuffle moves 8-byte
     # keys instead of n-word strings and the equi-join compares longs —
     # measured 1.5× on the whole query, with identical jaccard values
@@ -318,8 +330,14 @@ def ngram_jaccard_pairs(
         )
         .withColumn("_n", F.size("_ng"))
     )
-    grams = base.select("_id", "_blk", "_n", F.explode("_ng").alias("_g")).persist(
-        StorageLevel.MEMORY_AND_DISK  # both self-join sides read this
+    # The df-cap rides the SAME hash partitioning the self-join needs:
+    # the window's exchange on (_blk, _g) is the one shuffle, and the
+    # cached frame's partitioning is reused by both join sides.
+    grams = persist_tracked(  # both self-join sides read this
+        base.select("_id", "_blk", "_n", F.explode("_ng").alias("_g"))
+        .withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("_blk", "_g")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
     a, b = grams.alias("a"), grams.alias("b")
     pairs = (

@@ -185,79 +185,148 @@ def _srp_bucket(vec: Column, num_planes: int, dim: int) -> Column:
     return bucket
 
 
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
+        T.StructField("cos_sim", T.DoubleType(), True),
+    ]
+)
+
+
+def _gemm_pairs_factory(threshold: float):
+    """applyInPandas kernel: exact cosine GEMM between the two sides of
+    a block-pair group, emitting only above-threshold (id_a<id_b) pairs.
+
+    The group arrives as ROWS (one vector per row, ``_is_a`` marking the
+    side), never as a single packed cell — no 2 GB column-value limit,
+    and per-task memory is rows_in_group × dim × 8 B, sized by the
+    blocking factor, not the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    def _pairs(key, pdf):
+        # Diagonal comes from the GROUP KEY, never from the data: an
+        # off-diagonal group whose B-side block is empty would otherwise
+        # look "all side A" and wrongly self-compare block A (emitting
+        # duplicates of the true diagonal group's pairs).
+        diagonal = key[0] == key[1]
+        side_a = pdf if diagonal else pdf[pdf["_is_a"]]
+        side_b = pdf if diagonal else pdf[~pdf["_is_a"]]
+        if not len(side_a) or not len(side_b):
+            return pd.DataFrame({k: [] for k in ("id_a", "id_b", "cos_sim")}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids_a = side_a["_id"].to_numpy(dtype=np.int64)
+        ids_b = side_b["_id"].to_numpy(dtype=np.int64)
+        va = np.array([list(v) for v in side_a["_v"]], dtype=np.float64)
+        vb = np.array([list(v) for v in side_b["_v"]], dtype=np.float64)
+        na = va / np.linalg.norm(va, axis=1, keepdims=True)
+        nb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+        cos = np.round(na @ nb.T, 4)
+        hit = cos >= threshold
+        if diagonal:
+            # Both orientations (and self-pairs) are in the matrix —
+            # keep the id_a < id_b triangle.
+            hit &= ids_a[:, None] < ids_b[None, :]
+        ia, ib = np.nonzero(hit)
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[ia, ib]})
+
+    return _pairs
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cos_sim) with
-    id_a < id_b and round(cos, 4) ≥ threshold. Exact all-pairs.
+    id_a < id_b and round(cos, 4) ≥ threshold. Exact all-pairs — the
+    small-scale ORACLE TWIN; the scale path is
+    ``embedding_near_duplicates_srp`` (same kernel, LSH-blocked).
 
-    Blocked-GEMM execution: vectors are hashed into ``num_blocks``
-    blocks; each of the B(B+1)/2 block pairs becomes one task that
-    computes the full cosine matrix between the two blocks with a numpy
-    matmul (Arrow batch in, BLAS kernel inside) and emits only the
-    above-threshold pairs. Per-pair higher-order-function dot products
-    are ~1000× slower than this; per-task memory is bounded by
-    2·(n/B)·dim floats, so B sizes the working set, and the quadratic
-    work is spread over B(B+1)/2 independent tasks.
+    Blocked-GEMM execution: vectors hash into B blocks (B derived from
+    the corpus count so a block holds ~``target_block_rows`` vectors —
+    never a fixed constant that silently stops fitting at 100× the
+    data); each of the B(B+1)/2 block pairs is one applyInPandas group
+    whose rows stay rows (a ``_is_a`` flag marks the side). Per-group
+    memory is 2·target_block_rows·dim·8 B regardless of corpus size;
+    the GEMM is one BLAS matmul per group, ~1000× per-pair HOF dots.
 
-    At 100 TB all-pairs is infeasible regardless of kernel; the scale
-    path is SRP bucketing (``_srp_bucket``) as candidate blocking with
-    this same exact verification inside buckets.
+    All-pairs work is inherently quadratic (B² tasks of bounded size) —
+    that is what makes it the oracle twin, not the 100 TB path.
     """
+    if num_blocks is None:
+        n = emb.count()  # cheap: parquet row-group metadata count
+        num_blocks = max(1, -(-n // target_block_rows))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
-    blocks = (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_blk"))
-        .groupBy("_blk")
-        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+    tagged = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_blk")
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    block_pairs = a.join(b, F.col("a._blk") <= F.col("b._blk")).select(
-        F.col("a._blk").alias("blk_a"),
-        F.col("a._rows").alias("rows_a"),
-        F.col("b._blk").alias("blk_b"),
-        F.col("b._rows").alias("rows_b"),
+    # Replicate each vector to every block pair it participates in:
+    # B copies per row (inherent to all-pairs blocking), each a ROW in
+    # the exploded frame — the shuffle moves (id, vec) tuples, never a
+    # packed per-block array.
+    expanded = tagged.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1), F.lit(1))).alias("_j"),
+    ).select(
+        "_id",
+        "_v",
+        F.least("_blk", "_j").alias("_pa"),
+        F.greatest("_blk", "_j").alias("_pb"),
+        (F.col("_blk") == F.least("_blk", "_j")).alias("_is_a"),
     )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType(), False),
-            T.StructField("id_b", T.LongType(), False),
-            T.StructField("cos_sim", T.DoubleType(), True),
-        ]
-    )
-
-    def _pairs(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                ids_a = np.array([r["_id"] for r in row["rows_a"]], dtype=np.int64)
-                va = np.array([list(r["_v"]) for r in row["rows_a"]], dtype=np.float64)
-                ids_b = np.array([r["_id"] for r in row["rows_b"]], dtype=np.int64)
-                vb = np.array([list(r["_v"]) for r in row["rows_b"]], dtype=np.float64)
-                na = va / np.linalg.norm(va, axis=1, keepdims=True)
-                nb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
-                cos = np.round(na @ nb.T, 4)
-                hit = cos >= threshold
-                if row["blk_a"] == row["blk_b"]:
-                    # Diagonal block pair: both orientations present —
-                    # keep one per unordered pair.
-                    hit &= ids_a[:, None] < ids_b[None, :]
-                ia, ib = np.nonzero(hit)
-                if len(ia):
-                    lo = np.minimum(ids_a[ia], ids_b[ib])
-                    hi = np.maximum(ids_a[ia], ids_b[ib])
-                    yield pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[ia, ib]})
-
-    n_tasks = num_blocks * (num_blocks + 1) // 2
     return (
-        block_pairs.repartition(n_tasks, "blk_a", "blk_b")
-        .mapInPandas(_pairs, schema=out_schema)
+        expanded.groupBy("_pa", "_pb")
+        .applyInPandas(_gemm_pairs_factory(threshold), schema=_PAIR_SCHEMA)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_duplicates_srp(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SRP-blocked embedding near-dup — the 100 TB path.
+
+    Candidate blocking by sign-random-projection bucket
+    (``_srp_bucket``): only vectors sharing a bucket are compared, so
+    total work is Σ_b |bucket_b|² instead of n² — linear-ish when
+    buckets are balanced. Verification inside each bucket is the same
+    exact-GEMM applyInPandas kernel as the oracle twin (rows stay rows;
+    no packed blocks). Recall < 1 by construction: a near-dup pair
+    split by a hyperplane is missed — SRP's collision probability for
+    angle θ is (1-θ/π)^planes, high precisely for the near-dup regime
+    (cos → 1). Recall is pinned against the exact twin in
+    tests/test_similarity.py.
+
+    Skew note: a degenerate bucket (e.g. all-zero-ish vectors) re-forms
+    the quadratic blow-up locally; at deployment scale, shard any
+    bucket larger than ~target_block_rows by a secondary id-hash (the
+    same trick ``embedding_near_duplicates`` uses globally).
+    """
+    # _pa == _pb per group: every bucket is a diagonal (self-compare)
+    # group for the shared kernel.
+    tagged = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _srp_bucket(F.col(vec_col), num_planes, dim).alias("_pa"),
+    ).select("_id", "_v", "_pa", F.col("_pa").alias("_pb"), F.lit(True).alias("_is_a"))
+    return (
+        tagged.groupBy("_pa", "_pb")
+        .applyInPandas(_gemm_pairs_factory(threshold), schema=_PAIR_SCHEMA)
         .orderBy("id_a", "id_b")
     )
 

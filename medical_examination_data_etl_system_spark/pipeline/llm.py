@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
+from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
 
 from medical_examination_data_etl_system_spark.schemas import LANGU_MAP
 
@@ -188,4 +188,6 @@ def rewrite_distinct_summaries(
             yield pd.concat(parts, ignore_index=True)
 
     out = distinct.mapInPandas(_rewrite, schema=_REWRITE_SCHEMA)
-    return out.persist(StorageLevel.MEMORY_AND_DISK)
+    # Tracked persist: release via operators.cache (cache_scope around the
+    # pipeline run, or release_all in long-lived sessions).
+    return persist_tracked(out)

@@ -22,6 +22,26 @@ class QueryDef:
     oracle: str | None  # None → rows-only check (non-SQL-expressible)
 
 
+def _read_with_nanos_as_long(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with nanosAsLong scoped to schema resolution.
+
+    The conf only matters while ``spark.read.parquet`` resolves the
+    footer schema (the relation then carries ``ts: bigint``); verified
+    that later actions execute fine with the conf restored — so a
+    session-wide mutation isn't needed and other reads in the same
+    session see their previous setting."""
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table.
 
@@ -31,16 +51,53 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     (lossless here: the generator emits microsecond-precision values).
     """
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = _read_with_nanos_as_long(spark, f"{sf_dir}/{table}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division: epoch-nanos exceed double's 2^53 mantissa,
             # so float division here would round the microsecond.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# The driver's correctness gate checks the FIRST 50 registry entries in
+# order. Round 1 proved everything before `text_quality_langid` green but
+# left the entire docs/emb/multimodal/stream/skew battery unchecked, so
+# the registry is ordered by evidence need: queries with no driver row
+# yet come first, then queries whose round-1 rows failed and have been
+# fixed since (q9 exact-cents, q12/events_json_extract oracle casts),
+# then the already-driver-green remainder in module order.
+_DRIVER_WINDOW_PRIORITY = [
+    # never checked in round 1 (registry positions 50-69)
+    "text_quality_langid",
+    "docs_dedup_exact",
+    "docs_near_dup_minhash",
+    "docs_near_dup_simhash",
+    "docs_near_dup_components",
+    "docs_ngram_jaccard",
+    "emb_cosine_topk",
+    "emb_near_dup_cosine",
+    "text_rolling_fingerprint",
+    "emb_lsh_topk",
+    "emb_ivf_topk",
+    "multimodal_doc_embedding_join",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "stream_tumbling_hourly",
+    "stream_sessionize_stateful",
+    "stream_click_attribution",
+    "skew_salted_count_distinct",
+    "skew_salted_join",
+    # new this round
+    "emb_near_dup_srp",
+    # round-1 hash-fails, fixed
+    "q9_product_profit",
+    "q12_late_lines",
+    "events_json_extract",
+]
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -61,4 +118,9 @@ def all_queries() -> dict[str, QueryDef]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
-    return merged
+    ordered: dict[str, QueryDef] = {}
+    for name in _DRIVER_WINDOW_PRIORITY:
+        if name in merged:
+            ordered[name] = merged.pop(name)
+    ordered.update(merged)
+    return ordered

@@ -209,10 +209,19 @@ ORDER BY query_id, rank
 
 def emb_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
-    via block-nested self-join; scale path = SRP-bucket blocking with the
-    same in-bucket verification."""
+    blocked GEMM (rows stay rows; block count derived from corpus size).
+    This is the oracle twin of ``emb_near_dup_srp``."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(emb, threshold=0.4)
+
+
+def emb_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed embedding near-dup — the 100 TB path: Σ|bucket|²
+    work instead of n², same exact-GEMM verification inside buckets.
+    Approximate recall → rows-only; recall vs the exact twin is pinned
+    in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates_srp(emb, threshold=0.4)
 
 
 EMB_NEAR_DUP_SQL = """
@@ -374,6 +383,7 @@ QUERIES = {
     "docs_ngram_jaccard": QueryDef(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
     "emb_cosine_topk": QueryDef(emb_cosine_topk, COSINE_TOPK_SQL),
     "emb_near_dup_cosine": QueryDef(emb_near_dup_cosine, EMB_NEAR_DUP_SQL),
+    "emb_near_dup_srp": QueryDef(emb_near_dup_srp, None),
     "text_rolling_fingerprint": QueryDef(text_rolling_fingerprint, ROLLING_FP_SQL),
     "emb_lsh_topk": QueryDef(emb_lsh_topk, None),
     "emb_ivf_topk": QueryDef(emb_ivf_topk, None),

@@ -130,7 +130,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k
 FROM events
 GROUP BY event_type

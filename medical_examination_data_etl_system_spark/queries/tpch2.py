@@ -215,28 +215,35 @@ ORDER BY o_year
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9: profit on widget parts by supplier nation and order year.
     partsupp.ps_supplycost is absent → cost proxy is
-    0.1 * p_retailprice * l_quantity (documented adaptation)."""
+    0.1 * p_retailprice * l_quantity (documented adaptation).
+
+    Float-stability (same pattern as q22): summing doubles in different
+    orders flips round(sum, 2) at half-cent boundaries, so both engines
+    sum EXACT CENTS — round(amount*100) per row is an integer-valued
+    double, the sum stays < 2^53 (exact), and the final /100 is the
+    same IEEE division on both sides."""
     part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
     supp = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
     li = load(spark, sf_dir, "lineitem")
     amount = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    amount_cents = F.round(amount * 100, 0)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg((F.sum(amount_cents) / 100).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+       sum(round((l_extendedprice * (1 - l_discount)
+                  - 0.1 * p_retailprice * l_quantity) * 100, 0)) / 100 AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -318,10 +325,10 @@ def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -56,6 +56,12 @@ def read_events_stream(
     # "x.parque[t]") so the source's basePath resolves to its directory.
     if os.path.isfile(path):
         path = f"{path[:-1]}[{path[-1]}]"
+    # Session-wide by necessity for the STREAM's lifetime: each
+    # microbatch re-reads parquet footers at trigger time, so the conf
+    # must hold while the query runs (there is no per-read nanosAsLong
+    # option — verified: .option("nanosAsLong") still throws
+    # PARQUET_TYPE_ILLEGAL). Batch reads scope it instead
+    # (queries._read_with_nanos_as_long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:

@@ -1,0 +1,62 @@
+"""Edge-case and cache-hygiene tests for the dedup operators.
+
+The short-document cases pin the ADVICE r1 fix: ``F.sequence`` defaults
+to step -1 when start > stop, so an unguarded sequence(1, 0) produced
+[1, 0] and ``slice(toks, 0, n)`` aborted the whole job on any corpus
+containing a 0/1-token document.
+"""
+
+from __future__ import annotations
+
+from pyspark.storagelevel import StorageLevel
+
+from medical_examination_data_etl_system_spark.operators import cache
+from medical_examination_data_etl_system_spark.operators.dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_ngram_jaccard_survives_short_and_empty_docs(spark):
+    rows = [
+        (1, "one", "s"),               # single token → zero bigrams
+        (2, "", "s"),                  # empty text
+        (3, "   ", "s"),               # whitespace only
+        (4, "alpha beta gamma delta", "s"),
+        (5, "alpha beta gamma delta", "s"),  # exact dup of 4
+    ]
+    out = ngram_jaccard_pairs(_docs(spark, rows), threshold=0.2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs == {(4, 5): 1.0}
+
+
+def test_ngram_df_cap_drops_stopword_grams(spark):
+    # "of the" appears in every doc — with max_df below the corpus size
+    # it must leave the index, and pairs that only shared it vanish.
+    rows = [(i, f"of the word{i}", "s") for i in range(1, 6)]
+    capped = ngram_jaccard_pairs(_docs(spark, rows), threshold=0.1, max_df=2).collect()
+    assert capped == []
+    uncapped = ngram_jaccard_pairs(_docs(spark, rows), threshold=0.1).collect()
+    assert len(uncapped) == 10  # all C(5,2) pairs share "of the"
+
+
+def test_cache_scope_releases_operator_persists(spark):
+    docs = _docs(spark, [(i, f"the quick brown fox {i} jumps over", "s") for i in range(20)])
+    with cache.cache_scope() as frames:
+        minhash_near_duplicates(docs, threshold=0.9).collect()
+        assert len(frames) == 2  # shingled + banded
+        assert all(f.storageLevel != StorageLevel.NONE for f in frames)
+    assert all(f.storageLevel == StorageLevel.NONE for f in frames)
+
+
+def test_unscoped_persists_are_tracked_and_releasable(spark):
+    docs = _docs(spark, [(i, f"a b c d e f {i}", "s") for i in range(5)])
+    before = len(cache.tracked_frames())
+    minhash_near_duplicates(docs, threshold=0.9).collect()
+    assert len(cache.tracked_frames()) == before + 2
+    cache.release_all()
+    assert cache.tracked_frames() == []

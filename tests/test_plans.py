@@ -134,3 +134,20 @@ def test_renderer_sql_has_no_python_eval(spark):
     plan = _formatted_plan(df)
     for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, f"Python operator {marker} in sql-renderer plan"
+
+
+def test_embedding_near_dup_never_packs_blocks(spark):
+    """Scale guard (VERDICT r1 #4): the blocked-GEMM all-pairs plan must
+    keep vectors as rows — no collect_list packing a block into a single
+    cell (2 GB column limit / one-task OOM at scale). Both the exact
+    twin and the SRP scale path go through applyInPandas grouping."""
+    from medical_examination_data_etl_system_spark.operators import similarity
+
+    emb = load(spark, SF_DIR, "embeddings")
+    for df in (
+        similarity.embedding_near_duplicates(emb, threshold=0.4),
+        similarity.embedding_near_duplicates_srp(emb, threshold=0.4),
+    ):
+        plan = _formatted_plan(df)
+        assert "collect_list" not in plan
+        assert "FlatMapGroupsInPandas" in plan

@@ -54,3 +54,35 @@ def test_ivf_full_probe_equals_exact(spark):
     exact = _topk_sets(similarity.cosine_topk(emb, queries, k=K))
     full = _topk_sets(similarity.ivf_topk(emb, queries, k=K, num_centroids=8, nprobe=8))
     assert full == exact
+
+
+def test_embedding_near_dup_srp_recall_vs_exact(spark):
+    """The SRP-blocked scale path must find most of the exact twin's
+    pairs (recall < 1 by construction; precision 1 — every emitted pair
+    is exact-GEMM verified, so it must be a subset)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_duplicates(emb, threshold=0.4).collect()
+    }
+    srp = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_duplicates_srp(emb, threshold=0.4).collect()
+    }
+    assert len(exact) > 0
+    assert set(srp) <= set(exact), "SRP emitted a pair the exact twin lacks"
+    for pair, cos in srp.items():
+        assert cos == exact[pair]
+    recall = len(srp) / len(exact)
+    assert recall >= 0.5, f"SRP near-dup recall {recall:.2f} below floor"
+
+
+def test_embedding_near_dup_block_invariance(spark):
+    """Pair set must not depend on the blocking factor (1 block ==
+    many blocks), and the derived-B default must match both."""
+    emb = load(spark, SF_DIR, "embeddings")
+    one = similarity.embedding_near_duplicates(emb, threshold=0.4, num_blocks=1).collect()
+    many = similarity.embedding_near_duplicates(emb, threshold=0.4, num_blocks=7).collect()
+    auto = similarity.embedding_near_duplicates(emb, threshold=0.4).collect()
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["cos_sim"]) for r in rows)  # noqa: E731
+    assert key(one) == key(many) == key(auto)
