@@ -15,8 +15,9 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from medical_examination_data_etl_system_spark.observability import timed_stage
 from medical_examination_data_etl_system_spark.pipeline.clean import postprocess_multilang
-from medical_examination_data_etl_system_spark.pipeline.dims import fallback_dims
+from medical_examination_data_etl_system_spark.pipeline.dims import resolve_dims
 from medical_examination_data_etl_system_spark.pipeline.enrich import enrich
 from medical_examination_data_etl_system_spark.pipeline.ingest import flatten, records_to_df
 from medical_examination_data_etl_system_spark.pipeline.llm import rewrite_distinct_summaries
@@ -41,11 +42,19 @@ def process_records(
     batch itself (reference db_to_dataframe.py:61-95). With no
     ``output_dir``, no CSV artifacts are written.
     """
-    nested = records_to_df(spark, records)
-    flat = flatten(nested)
+    # Stage timings (reference utils.py:7-15 parity) land on the
+    # medical_examination_data_etl_system_spark.timing logger + observability.recorded_timings().
+    # Spark stages are LAZY — these scopes time driver-side plan
+    # construction/analysis; execution cost shows up in the scopes that
+    # contain actions (csv checkpoints, the caller's collect).
+    with timed_stage("ingest_flatten"):
+        nested = records_to_df(spark, records)
+        flat = flatten(nested)
     if dims is None:
-        dims = fallback_dims(flat)
-    enriched = enrich(flat, dims)
+        with timed_stage("resolve_dims"):
+            dims = resolve_dims(spark, flat)
+    with timed_stage("enrich"):
+        enriched = enrich(flat, dims)
     return reports_from_fact(
         enriched, output_dir=output_dir, llm_mode=llm_mode, renderer=renderer
     )
@@ -63,18 +72,23 @@ def reports_from_fact(
     "python" = grouped-map applyInPandas renderer. Byte-identical
     output — both run against the same goldens.
     """
-    cleaned = postprocess_multilang(fact)
+    with timed_stage("clean"):
+        cleaned = postprocess_multilang(fact)
 
     if output_dir:
-        write_csv_checkpoint(cleaned.drop("request"), os.path.join(output_dir, "output_01_preprocessed"))
+        with timed_stage("csv_checkpoint_preprocessed"):
+            write_csv_checkpoint(cleaned.drop("request"), os.path.join(output_dir, "output_01_preprocessed"))
 
-    generic = with_generic_columns(cleaned)
-    rewrites = rewrite_distinct_summaries(generic, mode=llm_mode)
-    render = render_reports_sql if renderer == "sql" else render_reports
-    reports = render(cleaned, rewrites).orderBy("rec_ord").drop("rec_ord")
+    with timed_stage("llm_rewrite"):
+        generic = with_generic_columns(cleaned)
+        rewrites = rewrite_distinct_summaries(generic, mode=llm_mode)
+    with timed_stage("render"):
+        render = render_reports_sql if renderer == "sql" else render_reports
+        reports = render(cleaned, rewrites).orderBy("rec_ord").drop("rec_ord")
 
     if output_dir:
-        write_csv_checkpoint(reports, os.path.join(output_dir, "output_02_text_processed"))
+        with timed_stage("csv_checkpoint_text_processed"):
+            write_csv_checkpoint(reports, os.path.join(output_dir, "output_02_text_processed"))
     return reports
 
 
