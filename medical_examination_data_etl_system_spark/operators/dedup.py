@@ -74,6 +74,28 @@ def shingled_documents(
     )
 
 
+def shingle_hash_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(_id, _h): one row per character-shingle position, hash as long.
+
+    Codegen note (the whole MinHash pipeline is built on this): Spark's
+    higher-order functions (``transform``/``aggregate``) are
+    CodegenFallback — the lambda is INTERPRETED per array element — so
+    building shingle arrays with ``transform`` put ~1M interpreted
+    substr+hash calls on the hot path (~4 s at sf0.1 for 5k docs).
+    Exploding positions instead keeps substr+xxhash64 inside whole-stage
+    codegen; duplicates are fine downstream (min() is duplicate-
+    insensitive, sets are rebuilt by collect_set)."""
+    staged = docs.select(
+        F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    n = F.greatest(F.length("_norm") - (k - 1), F.lit(1))
+    return staged.select(
+        "_id", "_norm", F.explode(F.sequence(F.lit(1), n)).alias("_pos")
+    ).select("_id", F.xxhash64(F.col("_norm").substr(F.col("_pos"), F.lit(k))).alias("_h"))
+
+
 def hashed_shingled_documents(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
@@ -82,22 +104,15 @@ def hashed_shingled_documents(
     The MinHash pipeline's working representation: every downstream pass
     (signature family, exact-overlap verification) touches longs, never
     shingle strings. 64-bit collisions are negligible at any realistic
-    corpus (~1e-9 at 10⁵ shingles/doc)."""
-    staged = docs.select(
-        F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm")
+    corpus (~1e-9 at 10⁵ shingles/doc). One shuffle (partial collect_set
+    map-side; documents are contiguous in scan partitions, so the map
+    side collapses nearly all duplicates)."""
+    return (
+        shingle_hash_rows(docs, text_col, id_col, k)
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("_hsh"))
+        .withColumn("_nsh", F.size("_hsh"))
     )
-    # Hash INSIDE the shingle lambda, then distinct on longs: the
-    # array<string> of shingles is never materialized and the distinct
-    # compares 8-byte longs instead of k-char strings (same hash set —
-    # xxhash64 is applied per position either way).
-    n = F.greatest(F.length("_norm") - (k - 1), F.lit(1))
-    hashed = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.xxhash64(F.col("_norm").substr(i, F.lit(k))),
-        )
-    )
-    return staged.select("_id", hashed.alias("_hsh")).withColumn("_nsh", F.size("_hsh"))
 
 
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> list[Column]:
@@ -129,14 +144,29 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows = num_hashes // bands
-    # Persisted (tracked — release via operators.cache): the
-    # hashed-shingle frame feeds both self-join sides AND both
-    # verification joins — without a materialization barrier Spark
-    # recomputes shingling+hashing once per consumer (4×). MinHash
-    # pipelines conventionally persist signatures; MEMORY_AND_DISK spills
-    # rather than OOMs at scale.
-    shingled = persist_tracked(hashed_shingled_documents(docs, text_col, id_col, shingle_k))
-    sigs = minhash_signature(F.col("_hsh"), num_hashes)
+    # Shingle set AND all num_hashes signature mins come out of ONE
+    # aggregation over the exploded shingle rows — min(xxhash64(i, h))
+    # per doc is codegen'd with map-side partials, replacing the
+    # interpreted array_min(transform(...)) per signature index
+    # (CodegenFallback; was ~3.5 s of the sf0.1 runtime on its own).
+    # Signature values are identical: min over duplicated rows == min
+    # over the distinct set.
+    #
+    # Persisted (tracked — release via operators.cache): this frame
+    # feeds both self-join sides AND both verification joins — without
+    # a materialization barrier Spark recomputes shingling+hashing once
+    # per consumer (4×). MinHash pipelines conventionally persist
+    # signatures; MEMORY_AND_DISK spills rather than OOMs at scale.
+    sig_aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_s{i}") for i in range(num_hashes)
+    ]
+    shingled = persist_tracked(
+        shingle_hash_rows(docs, text_col, id_col, shingle_k)
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("_hsh"), *sig_aggs)
+        .withColumn("_nsh", F.size("_hsh"))
+    )
+    sigs = [F.col(f"_s{i}") for i in range(num_hashes)]
     # Candidate generation moves ONLY (doc_id, band_idx, band_hash) — the
     # shingle arrays never enter the LSH shuffle. At 100 TB the exploded
     # band frame is O(docs × bands) longs, orders of magnitude smaller
@@ -317,17 +347,27 @@ def ngram_jaccard_pairs(
     # measured 1.5× on the whole query, with identical jaccard values
     # (distinct-gram counts are hash-collision-exact at any realistic
     # corpus).
+    # Gram construction mirrors shingle_hash_rows: explode positions so
+    # slice+array_join+xxhash64 stay codegen'd (a transform() lambda is
+    # CodegenFallback — interpreted), then ONE groupBy rebuilds the
+    # per-doc distinct gram set, giving both the exploded index rows and
+    # the Jaccard denominator _n. Short docs (< n tokens) take the
+    # empty-positions branch and simply contribute no grams.
+    staged = docs.select(
+        F.col(id_col).alias("_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    count = F.greatest(F.size("_toks") - (n - 1), F.lit(0))
+    positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.xxhash64(F.array_join(F.slice(F.col("_toks"), F.col("_pos"), n), " "))
     base = (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
-            F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
-        )
-        .select(
-            "_id",
-            "_blk",
-            F.transform(word_ngrams(F.col("_toks"), n), lambda g: F.xxhash64(g)).alias("_ng"),
-        )
+        staged.select("_id", "_blk", "_toks", F.explode(positions).alias("_pos"))
+        .select("_id", "_blk", gram.alias("_g"))
+        .groupBy("_id", "_blk")
+        .agg(F.collect_set("_g").alias("_ng"))
         .withColumn("_n", F.size("_ng"))
     )
     # The df-cap rides the SAME hash partitioning the self-join needs:
