@@ -46,9 +46,12 @@ def connected_components(
     # every round shuffles |edges|+|labels| rows, and an oversized
     # partition count charges fixed per-partition cost × rounds on a
     # sparse pair graph (near-dup graphs are far smaller than the corpus
-    # that produced them). ~1M edges per partition, floor of 8.
+    # that produced them). ~1M edges per partition, no artificial floor:
+    # a few-hundred-edge graph converges fastest on ONE partition (each
+    # round is 2 scheduled jobs, so per-task overhead multiplies by
+    # rounds), while a 10⁹-edge graph still gets its thousand tasks.
     n_edges = edges.count()
-    n_part = max(8, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+    n_part = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                         n_edges // 1_000_000 + 1))
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
@@ -81,6 +84,103 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     return labels
+
+
+def connected_components_alternating(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds.
+
+    The 100×-scale alternative to min-label propagation: label prop
+    needs O(graph diameter) rounds — fine for typical near-dup blobs,
+    pathological for chain-shaped clusters (A≈B≈C≈… transitive runs,
+    which near-dup thresholds DO produce) — while the alternating
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) converges in O(log² n) rounds on ANY topology:
+
+    - large-star: every node u points its LARGER neighbors at
+      m(u) = min(Γ(u) ∪ u);
+    - small-star: u points its not-larger neighbors (and itself) at m(u).
+
+    Each half-round is one groupBy (min per node) + one join — the same
+    per-round shuffle volume as label prop (|edges|), with lineage cut
+    by localCheckpoint. Fixpoint: the edge multiset stops changing;
+    detected via sum of edge-pair hashes (order-insensitive, one scalar
+    action per round, same trick as label prop's label-sum).
+
+    Result: every node maps to its component's minimum id — identical
+    output contract to ``connected_components`` (pinned against it in
+    tests on random + path graphs).
+    """
+    spark = pairs.sparkSession
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    n_edges_0 = edges.count()
+    n_part = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        n_edges_0 // 1_000_000 + 1))
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+
+    def _edge_digest(e: DataFrame):
+        # Order-insensitive multiset digest of the CANONICAL edge set.
+        canon = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+        # pmod before summing: raw xxhash64 longs overflow an ANSI-mode
+        # sum; ~2^63/2^30 ≈ 9e9 edges headroom after the mod.
+        row = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_073_741_789))).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # Neighborhood minima per node over BOTH directions.
+        und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        joined = und.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    try:
+        edges = edges.localCheckpoint(eager=True)
+        prev = _edge_digest(edges)
+        for _ in range(max_iter):
+            edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+            cur = _edge_digest(edges)
+            if cur == prev:
+                break
+            prev = cur
+        # At fixpoint every edge is (node → its component min); nodes
+        # that became isolated roots map to themselves via the union.
+        comp = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+            "comp", F.col("node")
+        )
+        nodes_seen = comp.select("node").unionByName(roots.select("node")).distinct()
+        all_nodes = pairs.select(F.col(id_a).alias("node")).unionByName(
+            pairs.select(F.col(id_b).alias("node"))
+        ).distinct()
+        isolated = all_nodes.join(nodes_seen, "node", "left_anti").withColumn(
+            "comp", F.col("node")
+        )
+        return (
+            comp.unionByName(roots)
+            .unionByName(isolated)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
 
 
 def dedup_by_components(

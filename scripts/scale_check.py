@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""One-off scale validation (VERDICT r1 'next round' #10).
+
+Synthesizes an sf1-equivalent dataset by replicating the DRIVER'S
+sf0.1 parquet N× with shifted surrogate keys (facts get new primary
+keys; dims stay as-is, so joins fan out exactly like a bigger scale
+factor), then runs the TPC-H battery + selected heavy operators and
+prints per-query timings. Purpose: validate that the asserted plan
+shapes (broadcasts, partial aggs, AQE coalescing) hold under 10× the
+tested volume — NOT a correctness oracle (the driver's sf0.01 gate is
+that) and NOT new test data (every row derives from /root/testdata).
+
+Usage: python scripts/scale_check.py [replicas=10] [out=/tmp/sfx1]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark import get_spark
+from medical_examination_data_etl_system_spark.operators.cache import cache_scope
+from medical_examination_data_etl_system_spark.queries import all_queries, load
+
+SRC = "/root/testdata/sf0.1"
+
+# fact tables: (key columns to shift, shift stride source column)
+FACTS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+HEAVY_EXTENSION = [
+    "docs_dedup_exact",
+    "docs_near_dup_minhash",
+    "docs_near_dup_simhash",
+    "emb_near_dup_srp",
+    "emb_ivf_topk",
+    "events_asof_attribution",
+    "window_running_total",
+    "skew_salted_count_distinct",
+    "agg_percentiles_by_flag",
+    "text_rolling_fingerprint",
+]
+
+
+def synthesize(spark, replicas: int, out: str) -> None:
+    for name in DIMS:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    for name, keys in FACTS.items():
+        df = load(spark, SRC, name)
+        # stride > max key so replica key ranges never collide
+        stride = df.agg(F.max(keys[0])).collect()[0][0] + 1
+        rep = (
+            df.crossJoin(
+                spark.range(replicas).select(F.col("id").alias("_rep"))
+            )
+            .select(
+                *[
+                    (F.col(k) + F.col("_rep") * F.lit(stride)).alias(k)
+                    if k in keys
+                    else F.col(k)
+                    for k in df.columns
+                ]
+            )
+        )
+        # events: load() already converted nanos→TimestampType, so the
+        # replica file holds TIMESTAMP(MICROS) — the loader handles both.
+        rep.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        print(f"synth {name}: {rep.count()} rows", flush=True)
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx1"
+    spark = get_spark(app_name="scale-check")
+
+    t0 = time.perf_counter()
+    synthesize(spark, replicas, out)
+    print(f"synthesis: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    qs = all_queries()
+    names = [n for n in qs if n.startswith("q")] + HEAVY_EXTENSION
+    timings = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            with cache_scope():
+                qs[name].fn(spark, out).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            timings[name] = f"FAILED: {type(exc).__name__}: {str(exc)[:120]}"
+        print(name, timings[name], flush=True)
+
+    ok = {k: v for k, v in timings.items() if isinstance(v, float)}
+    print(json.dumps({
+        "replicas": replicas,
+        "total_sec": round(sum(ok.values()), 1),
+        "n_ok": len(ok),
+        "n_failed": len(timings) - len(ok),
+        "queries": timings,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,3 +57,40 @@ def test_dedup_by_components_minhash_integration(spark):
         .count()
     )
     assert both == 0
+
+
+def test_alternating_matches_label_prop_on_mixed_graph(spark):
+    from medical_examination_data_etl_system_spark.operators.clustering import (
+        connected_components_alternating,
+    )
+
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    lp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    alt = {r["node"]: r["comp"] for r in connected_components_alternating(pairs).collect()}
+    assert alt == lp
+
+
+def test_alternating_on_long_path_and_random_graph(spark):
+    import random
+
+    from medical_examination_data_etl_system_spark.operators.clustering import (
+        connected_components_alternating,
+    )
+
+    # 60-node path: diameter 59 — label prop's worst case; alternating
+    # must converge well inside the same round cap (O(log^2 n)).
+    path = _pairs(spark, [(i, i + 1) for i in range(1, 60)])
+    alt = {r["node"]: r["comp"] for r in connected_components_alternating(path).collect()}
+    assert set(alt.values()) == {1} and len(alt) == 60
+
+    rng = random.Random(7)
+    nodes = list(range(100))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = _pairs(spark, edges)
+    lp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    alt = {r["node"]: r["comp"] for r in connected_components_alternating(pairs).collect()}
+    assert alt == lp
