@@ -164,25 +164,128 @@ def _srp_bucket(vec: Column, num_planes: int, dim: int) -> Column:
     """Bucket id from the signs of ``num_planes`` pseudo-random
     hyperplane dot products. Plane components are deterministic
     hash-derived values in [-1, 1] — reproducible across runs/engines
-    with no stored model."""
-    bits = []
-    for p in range(num_planes):
+    with no stored model.
+
+    This Column form is the DEFINITION of the bucket function (and what
+    ``srp_plane_matrix`` is pinned against); the hot path assigns
+    buckets via :func:`with_srp_buckets` instead — HOF lambdas are
+    CodegenFallback (interpreted per element), a vectorized matmul is
+    ~100× for the same planes."""
+    # Plane index bound via a def scope, NOT `lambda j, p=p:` — a
+    # 2-param HOF lambda is PySpark's (element, index) form, which
+    # silently replaces the default with the array-position column and
+    # collapses every plane to the same dot (found empirically: buckets
+    # degenerated to {all-bits-0, all-bits-1}).
+    def _dot(p: int) -> Column:
         # component_j = (xxhash64(p, j) % 1000)/500 - 1  — fixed per (p, j)
         comps = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j, p=p: (F.pmod(F.xxhash64(F.lit(p), j), F.lit(1000)).cast("double") / 500.0 - 1.0),
+            lambda j: (F.pmod(F.xxhash64(F.lit(p), j), F.lit(1000)).cast("double") / 500.0 - 1.0),
         )
-        dot = F.aggregate(
+        return F.aggregate(
             F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append((dot > 0).cast("long"))
+
+    bits = [(_dot(p) > 0).cast("long") for p in range(num_planes)]
     bucket = None
     for i, b in enumerate(bits):
         term = F.shiftleft(b, i)
         bucket = term if bucket is None else bucket.bitwiseXOR(term)
     return bucket
+
+
+def srp_plane_matrix(spark, num_planes: int, dim: int):
+    """The (num_planes × dim) hyperplane matrix, components EXACTLY as
+    ``_srp_bucket`` defines them — evaluated once JVM-side (xxhash64 has
+    no cheap Python twin) and closed over by the assignment sweep.
+    num_planes·dim doubles: trivially driver-sized at any realistic
+    config."""
+    import numpy as np
+
+    rows = (
+        spark.range(num_planes)
+        .select(
+            # int, not bigint: xxhash64 hashes by declared type width, and
+            # _srp_bucket's F.lit(p) / sequence positions are IntegerType —
+            # a long p would yield a different (valid-looking) hash family.
+            F.col("id").cast("int").alias("p"),
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j"),
+        )
+        .select(
+            "p", "j",
+            (F.pmod(F.xxhash64(F.col("p"), F.col("j")), F.lit(1000)).cast("double") / 500.0 - 1.0).alias("c"),
+        )
+        .collect()
+    )
+    mat = np.zeros((num_planes, dim))
+    for r in rows:
+        mat[r["p"], r["j"]] = r["c"]
+    return mat
+
+
+def with_srp_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    dim: int,
+    bucket_col: str = "_bucket",
+    num_tables: int = 1,
+) -> DataFrame:
+    """(id, vec, table, bucket): SRP bucket per row and hash table, via
+    one map-only ``mapInPandas`` sweep — all num_tables·num_planes sign
+    bits come from a single V @ P.T matmul, packed per table. No
+    shuffle; the plane matrix is closed over (driver-tiny).
+
+    Multi-table is LSH's recall knob: a single k-plane table collides a
+    cos-θ pair with probability (1−θ/π)^k — low for the moderate-cos
+    pairs a 0.4 near-dup threshold includes — while colliding in ANY of
+    L independent tables lifts it to 1−(1−(1−θ/π)^k)^L at L× candidate
+    cost. Table t's planes are rows t·k..(t+1)·k−1 of the same
+    deterministic matrix (``srp_plane_matrix``), so table 0 is exactly
+    ``_srp_bucket``'s definition.
+
+    Same planes as ``_srp_bucket``; float64 matmul vs the interpreted
+    left-fold can flip a knife-edge sign (dot ≈ 0) on rare vectors,
+    which moves a near-orthogonal pair between buckets — irrelevant to
+    the near-dup regime the bucketing targets."""
+    import numpy as np
+
+    spark = df.sparkSession
+    planes = srp_plane_matrix(spark, num_planes * num_tables, dim)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_v", T.ArrayType(T.FloatType()), True),
+            T.StructField("_table", T.IntegerType(), False),
+            T.StructField(bucket_col, T.LongType(), False),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+            bits = (vm @ planes.T) > 0  # (n, L·k)
+            buckets = np.stack(
+                [
+                    bits[:, t * num_planes : (t + 1) * num_planes] @ weights
+                    for t in range(num_tables)
+                ],
+                axis=1,
+            )  # (n, L)
+            out = pdf.loc[pdf.index.repeat(num_tables)].reset_index(drop=True)
+            out["_table"] = np.tile(np.arange(num_tables, dtype=np.int32), len(pdf))
+            out[bucket_col] = buckets.ravel()
+            yield out
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return base.mapInPandas(_assign, schema=out_schema)
 
 
 _PAIR_SCHEMA = T.StructType(
@@ -298,35 +401,42 @@ def embedding_near_duplicates_srp(
     vec_col: str = "embedding",
     num_planes: int = 4,
     dim: int = 64,
+    num_tables: int = 8,
 ) -> DataFrame:
     """SRP-blocked embedding near-dup — the 100 TB path.
 
-    Candidate blocking by sign-random-projection bucket
-    (``_srp_bucket``): only vectors sharing a bucket are compared, so
-    total work is Σ_b |bucket_b|² instead of n² — linear-ish when
-    buckets are balanced. Verification inside each bucket is the same
+    Candidate blocking by sign-random-projection buckets over
+    ``num_tables`` independent hash tables: only vectors sharing a
+    (table, bucket) are compared, so total work is
+    L·Σ_b |bucket_b|² instead of n² — linear-ish when buckets are
+    balanced. Verification inside each bucket group is the same
     exact-GEMM applyInPandas kernel as the oracle twin (rows stay rows;
-    no packed blocks). Recall < 1 by construction: a near-dup pair
-    split by a hyperplane is missed — SRP's collision probability for
-    angle θ is (1-θ/π)^planes, high precisely for the near-dup regime
-    (cos → 1). Recall is pinned against the exact twin in
-    tests/test_similarity.py.
+    no packed blocks); a pair found in several tables dedups on the
+    identical verified row. Recall < 1 by construction —
+    1−(1−(1−θ/π)^k)^L per pair — the k/L knobs trade candidate volume
+    for recall (defaults: k=4, L=8 ≈ 0.75 for a cos 0.4 pair, → 1 as
+    cos → 1). Recall and the ⊆-of-exact property are pinned against the
+    exact twin in tests/test_similarity.py.
 
     Skew note: a degenerate bucket (e.g. all-zero-ish vectors) re-forms
     the quadratic blow-up locally; at deployment scale, shard any
     bucket larger than ~target_block_rows by a secondary id-hash (the
     same trick ``embedding_near_duplicates`` uses globally).
     """
-    # _pa == _pb per group: every bucket is a diagonal (self-compare)
-    # group for the shared kernel.
-    tagged = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        _srp_bucket(F.col(vec_col), num_planes, dim).alias("_pa"),
+    # _pa == _pb per group: every (table, bucket) is a diagonal
+    # (self-compare) group for the shared kernel; the composite key
+    # table·2^k + bucket keeps groups disjoint across tables.
+    tagged = with_srp_buckets(
+        emb, id_col, vec_col, num_planes, dim, num_tables=num_tables
+    ).select(
+        "_id",
+        "_v",
+        (F.col("_table").cast("long") * (1 << num_planes) + F.col("_bucket")).alias("_pa"),
     ).select("_id", "_v", "_pa", F.col("_pa").alias("_pb"), F.lit(True).alias("_is_a"))
     return (
         tagged.groupBy("_pa", "_pb")
         .applyInPandas(_gemm_pairs_factory(threshold), schema=_PAIR_SCHEMA)
+        .distinct()  # a pair verified in several tables is one result row
         .orderBy("id_a", "id_b")
     )
 
@@ -339,22 +449,22 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     num_planes: int = 4,
     dim: int = 64,
+    num_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's SRP bucket, then
-    exact cosine re-rank. Returns the same shape as ``cosine_topk``."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _srp_bucket(F.col(vec_col), num_planes, dim).alias("_bucket"),
+    """Approximate top-k: candidates share the query's SRP bucket in any
+    of ``num_tables`` hash tables, then exact cosine re-rank. Returns
+    the same shape as ``cosine_topk``. Candidates are deduped BEFORE
+    scoring so a pair colliding in several tables is scored once."""
+    c = with_srp_buckets(corpus, id_col, vec_col, num_planes, dim, num_tables=num_tables).select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv"), "_table", "_bucket"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _srp_bucket(F.col(vec_col), num_planes, dim).alias("_bucket"),
+    q = with_srp_buckets(queries, id_col, vec_col, num_planes, dim, num_tables=num_tables).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "_table", "_bucket"
     )
     scored = (
-        c.join(F.broadcast(q), "_bucket")
+        c.join(F.broadcast(q), ["_table", "_bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")

@@ -48,7 +48,7 @@ def test_cache_scope_releases_operator_persists(spark):
     docs = _docs(spark, [(i, f"the quick brown fox {i} jumps over", "s") for i in range(20)])
     with cache.cache_scope() as frames:
         minhash_near_duplicates(docs, threshold=0.9).collect()
-        assert len(frames) == 2  # shingled + banded
+        assert len(frames) == 3  # exact-dup members + shingled + banded
         assert all(f.storageLevel != StorageLevel.NONE for f in frames)
     assert all(f.storageLevel == StorageLevel.NONE for f in frames)
 
@@ -57,6 +57,26 @@ def test_unscoped_persists_are_tracked_and_releasable(spark):
     docs = _docs(spark, [(i, f"a b c d e f {i}", "s") for i in range(5)])
     before = len(cache.tracked_frames())
     minhash_near_duplicates(docs, threshold=0.9).collect()
-    assert len(cache.tracked_frames()) == before + 2
+    assert len(cache.tracked_frames()) == before + 3
     cache.release_all()
     assert cache.tracked_frames() == []
+
+
+def test_minhash_collapse_exact_equivalence(spark):
+    """collapse_exact=True must return byte-identical pairs to the
+    direct form on a corpus with exact-dup clusters AND near-dup
+    (non-identical) pairs."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(4):  # cluster of 4 exact copies
+        rows.append((100 + i, base, "s"))
+    rows.append((200, base + " slightly changed tail", "s"))  # near-dup of cluster
+    rows.append((300, "completely different content entirely unrelated text", "s"))
+    docs = _docs(spark, rows)
+    fast = minhash_near_duplicates(docs, threshold=0.5).collect()
+    direct = minhash_near_duplicates(docs, threshold=0.5, collapse_exact=False).collect()
+    key = lambda rs: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in rs)  # noqa: E731
+    assert key(fast) == key(direct)
+    # sanity: the exact cluster contributes C(4,2)=6 jaccard-1.0 pairs
+    ones = [r for r in fast if r["jaccard"] == 1.0]
+    assert len(ones) >= 6

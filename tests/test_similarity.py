@@ -86,3 +86,23 @@ def test_embedding_near_dup_block_invariance(spark):
     auto = similarity.embedding_near_duplicates(emb, threshold=0.4).collect()
     key = lambda rows: sorted((r["id_a"], r["id_b"], r["cos_sim"]) for r in rows)  # noqa: E731
     assert key(one) == key(many) == key(auto)
+
+
+def test_srp_plane_matrix_matches_column_definition(spark):
+    """with_srp_buckets must use EXACTLY the planes _srp_bucket defines:
+    assign buckets both ways on real vectors and compare."""
+    emb = load(spark, SF_DIR, "embeddings").limit(200)
+    hof = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", similarity._srp_bucket(F.col("embedding"), 4, 64).alias("b")
+        ).collect()
+    }
+    fast = {
+        r["_id"]: r["_bucket"]
+        for r in similarity.with_srp_buckets(emb, "vec_id", "embedding", 4, 64).collect()
+    }
+    diffs = [k for k in hof if hof[k] != fast[k]]
+    # identical planes; only knife-edge dots (≈0) may flip under a
+    # different float64 summation order — none expected on this data.
+    assert len(diffs) <= 2, f"{len(diffs)} bucket mismatches: {diffs[:5]}"
