@@ -388,10 +388,74 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.2,
     max_df: int = 10_000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within the same block
     (blocking keeps the pair space linear-ish; at 100 TB the block
-    column would be a coarse cluster key such as an LSH band)."""
+    column would be a coarse cluster key such as an LSH band).
+
+    ``collapse_exact``: same pre-collapse as ``minhash_near_duplicates``
+    — exact-content duplicates WITHIN A BLOCK (the group key includes
+    the block, since only same-block pairs are ever compared) reduce to
+    one representative before gram building; identical token sets make
+    the expansion exact (intra-group jaccard 1.0, cross pairs inherit
+    the representatives' value). The inverted index's Σdf² then scales
+    with unique texts per block, not raw members."""
+    if collapse_exact:
+        blk = F.col(block_col) if block_col else F.lit("all")
+        members = persist_tracked(
+            docs.select(
+                F.col(id_col).alias("_id"),
+                blk.alias("_mblk"),
+                content_fingerprint(F.col(text_col)).alias("_fp"),
+            ).select(
+                "_id", "_mblk",
+                F.min("_id").over(W.partitionBy("_mblk", "_fp")).alias("_rep"),
+            )
+        )
+        reps = docs.join(
+            members.filter(F.col("_id") == F.col("_rep")).select(F.col("_id").alias(id_col)),
+            id_col,
+        )
+        rep_pairs = ngram_jaccard_pairs(
+            reps, text_col, id_col, block_col, n, threshold, max_df, collapse_exact=False
+        )
+        ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+        mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        x, y = members.alias("x"), members.alias("y")
+        # Zero-gram docs (< n tokens) never pair in the direct form —
+        # their gram sets are empty, and 0/0 yields no row — so exact
+        # copies of such docs must not pair here either: the direct
+        # form's jaccard is undefined (null), not 1.0. Only groups whose
+        # representative HAS grams expand; short-doc groups are excluded
+        # by requiring the rep to appear in some pair OR carry >=1 gram.
+        has_grams = (
+            reps.select(
+                F.col(id_col).alias("_rep"),
+                F.split(normalized_text(F.col(text_col)), " ").alias("_t"),
+            )
+            .filter(F.size("_t") >= n)
+            .select("_rep")
+        )
+        intra = (
+            x.join(y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id")))
+            .join(has_grams, F.col("x._rep") == has_grams._rep)
+            .select(
+                F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(intra).orderBy("id_a", "id_b")
     # Inverted-index formulation: explode n-grams and count shared grams
     # per pair by aggregation. Pairs sharing no gram never materialize —
     # unlike an array_intersect over every within-block pair, which is

@@ -80,3 +80,26 @@ def test_minhash_collapse_exact_equivalence(spark):
     # sanity: the exact cluster contributes C(4,2)=6 jaccard-1.0 pairs
     ones = [r for r in fast if r["jaccard"] == 1.0]
     assert len(ones) >= 6
+
+
+def test_ngram_collapse_exact_equivalence(spark):
+    """Block-aware exact-collapse must match the direct inverted-index
+    form, including the no-pair behavior of <n-token docs and exact
+    dups split across different blocks."""
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base, "s1"), (2, base, "s1"), (3, base, "s1"),       # dup cluster in s1
+        (4, base, "s2"),                                          # same text, other block
+        (5, base + " eta", "s1"),                                 # near-dup in s1
+        (6, "tok", "s1"), (7, "tok", "s1"),                       # 1-token dups: NO pair
+        (8, "unrelated words entirely different here now", "s1"),
+    ]
+    docs = _docs(spark, rows)
+    fast = ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    direct = ngram_jaccard_pairs(docs, threshold=0.2, collapse_exact=False).collect()
+    key = lambda rs: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in rs)  # noqa: E731
+    assert key(fast) == key(direct)
+    pairs = {(r["id_a"], r["id_b"]) for r in fast}
+    assert (1, 2) in pairs and (2, 3) in pairs      # intra-cluster
+    assert (1, 4) not in pairs                       # cross-block never pairs
+    assert (6, 7) not in pairs                       # sub-n-token docs never pair
