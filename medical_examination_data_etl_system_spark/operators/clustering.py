@@ -36,9 +36,15 @@ def connected_components(
     """(node, component) for every node in ``pairs``; component = min
     node id reachable through the pair graph."""
     spark = pairs.sparkSession
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Materialize the DIRECTED edges first: the mirrored union otherwise
+    # embeds the pairs subtree twice in one plan (no subtree reuse), and
+    # upstream pair producers (MinHash + exact-collapse expansion) are
+    # deep enough that the double evaluation dominates.
+    directed = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
 
@@ -116,9 +122,15 @@ def connected_components_alternating(
     tests on random + path graphs).
     """
     spark = pairs.sparkSession
-    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
-        F.col("u") != F.col("v")
+    # Checkpoint before anything reads it: the input frame feeds the
+    # count, the iteration seed AND the isolated-node backfill — one
+    # evaluation of a potentially deep pair-producing plan.
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
     )
+    input_edges = edges
     n_edges_0 = edges.count()
     n_part = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                         n_edges_0 // 1_000_000 + 1))
@@ -152,7 +164,6 @@ def connected_components_alternating(
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     try:
-        edges = edges.localCheckpoint(eager=True)
         prev = _edge_digest(edges)
         for _ in range(max_iter):
             edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
@@ -167,8 +178,8 @@ def connected_components_alternating(
             "comp", F.col("node")
         )
         nodes_seen = comp.select("node").unionByName(roots.select("node")).distinct()
-        all_nodes = pairs.select(F.col(id_a).alias("node")).unionByName(
-            pairs.select(F.col(id_b).alias("node"))
+        all_nodes = input_edges.select(F.col("u").alias("node")).unionByName(
+            input_edges.select(F.col("v").alias("node"))
         ).distinct()
         isolated = all_nodes.join(nodes_seen, "node", "left_anti").withColumn(
             "comp", F.col("node")
@@ -188,6 +199,9 @@ def dedup_by_components(
 ) -> DataFrame:
     """Near-dup dedup: drop every doc that is in a component but is not
     its minimum-id representative. Docs in no pair survive untouched."""
+    # One evaluation of the (deep) pair-producing plan; the CC loop and
+    # the anti-join both read the checkpointed frame.
+    pairs = pairs.localCheckpoint(eager=True)
     comp = connected_components(pairs)
     losers = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
