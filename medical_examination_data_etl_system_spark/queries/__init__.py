@@ -93,6 +93,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "skew_salted_join",
     # new this round
     "emb_near_dup_srp",
+    "join_bucketed_colocated",
     # round-1 hash-fails, fixed
     "q9_product_profit",
     "q12_late_lines",

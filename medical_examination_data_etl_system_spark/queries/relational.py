@@ -111,6 +111,41 @@ ORDER BY o_orderkey
 # ---------------------------------------------------------------------------
 
 
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact through CO-LOCATED buckets: orders/lineitem are
+    (re)written bucketed on the order key, so the join itself runs with
+    zero Exchange (plan-guarded in tests/test_plans.py) — the write-once
+    shuffle that every subsequent orderkey join amortizes at 100 TB.
+    Results are the plain join's (oracle: the unbucketed SQL join);
+    revenue compares exact cents (q22/q9 pattern)."""
+    from medical_examination_data_etl_system_spark.operators.bucketing import (
+        bucketed_join,
+        ensure_bucketed_order_tables,
+    )
+
+    orders_t, lineitem_t = ensure_bucketed_order_tables(spark, sf_dir)
+    j = bucketed_join(spark, orders_t, lineitem_t)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents) / 100).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       sum(round(l_extendedprice * (1 - l_discount) * 100, 0)) / 100 AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def agg_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT + plain aggregates per group."""
     cust = load(spark, sf_dir, "customer")
@@ -457,6 +492,7 @@ QUERIES = {
     "join_semi_customers_with_orders": QueryDef(join_semi_customers_with_orders, JOIN_SEMI_SQL),
     "join_anti_customers_without_orders": QueryDef(join_anti_customers_without_orders, JOIN_ANTI_SQL),
     "join_range_ship_lag": QueryDef(join_range_ship_lag, JOIN_RANGE_SQL),
+    "join_bucketed_colocated": QueryDef(join_bucketed_colocated, BUCKETED_JOIN_SQL),
     "agg_distinct_per_segment": QueryDef(agg_distinct_per_segment, AGG_DISTINCT_SQL),
     "agg_rollup_region_nation": QueryDef(agg_rollup_region_nation, AGG_ROLLUP_SQL),
     "agg_cube_status_priority": QueryDef(agg_cube_status_priority, AGG_CUBE_SQL),

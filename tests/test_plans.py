@@ -151,3 +151,23 @@ def test_embedding_near_dup_never_packs_blocks(spark):
         plan = _formatted_plan(df)
         assert "collect_list" not in plan
         assert "FlatMapGroupsInPandas" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: the orderkey join over matching
+    bucket specs must plan with ZERO Exchange (broadcast disabled so the
+    assert can't pass for the wrong reason)."""
+    from medical_examination_data_etl_system_spark.operators.bucketing import (
+        bucketed_join,
+        ensure_bucketed_order_tables,
+    )
+
+    orders_t, lineitem_t = ensure_bucketed_order_tables(spark, SF_DIR)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(bucketed_join(spark, orders_t, lineitem_t))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join reintroduced a shuffle"
