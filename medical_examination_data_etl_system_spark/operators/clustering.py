@@ -195,14 +195,21 @@ def connected_components_alternating(
 
 
 def dedup_by_components(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", algorithm: str = "label_prop"
 ) -> DataFrame:
     """Near-dup dedup: drop every doc that is in a component but is not
-    its minimum-id representative. Docs in no pair survive untouched."""
+    its minimum-id representative. Docs in no pair survive untouched.
+
+    ``algorithm``: "label_prop" (O(diameter) rounds — near-dup blobs)
+    or "alternating" (large-star/small-star, O(log² n) — safe for
+    chain-shaped clusters)."""
     # One evaluation of the (deep) pair-producing plan; the CC loop and
     # the anti-join both read the checkpointed frame.
     pairs = pairs.localCheckpoint(eager=True)
-    comp = connected_components(pairs)
+    cc = {"label_prop": connected_components, "alternating": connected_components_alternating}[
+        algorithm
+    ]
+    comp = cc(pairs)
     losers = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )

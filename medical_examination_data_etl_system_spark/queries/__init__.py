@@ -94,6 +94,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new this round
     "emb_near_dup_srp",
     "join_bucketed_colocated",
+    "docs_near_dup_components_alt",
     # round-1 hash-fails, fixed
     "q9_product_profit",
     "q12_late_lines",

@@ -151,6 +151,22 @@ def docs_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_components(docs, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def docs_near_dup_components_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup as docs_near_dup_components but clustered by the
+    alternating large-star/small-star algorithm (O(log² n) rounds — the
+    chain-cluster-safe 100 TB path). Must produce the identical doc set
+    (components are algorithm-independent); rows-only like its twin."""
+    from medical_examination_data_etl_system_spark.operators.clustering import dedup_by_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return (
+        dedup_by_components(docs, pairs, algorithm="alternating")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard pairs within the same source block."""
     docs = load(spark, sf_dir, "documents")
@@ -380,6 +396,7 @@ QUERIES = {
     "docs_near_dup_minhash": QueryDef(docs_near_dup_minhash, None),
     "docs_near_dup_simhash": QueryDef(docs_near_dup_simhash, None),
     "docs_near_dup_components": QueryDef(docs_near_dup_components, None),
+    "docs_near_dup_components_alt": QueryDef(docs_near_dup_components_alt, None),
     "docs_ngram_jaccard": QueryDef(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
     "emb_cosine_topk": QueryDef(emb_cosine_topk, COSINE_TOPK_SQL),
     "emb_near_dup_cosine": QueryDef(emb_near_dup_cosine, EMB_NEAR_DUP_SQL),

@@ -94,3 +94,14 @@ def test_alternating_on_long_path_and_random_graph(spark):
     lp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
     alt = {r["node"]: r["comp"] for r in connected_components_alternating(pairs).collect()}
     assert alt == lp
+
+
+def test_components_query_twins_agree(spark):
+    """docs_near_dup_components and its alternating-CC twin must keep
+    the identical surviving doc set at sf0.001."""
+    from medical_examination_data_etl_system_spark.queries import all_queries
+
+    qs = all_queries()
+    a = sorted(r["doc_id"] for r in qs["docs_near_dup_components"].fn(spark, SF_DIR).collect())
+    b = sorted(r["doc_id"] for r in qs["docs_near_dup_components_alt"].fn(spark, SF_DIR).collect())
+    assert a == b and len(a) > 0
