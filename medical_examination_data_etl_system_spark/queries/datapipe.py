@@ -152,14 +152,16 @@ def docs_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_near_dup_components_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same dedup as docs_near_dup_components but clustered by the
-    alternating large-star/small-star algorithm (O(log² n) rounds — the
-    chain-cluster-safe 100 TB path). Must produce the identical doc set
-    (components are algorithm-independent); rows-only like its twin."""
+    """SimHash pairs clustered by the alternating large-star/small-star
+    algorithm (O(log² n) rounds — the chain-cluster-safe 100 TB path):
+    the other half of the pairs×clustering matrix vs
+    docs_near_dup_components (MinHash × label-prop). Algorithm
+    equivalence on identical pair sets is pinned separately in
+    tests/test_clustering.py; rows-only like its twin."""
     from medical_examination_data_etl_system_spark.operators.clustering import dedup_by_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    pairs = simhash_near_duplicates(docs).select("id_a", "id_b")
     return (
         dedup_by_components(docs, pairs, algorithm="alternating")
         .select("doc_id", "lang", "source")

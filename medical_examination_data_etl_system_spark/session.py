@@ -32,10 +32,12 @@ def get_spark(
         # Local mode runs executors inside the driver JVM, whose default
         # heap is 1 GiB — at 10× test volume that fails broadcast builds
         # and OOM-kills the JVM mid-query (observed in the sf1-equivalent
-        # scale check). Size it to the machine; a real cluster's
-        # spark-submit conf overrides this (it only applies at JVM
-        # launch).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # scale check). 16g clears that with mild startup cost — a much
+        # larger heap measurably stalls early queries while the JVM grows
+        # into it (48g cost ~30 s of first-query latency). A real
+        # cluster's spark-submit conf overrides this (it only applies at
+        # JVM launch).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

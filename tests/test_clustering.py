@@ -96,12 +96,17 @@ def test_alternating_on_long_path_and_random_graph(spark):
     assert alt == lp
 
 
-def test_components_query_twins_agree(spark):
-    """docs_near_dup_components and its alternating-CC twin must keep
-    the identical surviving doc set at sf0.001."""
-    from medical_examination_data_etl_system_spark.queries import all_queries
+def test_dedup_by_components_algorithms_agree_on_same_pairs(spark):
+    """Both clustering algorithms must keep the identical surviving doc
+    set when fed the SAME pair set (the queries themselves use different
+    pair sources, so equivalence is pinned here)."""
+    from medical_examination_data_etl_system_spark.operators.dedup import minhash_near_duplicates
 
-    qs = all_queries()
-    a = sorted(r["doc_id"] for r in qs["docs_near_dup_components"].fn(spark, SF_DIR).collect())
-    b = sorted(r["doc_id"] for r in qs["docs_near_dup_components_alt"].fn(spark, SF_DIR).collect())
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_near_duplicates(docs, threshold=0.5).localCheckpoint(eager=True)
+    a = sorted(r["doc_id"] for r in dedup_by_components(docs, pairs).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in dedup_by_components(docs, pairs, algorithm="alternating").collect()
+    )
     assert a == b and len(a) > 0
