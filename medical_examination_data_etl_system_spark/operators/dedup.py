@@ -321,12 +321,48 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Banding: 4×16-bit chunks — any pair within Hamming 3 shares at least
     one chunk (pigeonhole), so candidate generation is 4 equi-joins, not
-    an O(n²) scan."""
+    an O(n²) scan.
+
+    ``collapse_exact``: same duplicate pre-collapse as MinHash — exact
+    copies share the token multiset, hence the fingerprint, hence
+    hamming 0 intra-group and the representatives' hamming cross-group;
+    the chunk join's bucket² then scales with unique texts."""
+    if collapse_exact:
+        members = persist_tracked(_exact_dup_members(docs, text_col, id_col))
+        reps = docs.join(
+            members.filter(F.col("_id") == F.col("_rep")).select(F.col("_id").alias(id_col)),
+            id_col,
+        )
+        rep_pairs = simhash_near_duplicates(
+            reps, text_col, id_col, max_hamming, collapse_exact=False
+        )
+        ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+        mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "hamming",
+            )
+        )
+        x, y = members.alias("x"), members.alias("y")
+        intra = (
+            x.join(y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id")))
+            .select(
+                F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        return cross.unionByName(intra).orderBy("id_a", "id_b")
     fps = simhash_fingerprints(docs, text_col, id_col)
     chunks = fps.select(
         F.col(id_col).alias("_id"),

@@ -103,3 +103,19 @@ def test_ngram_collapse_exact_equivalence(spark):
     assert (1, 2) in pairs and (2, 3) in pairs      # intra-cluster
     assert (1, 4) not in pairs                       # cross-block never pairs
     assert (6, 7) not in pairs                       # sub-n-token docs never pair
+
+
+def test_simhash_collapse_exact_equivalence(spark):
+    from medical_examination_data_etl_system_spark.operators.dedup import simhash_near_duplicates
+
+    base = "many common words shared across documents with small edits"
+    rows = [(i, base, "s") for i in range(1, 4)]            # exact cluster
+    rows += [(10, base.replace("small", "tiny"), "s")]       # near-dup
+    rows += [(20, "entirely different text goes here now", "s"), (21, "", "s"), (22, "", "s")]
+    docs = _docs(spark, rows)
+    fast = simhash_near_duplicates(docs).collect()
+    direct = simhash_near_duplicates(docs, collapse_exact=False).collect()
+    key = lambda rs: sorted((r["id_a"], r["id_b"], r["hamming"]) for r in rs)  # noqa: E731
+    assert key(fast) == key(direct)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in fast}
+    assert pairs[(1, 2)] == 0 and pairs[(21, 22)] == 0
