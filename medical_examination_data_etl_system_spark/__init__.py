@@ -12,9 +12,11 @@ Layout:
     schemas      explicit StructType contracts (input, SUBSET, dims)
     pipeline/    the medical-report ETL: ingest -> enrich -> clean ->
                  render (reference parity, mock-LLM deterministic)
-    operators/   dedup, similarity, text analysis, multimodal
+    operators/   dedup, similarity, text analysis, multimodal,
+                 clustering, skew, bucketing, cache scoping
     queries/     oracle-checked query battery over /root/testdata
-    sources/     readers (parquet/csv/json; mongo gated)
+                 (sources: parquet via queries.load, JSONL via
+                 pipeline.ingest, Mongo dims via pipeline.dims)
     streaming/   Structured Streaming variants of event-time ops
 """
 
