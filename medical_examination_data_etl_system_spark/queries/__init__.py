@@ -95,6 +95,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_near_dup_srp",
     "join_bucketed_colocated",
     "docs_near_dup_components_alt",
+    "unpivot_status_priority",
     # round-1 hash-fails, fixed
     "q9_product_profit",
     "q12_late_lines",

@@ -487,6 +487,36 @@ ORDER BY o_orderstatus
 """
 
 
+def unpivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivoted status×priority matrix back to long
+    form — ``DataFrame.unpivot`` (wide→long is the other half of the
+    reshape surface; the oracle is the direct long-form aggregate)."""
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["o_orderstatus"],
+            values=["p1", "p2", "p3", "p4", "p5"],
+            variableColumnName="prio",
+            valueColumnName="n_orders",
+        )
+        .withColumn("prio", F.substring("prio", 2, 1))
+        .orderBy("o_orderstatus", "prio")
+    )
+
+
+UNPIVOT_SQL = """
+WITH prios AS (SELECT UNNEST(['1','2','3','4','5']) AS prio),
+base AS (SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS prio FROM orders)
+SELECT s.o_orderstatus AS o_orderstatus, p.prio AS prio,
+       CAST(count(b.prio) AS BIGINT) AS n_orders
+FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+CROSS JOIN prios p
+LEFT JOIN base b ON b.o_orderstatus = s.o_orderstatus AND b.prio = p.prio
+GROUP BY s.o_orderstatus, p.prio
+ORDER BY s.o_orderstatus, p.prio
+"""
+
+
 QUERIES = {
     "join_inner_enrich": QueryDef(join_inner_enrich, JOIN_INNER_SQL),
     "join_semi_customers_with_orders": QueryDef(join_semi_customers_with_orders, JOIN_SEMI_SQL),
@@ -499,6 +529,7 @@ QUERIES = {
     "agg_approx_distinct_parts": QueryDef(agg_approx_distinct_parts, None),
     "agg_percentiles_by_flag": QueryDef(agg_percentiles_by_flag, PERCENTILES_SQL),
     "pivot_status_by_priority": QueryDef(pivot_status_by_priority, PIVOT_SQL),
+    "unpivot_status_priority": QueryDef(unpivot_status_priority, UNPIVOT_SQL),
     "window_running_total": QueryDef(window_running_total, WINDOW_RUNNING_SQL),
     "window_topk_orders_per_customer": QueryDef(window_topk_orders_per_customer, WINDOW_TOPK_SQL),
     "window_order_gaps": QueryDef(window_order_gaps, WINDOW_LAG_SQL),
