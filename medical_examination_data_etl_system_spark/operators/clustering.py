@@ -138,13 +138,16 @@ def connected_components_alternating(
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
 
     def _edge_digest(e: DataFrame):
-        # Order-insensitive multiset digest of the CANONICAL edge set.
-        canon = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
-        # pmod before summing: raw xxhash64 longs overflow an ANSI-mode
-        # sum; ~2^63/2^30 ≈ 9e9 edges headroom after the mod.
-        row = canon.agg(
+        # Order-insensitive multiset digest. No canonicalize/distinct
+        # pass needed: every _star output row already has u > v (m is a
+        # neighborhood minimum) and _star ends in .distinct(), so the
+        # digest is one cheap aggregation over the checkpointed edges —
+        # not an extra shuffle per round. pmod before summing: raw
+        # xxhash64 longs overflow an ANSI-mode sum; ~2^63/2^30 ≈ 9e9
+        # edges headroom after the mod.
+        row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_073_741_789))).alias("h"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_073_741_789))).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 
