@@ -441,12 +441,33 @@ def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle mirrors the Spark rank-and-interpolate formula EXPRESSION
+# FOR EXPRESSION (not quantile_cont): identical double arithmetic on
+# both engines means the value-hash can't flip at a half-cent rounding
+# boundary (the q9 failure class) from a last-ulp interpolation
+# difference.
 PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+       round(
+         max(CASE WHEN rn = floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) THEN l_extendedprice END)
+         + max((n - 1) * CAST(0.5 AS DOUBLE) + 1 - floor((n - 1) * CAST(0.5 AS DOUBLE) + 1)) *
+           (coalesce(max(CASE WHEN rn = floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) + 1 THEN l_extendedprice END),
+                     max(CASE WHEN rn = floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) THEN l_extendedprice END))
+            - max(CASE WHEN rn = floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) THEN l_extendedprice END)), 2) AS median_price,
+       round(
+         max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN l_extendedprice END)
+         + max((n - 1) * CAST(0.9 AS DOUBLE) + 1 - floor((n - 1) * CAST(0.9 AS DOUBLE) + 1)) *
+           (coalesce(max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) + 1 THEN l_extendedprice END),
+                     max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN l_extendedprice END))
+            - max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN l_extendedprice END)), 2) AS p90_price,
        round(avg(l_extendedprice), 2) AS avg_price
-FROM lineitem
+FROM ranked
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
