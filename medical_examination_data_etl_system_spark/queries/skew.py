@@ -47,11 +47,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cohort", F.concat(F.lit("c"), (F.col("user_id") % 10).cast("string")))
     )
     joined = salted_join(events, cohorts, on=["user_id"], num_salts=8, how="inner")
+    # Exact cents (q22/q9 pattern): cohort groups sum thousands of
+    # doubles, where engine/partition summation order can flip
+    # round(sum, 2) at a half-cent boundary.
     return (
         joined.groupBy("cohort")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100, 0)) / 100).alias("total_value"),
         )
         .orderBy("cohort")
     )
@@ -60,7 +63,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_JOIN_SQL = """
 SELECT 'c' || CAST(user_id % 10 AS VARCHAR) AS cohort,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       sum(round(value * 100, 0)) / 100 AS total_value
 FROM events
 JOIN (SELECT c_custkey AS uid FROM customer) ON user_id = uid
 GROUP BY cohort
