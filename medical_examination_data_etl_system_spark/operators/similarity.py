@@ -298,8 +298,17 @@ _PAIR_SCHEMA = T.StructType(
 
 
 def _gemm_pairs_factory(threshold: float):
-    """applyInPandas kernel: exact cosine GEMM between the two sides of
-    a block-pair group, emitting only above-threshold (id_a<id_b) pairs.
+    """applyInPandas kernel: cosine GEMM between the two sides of a
+    block-pair group, emitting (id_a<id_b) CANDIDATE pairs at
+    ``threshold − 1e-4`` (margin covers the final rounding half-step).
+
+    The kernel PRUNES; it does not produce the reported value. BLAS
+    summation order is blocked/pairwise, so its float64 cosine differs
+    from a sequential fold in the last ulp — but the driver's gate
+    value-hashes results exactly, so the REPORTED cos_sim is recomputed
+    by ``_finalize_pairs`` with the same expression tree the DuckDB
+    oracle runs (found empirically: DuckDB's list_cosine_similarity even
+    computes in float32, 0.2702 vs 0.2702000141…).
 
     The group arrives as ROWS (one vector per row, ``_is_a`` marking the
     side), never as a single packed cell — no 2 GB column-value limit,
@@ -326,8 +335,8 @@ def _gemm_pairs_factory(threshold: float):
         vb = np.array([list(v) for v in side_b["_v"]], dtype=np.float64)
         na = va / np.linalg.norm(va, axis=1, keepdims=True)
         nb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
-        cos = np.round(na @ nb.T, 4)
-        hit = cos >= threshold
+        cos = na @ nb.T
+        hit = cos >= threshold - 1e-4
         if diagonal:
             # Both orientations (and self-pairs) are in the matrix —
             # keep the id_a < id_b triangle.
@@ -338,6 +347,36 @@ def _gemm_pairs_factory(threshold: float):
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[ia, ib]})
 
     return _pairs
+
+
+def _finalize_pairs(
+    emb: DataFrame, cand: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Recompute each candidate pair's cosine with the sequential-fold
+    expression tree (per-vector norms precomputed, dot / (nrm_a·nrm_b))
+    — bit-identical to the DuckDB oracle's mirrored formula — and apply
+    the rounded threshold. One JVM fold per pair on the pruned set."""
+    e = emb.select(
+        F.col(id_col).alias("_fid"),
+        F.col(vec_col).alias("_fv"),
+        l2_norm(F.col(vec_col)).alias("_fn"),
+    )
+    return (
+        cand.join(
+            e.select(F.col("_fid").alias("id_a"), F.col("_fv").alias("_va"), F.col("_fn").alias("_na")),
+            "id_a",
+        )
+        .join(
+            e.select(F.col("_fid").alias("id_b"), F.col("_fv").alias("_vb"), F.col("_fn").alias("_nb")),
+            "id_b",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 def embedding_near_duplicates(
@@ -387,11 +426,12 @@ def embedding_near_duplicates(
         F.greatest("_blk", "_j").alias("_pb"),
         (F.col("_blk") == F.least("_blk", "_j")).alias("_is_a"),
     )
-    return (
+    cand = (
         expanded.groupBy("_pa", "_pb")
         .applyInPandas(_gemm_pairs_factory(threshold), schema=_PAIR_SCHEMA)
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b")
     )
+    return _finalize_pairs(emb, cand, threshold, id_col, vec_col).orderBy("id_a", "id_b")
 
 
 def embedding_near_duplicates_srp(
@@ -433,12 +473,13 @@ def embedding_near_duplicates_srp(
         "_v",
         (F.col("_table").cast("long") * (1 << num_planes) + F.col("_bucket")).alias("_pa"),
     ).select("_id", "_v", "_pa", F.col("_pa").alias("_pb"), F.lit(True).alias("_is_a"))
-    return (
+    cand = (
         tagged.groupBy("_pa", "_pb")
         .applyInPandas(_gemm_pairs_factory(threshold), schema=_PAIR_SCHEMA)
-        .distinct()  # a pair verified in several tables is one result row
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b")
+        .distinct()  # a pair found in several tables is one candidate
     )
+    return _finalize_pairs(emb, cand, threshold, id_col, vec_col).orderBy("id_a", "id_b")
 
 
 def lsh_bucketed_topk(

@@ -206,12 +206,25 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+# Mirrors the Spark expression tree exactly (sequential-fold dot in
+# DOUBLE, per-vector norms, dot/(na·nb)) — NOT list_cosine_similarity,
+# which computes in float32 (the array's type) and lands e.g.
+# 0.2702000141 where the double fold lands 0.2702; the driver's exact
+# value-hash distinguishes them.
 COSINE_TOPK_SQL = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id % 100 = 0),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qv, e.embedding) AS sim
-  FROM embeddings e CROSS JOIN q
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (q.qn * e.nrm) AS sim
+  FROM e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 ),
 ranked AS (
@@ -242,11 +255,24 @@ def emb_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates_srp(emb, threshold=0.4)
 
 
+# Same mirrored-formula rationale as COSINE_TOPK_SQL.
 EMB_NEAR_DUP_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm), 4) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim
+FROM scored
+WHERE cos_sim >= 0.4
 ORDER BY id_a, id_b
 """
 

@@ -3,8 +3,12 @@
 in DuckDB; row counts, column names, and values must match.
 
 Value comparison: columns sorted by name, rows sorted by all columns,
-floats compared to 1e-6 relative tolerance (queries round explicitly so
-any real divergence shows up far above this).
+floats compared EXACTLY — the driver's gate value-hashes results, so a
+last-ulp float divergence or an int64-vs-float64 dtype artifact that a
+tolerance would forgive IS a driver hash-fail (r1 lost q12 and
+events_json_extract to exactly that). Queries must therefore produce
+bit-identical numerics on both engines (exact-cents sums, mirrored
+formula trees, BIGINT casts in oracles).
 """
 
 from __future__ import annotations
@@ -58,14 +62,18 @@ def _assert_frames_equal(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: 
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for col in a.columns:
         av, bv = a[col], b[col]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        fa, fb = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        assert fa == fb, (
+            f"{name}.{col}: dtype kind mismatch {av.dtype} (spark) vs {bv.dtype} "
+            f"(duckdb) — the driver value-hash distinguishes int from float "
+            f"(r1 q12 class); CAST the oracle side"
+        )
+        if fa or fb:
             for i, (x, y) in enumerate(zip(av, bv)):
                 ok = (pd.isna(x) and pd.isna(y)) or (
-                    not pd.isna(x)
-                    and not pd.isna(y)
-                    and math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-6)
+                    not pd.isna(x) and not pd.isna(y) and float(x) == float(y)
                 )
-                assert ok, f"{name}.{col}[{i}]: {x!r} != {y!r}"
+                assert ok, f"{name}.{col}[{i}]: {x!r} != {y!r} (exact compare)"
         else:
             mismatch = av.astype(str) != bv.astype(str)
             if mismatch.any():
