@@ -96,6 +96,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_bucketed_colocated",
     "docs_near_dup_components_alt",
     "unpivot_status_priority",
+    "docs_curation_pipeline",
     # round-1 hash-fails, fixed
     "q9_product_profit",
     "q12_late_lines",

@@ -128,6 +128,82 @@ ORDER BY doc_id
 """
 
 
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pass, composed from the
+    battery's own operators: quality-score gate → language filter →
+    content-exact dedup (keep lowest id) → curated corpus stats. The
+    composition is the point — each stage is a map/window over the
+    previous one, no collect between stages."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        quality_score(text).alias("quality"),
+        lang_id(text).alias("lang_pred"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.3) & (F.col("lang_pred") == "en"))
+    deduped = dedup_documents_exact(kept)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+            # exact mean: quality is round(.,4) so ×10000 is integral —
+            # the sum is order-independent, the division identical on
+            # both engines (float-exactness discipline).
+            (F.sum(F.round(F.col("quality") * 10000, 0)) / F.count(F.lit(1)) / 10000).alias(
+                "avg_quality"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         round(least((CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END) / 100.0, 1.0) *
+               (1.0 - abs((CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+                           THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                tk -> list_contains(['the','a','of','and','to','in','is','for','on','with'], lower(tk))))
+                                / CAST((CASE WHEN trim(text) = '' THEN 0
+                                        ELSE len(string_split_regex(trim(text), '\\s+')) END) AS DOUBLE)
+                           ELSE 0.0 END) - 0.3)), 4) AS quality,
+         CASE WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+              WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+              WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+              WHEN regexp_matches(text, '[àâçéèêëîïôùûüÿœæ]') THEN 'fr'
+              WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+              WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+              ELSE 'en' END AS lang_pred
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.3 AND lang_pred = 'en'),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+    FROM kept)
+  WHERE rn = 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       sum(round(quality * 10000, 0)) / count(*) / 10000 AS avg_quality
+FROM deduped
+GROUP BY source
+ORDER BY source
+"""
+
+
 def docs_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (threshold 0.5). Hash-based → rows-only."""
     docs = load(spark, sf_dir, "documents")
@@ -420,6 +496,7 @@ ORDER BY media_id
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "text_quality_langid": QueryDef(text_quality_langid, QUALITY_SQL),
+    "docs_curation_pipeline": QueryDef(docs_curation_pipeline, CURATION_SQL),
     "docs_dedup_exact": QueryDef(docs_dedup_exact, DEDUP_EXACT_SQL),
     "docs_near_dup_minhash": QueryDef(docs_near_dup_minhash, None),
     "docs_near_dup_simhash": QueryDef(docs_near_dup_simhash, None),
