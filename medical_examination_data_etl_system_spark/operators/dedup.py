@@ -138,12 +138,27 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> list[Colu
     return [_sig(i) for i in range(num_hashes)]
 
 
-def _exact_dup_members(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(_id, _rep): every doc mapped to the min-id representative of its
-    exact-content group (normalized-text fingerprint)."""
-    return docs.select(
-        F.col(id_col).alias("_id"), content_fingerprint(F.col(text_col)).alias("_fp")
-    ).select("_id", F.min("_id").over(W.partitionBy("_fp")).alias("_rep"))
+def _collapse_docs(
+    docs: DataFrame, text_col: str, id_col: str, extra_group_cols: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(members, reps) for exact-content collapse in ONE window pass.
+
+    members: (_id, _rep) — every doc mapped to the min-id representative
+    of its (fingerprint[, extra_group_cols]) group. reps: the
+    representative docs with ALL original columns, filtered from the
+    SAME windowed frame (persisted) — no join back onto docs, which
+    cost a second full-docs shuffle. The window's exchange on the
+    fingerprint is the one unavoidable shuffle of any exact-dedup pass.
+    """
+    windowed = persist_tracked(
+        docs.withColumn("_fp_", content_fingerprint(F.col(text_col))).withColumn(
+            "_rep",
+            F.min(id_col).over(W.partitionBy("_fp_", *(extra_group_cols or []))),
+        )
+    )
+    members = windowed.select(F.col(id_col).alias("_id"), "_rep")
+    reps = windowed.filter(F.col(id_col) == F.col("_rep")).drop("_fp_", "_rep")
+    return members, reps
 
 
 def minhash_near_duplicates(
@@ -174,11 +189,7 @@ def minhash_near_duplicates(
     output-bound (three array-free joins).
     """
     if collapse_exact:
-        members = persist_tracked(_exact_dup_members(docs, text_col, id_col))
-        reps = docs.join(
-            members.filter(F.col("_id") == F.col("_rep")).select(F.col("_id").alias(id_col)),
-            id_col,
-        )
+        members, reps = _collapse_docs(docs, text_col, id_col)
         rep_pairs = minhash_near_duplicates(
             reps, text_col, id_col, shingle_k, num_hashes, bands, threshold,
             collapse_exact=False,
@@ -334,11 +345,7 @@ def simhash_near_duplicates(
     hamming 0 intra-group and the representatives' hamming cross-group;
     the chunk join's bucket² then scales with unique texts."""
     if collapse_exact:
-        members = persist_tracked(_exact_dup_members(docs, text_col, id_col))
-        reps = docs.join(
-            members.filter(F.col("_id") == F.col("_rep")).select(F.col("_id").alias(id_col)),
-            id_col,
-        )
+        members, reps = _collapse_docs(docs, text_col, id_col)
         rep_pairs = simhash_near_duplicates(
             reps, text_col, id_col, max_hamming, collapse_exact=False
         )
@@ -438,20 +445,10 @@ def ngram_jaccard_pairs(
     the representatives' value). The inverted index's Σdf² then scales
     with unique texts per block, not raw members."""
     if collapse_exact:
-        blk = F.col(block_col) if block_col else F.lit("all")
-        members = persist_tracked(
-            docs.select(
-                F.col(id_col).alias("_id"),
-                blk.alias("_mblk"),
-                content_fingerprint(F.col(text_col)).alias("_fp"),
-            ).select(
-                "_id", "_mblk",
-                F.min("_id").over(W.partitionBy("_mblk", "_fp")).alias("_rep"),
-            )
-        )
-        reps = docs.join(
-            members.filter(F.col("_id") == F.col("_rep")).select(F.col("_id").alias(id_col)),
-            id_col,
+        # Group key includes the block: only same-block pairs are ever
+        # compared, so cross-block exact dups must NOT collapse.
+        members, reps = _collapse_docs(
+            docs, text_col, id_col, extra_group_cols=[block_col] if block_col else None
         )
         rep_pairs = ngram_jaccard_pairs(
             reps, text_col, id_col, block_col, n, threshold, max_df, collapse_exact=False
