@@ -45,33 +45,13 @@ def dedup_documents_exact(docs: DataFrame, text_col: str = "text", id_col: str =
 
 # ---------------------------------------------------------------------------
 # Character shingles + MinHash signatures (deterministic, hash-based)
+#
+# History note: earlier revisions built per-doc shingle ARRAYS with
+# higher-order transform() lambdas — correct, but HOF lambdas are
+# CodegenFallback (interpreted per element) and a 2-param lambda
+# (`lambda h, i=i:`) silently becomes the (element, index) form. The
+# exploded-row formulation below replaced them wholesale.
 # ---------------------------------------------------------------------------
-
-
-def char_shingles(norm: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of a normalized-text column.
-
-    ``norm`` MUST be a materialized attribute (a column produced by a
-    prior ``select``), not an inline expression: an expression is
-    substituted into the ``transform`` lambda and re-evaluated once per
-    shingle position — for ``normalized_text``'s regex that turns an
-    O(len) scan into O(len·len) regex calls per document."""
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k))))
-
-
-def shingled_documents(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
-) -> DataFrame:
-    """(_id, _sh, _nsh): distinct k-shingle array + its size per doc.
-
-    Two projections so the normalization regex runs once per document
-    (see ``char_shingles``)."""
-    return (
-        docs.select(F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm"))
-        .select("_id", char_shingles(F.col("_norm"), k).alias("_sh"))
-        .withColumn("_nsh", F.size("_sh"))
-    )
 
 
 def shingle_hash_rows(
@@ -94,48 +74,6 @@ def shingle_hash_rows(
     return staged.select(
         "_id", "_norm", F.explode(F.sequence(F.lit(1), n)).alias("_pos")
     ).select("_id", F.xxhash64(F.col("_norm").substr(F.col("_pos"), F.lit(k))).alias("_h"))
-
-
-def hashed_shingled_documents(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
-) -> DataFrame:
-    """(_id, _hsh, _nsh): per-doc distinct k-shingles as xxhash64 longs.
-
-    The MinHash pipeline's working representation: every downstream pass
-    (signature family, exact-overlap verification) touches longs, never
-    shingle strings. 64-bit collisions are negligible at any realistic
-    corpus (~1e-9 at 10⁵ shingles/doc). One shuffle (partial collect_set
-    map-side; documents are contiguous in scan partitions, so the map
-    side collapses nearly all duplicates)."""
-    return (
-        shingle_hash_rows(docs, text_col, id_col, k)
-        .groupBy("_id")
-        .agg(F.collect_set("_h").alias("_hsh"))
-        .withColumn("_nsh", F.size("_hsh"))
-    )
-
-
-def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> list[Column]:
-    """num_hashes column expressions over a pre-hashed shingle array
-    (``array<long>``), each = min over shingles of a seeded xxhash64.
-
-    Hashing the 64-bit shingle hash (fixed-width input, seeded by the
-    hash index) instead of re-hashing the shingle STRING per index cuts
-    ~num_hashes× string traversals+allocations down to one string hash
-    per shingle plus cheap long re-hashes. Deterministic across runs and
-    partitionings."""
-    # Single-parameter lambda via a def scope — NEVER bind the hash
-    # index as a second lambda default (`lambda h, i=i:`): PySpark
-    # dispatches HOF lambdas on PARAMETER COUNT, so a 2-param lambda is
-    # the (element, index) form and the default is silently replaced by
-    # the array-position column — all num_hashes signatures collapse to
-    # the same index-keyed hash (found empirically; it cost LSH most of
-    # its recall while staying invisible to correctness tests because
-    # verification is exact).
-    def _sig(i: int) -> Column:
-        return F.array_min(F.transform(shingle_hashes, lambda h: F.xxhash64(F.lit(i), h)))
-
-    return [_sig(i) for i in range(num_hashes)]
 
 
 def _collapse_docs(
@@ -400,27 +338,6 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, oracle-expressible)
 # ---------------------------------------------------------------------------
-
-
-def word_ngrams(toks: Column, n: int = 2) -> Column:
-    """Distinct word n-grams (joined by single space) from a token-array
-    column. Like ``char_shingles``, ``toks`` must be a materialized
-    attribute — an inline split/regex expression would re-run per n-gram
-    position inside the lambda."""
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    # Guarded sequence: sequence's default step is -1 when start > stop,
-    # so an unguarded sequence(1, 0) yields [1, 0] and slice(toks, 0, n)
-    # throws (INVALID_PARAMETER_VALUE.START) — and an explicit +1 step
-    # doesn't help (Spark raises "Illegal sequence boundaries: 1 to 0
-    # by 1" instead of returning []). CaseWhen evaluates lazily, so
-    # short/empty docs take the empty-array branch, matching the SQL
-    # oracle's range(1, greatest(len-1,0)+1) behavior.
-    positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(positions, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
 
 
 def ngram_jaccard_pairs(
