@@ -4,11 +4,18 @@ n-gram Jaccard.
 100 TB posture:
 - exact dedup: one hash-shuffle on the fingerprint; map-side the
   fingerprint is computed inside the scan stage (codegen).
-- MinHash LSH: signatures are a map-only stage (higher-order functions
-  over the shingle array, JVM-side, no Python); candidate generation
-  shuffles only (doc_id, band_hash) pairs — tiny vs the corpus; exact
-  Jaccard verification joins shingle arrays back by doc_id (hash join on
-  a much-reduced candidate set). No O(n²) stage anywhere.
+- exact-content PRE-COLLAPSE before every near-dup operator
+  (collapse_exact, default on): quadratic candidate stages scale with
+  unique texts; member pairs are expanded back afterward, byte-identical.
+- MinHash LSH: shingle hashing and all signature mins run as exploded
+  rows through codegen aggregations (no HOF lambdas, no collect_set —
+  one TypedImperativeAggregate de-codegens the whole aggregation);
+  candidate generation shuffles only (doc_id, band_hash) longs; exact
+  Jaccard verification is an inverted-index count join over distinct
+  (doc, shingle-hash) rows. No O(n²) stage anywhere. Shingle k=9
+  (Broder-style): 5-char shingles of natural text are so common that
+  moderate-similarity pairs flood the banding (measured 236k candidates
+  → 754 at sf0.1 for the SAME ≥0.5 output pairs).
 - SimHash: one shuffle (explode tokens → groupBy doc) to build 64-bit
   fingerprints; banding on 16-bit chunks finds Hamming≤3 candidates by
   pigeonhole; verification is bit_count(xor) — pure JVM.
@@ -55,7 +62,7 @@ def dedup_documents_exact(docs: DataFrame, text_col: str = "text", id_col: str =
 
 
 def shingle_hash_rows(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 9
 ) -> DataFrame:
     """(_id, _h): one row per character-shingle position, hash as long.
 
@@ -103,7 +110,7 @@ def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_k: int = 5,
+    shingle_k: int = 9,
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
@@ -163,20 +170,23 @@ def minhash_near_duplicates(
     # Signature values are identical: min over duplicated rows == min
     # over the distinct set.
     #
-    # Persisted (tracked — release via operators.cache): this frame
-    # feeds both self-join sides AND both verification joins — without
-    # a materialization barrier Spark recomputes shingling+hashing once
-    # per consumer (4×). MinHash pipelines conventionally persist
-    # signatures; MEMORY_AND_DISK spills rather than OOMs at scale.
+    # NO collect_set anywhere: a single TypedImperativeAggregate in an
+    # aggregation forces the WHOLE thing onto the interpreted
+    # ObjectHashAggregate path — all num_hashes min() updates included.
+    # The signature aggregation stays pure min()s (codegen HashAggregate
+    # with map-side partials), and verification works on the exploded
+    # distinct (id, shingle-hash) ROWS — an inverted-index count join,
+    # not array_intersect over packed arrays.
+    #
+    # Persisted (tracked — release via operators.cache): the shingle
+    # rows feed the signature agg AND the distinct index; the distinct
+    # index feeds the size agg and both verification joins.
+    rows_df = persist_tracked(shingle_hash_rows(docs, text_col, id_col, shingle_k))
+    distinct_rows = persist_tracked(rows_df.distinct())
     sig_aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_s{i}") for i in range(num_hashes)
     ]
-    shingled = persist_tracked(
-        shingle_hash_rows(docs, text_col, id_col, shingle_k)
-        .groupBy("_id")
-        .agg(F.collect_set("_h").alias("_hsh"), *sig_aggs)
-        .withColumn("_nsh", F.size("_hsh"))
-    )
+    shingled = rows_df.groupBy("_id").agg(*sig_aggs)
     sigs = [F.col(f"_s{i}") for i in range(num_hashes)]
     # Candidate generation moves ONLY (doc_id, band_idx, band_hash) — the
     # shingle arrays never enter the LSH shuffle. At 100 TB the exploded
@@ -210,19 +220,28 @@ def minhash_near_duplicates(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    # Exact-Jaccard verification: join shingles back onto the (tiny)
-    # verified-candidate set — two hash joins keyed on doc_id. Only the
-    # intersection is computed; |A∪B| = |A| + |B| − |A∩B| from the
-    # pre-computed sizes (halves the per-pair array work).
-    verified = candidates.join(
-        shingled.select(F.col("_id").alias("id_a"), F.col("_hsh").alias("sh_a"), F.col("_nsh").alias("n_a")),
-        "id_a",
-    ).join(
-        shingled.select(F.col("_id").alias("id_b"), F.col("_hsh").alias("sh_b"), F.col("_nsh").alias("n_b")),
-        "id_b",
+    # Exact-Jaccard verification, inverted-index style: expand each
+    # candidate pair by side A's distinct shingle rows, equi-join side
+    # B's rows on (doc, shingle-hash) — every match IS one intersection
+    # element — and count per pair. All codegen; the per-pair work is
+    # |A| index rows + a hash probe each, vs interpreted array_intersect
+    # over packed arrays. |A∪B| = n_a + n_b − |A∩B| from per-doc sizes.
+    # A candidate pair with an empty intersection (possible only via
+    # seeded-hash coincidence) simply drops out — jaccard 0 was filtered
+    # anyway.
+    sizes = distinct_rows.groupBy("_id").agg(F.count(F.lit(1)).alias("_nsh"))
+    ra = distinct_rows.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"))
+    rb = distinct_rows.select(F.col("_id").alias("_rb_id"), F.col("_h").alias("_hb"))
+    inter_counts = (
+        candidates.join(ra, "id_a")
+        .join(rb, (F.col("id_b") == F.col("_rb_id")) & (F.col("_ha") == F.col("_hb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 4)
+    verified = inter_counts.join(
+        sizes.select(F.col("_id").alias("id_a"), F.col("_nsh").alias("n_a")), "id_a"
+    ).join(sizes.select(F.col("_id").alias("id_b"), F.col("_nsh").alias("n_b")), "id_b")
+    jaccard = F.round(F.col("_inter") / (F.col("n_a") + F.col("n_b") - F.col("_inter")), 4)
     return (
         verified.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)

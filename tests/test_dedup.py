@@ -48,7 +48,7 @@ def test_cache_scope_releases_operator_persists(spark):
     docs = _docs(spark, [(i, f"the quick brown fox {i} jumps over", "s") for i in range(20)])
     with cache.cache_scope() as frames:
         minhash_near_duplicates(docs, threshold=0.9).collect()
-        assert len(frames) == 3  # exact-dup members + shingled + banded
+        assert len(frames) == 4  # collapse window + shingle rows + distinct index + bands
         assert all(f.storageLevel != StorageLevel.NONE for f in frames)
     assert all(f.storageLevel == StorageLevel.NONE for f in frames)
 
@@ -57,7 +57,7 @@ def test_unscoped_persists_are_tracked_and_releasable(spark):
     docs = _docs(spark, [(i, f"a b c d e f {i}", "s") for i in range(5)])
     before = len(cache.tracked_frames())
     minhash_near_duplicates(docs, threshold=0.9).collect()
-    assert len(cache.tracked_frames()) == before + 3
+    assert len(cache.tracked_frames()) == before + 4
     cache.release_all()
     assert cache.tracked_frames() == []
 
