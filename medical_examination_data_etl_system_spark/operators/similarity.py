@@ -128,29 +128,69 @@ def ivf_topk(
 
     base = lambda df: df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))  # noqa: E731
     c_assigned = base(corpus).mapInPandas(_assign_factory(1), schema=assign_schema)
-    q_assigned = (
-        base(queries)
-        .mapInPandas(_assign_factory(nprobe), schema=assign_schema)
-        .select(
-            F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "_bucket"
-        )
+    q_assigned = base(queries).mapInPandas(_assign_factory(nprobe), schema=assign_schema)
+
+    # Per-bucket GEMM re-rank: corpus and query rows are UNIONed
+    # (side-tagged) and grouped by bucket, so each vector crosses the
+    # Arrow boundary ONCE per probe — a pair-expanded join would ship
+    # |queries|·nprobe·n/C full vector PAIRS (measured 2× slower than
+    # even the interpreted per-pair fold at 10×). Inside a bucket one
+    # BLAS matmul scores every (query, list-member) pair and emits only
+    # each query's bucket-local top-k (sorted by id first, so stable
+    # argsort breaks cosine ties on the smaller neighbor id); the global
+    # top-k over ≤ nprobe·k bucket-local rows is a cheap window.
+    tagged = c_assigned.withColumn("_is_q", F.lit(False)).unionByName(
+        q_assigned.withColumn("_is_q", F.lit(True))
+    )
+    topk_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
     )
 
-    scored = (
-        c_assigned.join(F.broadcast(q_assigned), "_bucket")
-        .filter(F.col("_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_v")))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("_id").alias("neighbor_id"),
-            F.round("cos_sim", 4).alias("cos_sim"),
-            "rank",
+    def _bucket_topk(key, pdf):
+        import pandas as pd
+
+        qs = pdf[pdf["_is_q"]]
+        cs = pdf[~pdf["_is_q"]]
+        if not len(qs) or not len(cs):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        # Sort the list by id so ties at the k-boundary keep the
+        # smaller neighbor id under a stable argsort.
+        cs = cs.sort_values("_id")
+        cids = cs["_id"].to_numpy(dtype=np.int64)
+        qids = qs["_id"].to_numpy(dtype=np.int64)
+        cm = np.stack(cs["_v"].to_numpy()).astype(np.float64)
+        qm = np.stack(qs["_v"].to_numpy()).astype(np.float64)
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cos = qm @ cm.T
+        cos[qids[:, None] == cids[None, :]] = -np.inf  # self-matches
+        take = min(k, cos.shape[1])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(len(qids)), take)
+        cols = order.ravel()
+        keep = np.isfinite(cos[rows, cols])
+        return pd.DataFrame(
+            {
+                "query_id": qids[rows[keep]],
+                "neighbor_id": cids[cols[keep]],
+                "cos_sim": cos[rows[keep], cols[keep]],
+            }
         )
+
+    bucket_topk = tagged.groupBy("_bucket").applyInPandas(_bucket_topk, schema=topk_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        bucket_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
         .orderBy("query_id", "rank")
     )
 
