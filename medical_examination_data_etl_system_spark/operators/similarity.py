@@ -37,6 +37,61 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("neighbor_id", T.LongType(), False),
+        T.StructField("cos_sim", T.DoubleType(), True),
+    ]
+)
+
+
+def _grouped_topk_kernel(k: int):
+    """applyInPandas kernel shared by the IVF and LSH re-ranks: one BLAS
+    matmul scores every (query, list-member) pair inside a bucket group
+    (rows side-tagged ``_is_q``), emitting each query's bucket-local
+    top-k. Vectors cross the Arrow boundary once per probe — never as
+    pair-expanded join rows (measured slower than even the interpreted
+    per-pair fold at 10×, the transfer dominates). The list is id-sorted
+    so the stable argsort breaks cosine ties on the smaller neighbor id,
+    matching the exact ranker's ordering."""
+    import numpy as np
+    import pandas as pd
+
+    def _bucket_topk(key, pdf):
+        qs = pdf[pdf["_is_q"]]
+        cs = pdf[~pdf["_is_q"]]
+        if not len(qs) or not len(cs):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        cs = cs.sort_values("_id")
+        cids = cs["_id"].to_numpy(dtype=np.int64)
+        qids = qs["_id"].to_numpy(dtype=np.int64)
+        cm = np.stack(cs["_v"].to_numpy()).astype(np.float64)
+        qm = np.stack(qs["_v"].to_numpy()).astype(np.float64)
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cos = qm @ cm.T
+        cos[qids[:, None] == cids[None, :]] = -np.inf  # self-matches
+        take = min(k, cos.shape[1])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(len(qids)), take)
+        cols = order.ravel()
+        keep = np.isfinite(cos[rows, cols])
+        return pd.DataFrame(
+            {
+                "query_id": qids[rows[keep]],
+                "neighbor_id": cids[cols[keep]],
+                "cos_sim": cos[rows[keep], cols[keep]],
+            }
+        )
+
+    return _bucket_topk
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,50 +197,9 @@ def ivf_topk(
     tagged = c_assigned.withColumn("_is_q", F.lit(False)).unionByName(
         q_assigned.withColumn("_is_q", F.lit(True))
     )
-    topk_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("neighbor_id", T.LongType(), False),
-            T.StructField("cos_sim", T.DoubleType(), True),
-        ]
+    bucket_topk = tagged.groupBy("_bucket").applyInPandas(
+        _grouped_topk_kernel(k), schema=_TOPK_SCHEMA
     )
-
-    def _bucket_topk(key, pdf):
-        import pandas as pd
-
-        qs = pdf[pdf["_is_q"]]
-        cs = pdf[~pdf["_is_q"]]
-        if not len(qs) or not len(cs):
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
-        # Sort the list by id so ties at the k-boundary keep the
-        # smaller neighbor id under a stable argsort.
-        cs = cs.sort_values("_id")
-        cids = cs["_id"].to_numpy(dtype=np.int64)
-        qids = qs["_id"].to_numpy(dtype=np.int64)
-        cm = np.stack(cs["_v"].to_numpy()).astype(np.float64)
-        qm = np.stack(qs["_v"].to_numpy()).astype(np.float64)
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        cos = qm @ cm.T
-        cos[qids[:, None] == cids[None, :]] = -np.inf  # self-matches
-        take = min(k, cos.shape[1])
-        order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
-        rows = np.repeat(np.arange(len(qids)), take)
-        cols = order.ravel()
-        keep = np.isfinite(cos[rows, cols])
-        return pd.DataFrame(
-            {
-                "query_id": qids[rows[keep]],
-                "neighbor_id": cids[cols[keep]],
-                "cos_sim": cos[rows[keep], cols[keep]],
-            }
-        )
-
-    bucket_topk = tagged.groupBy("_bucket").applyInPandas(_bucket_topk, schema=topk_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         bucket_topk.withColumn("rank", F.row_number().over(w))
@@ -533,24 +547,24 @@ def lsh_bucketed_topk(
     num_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket in any
-    of ``num_tables`` hash tables, then exact cosine re-rank. Returns
-    the same shape as ``cosine_topk``. Candidates are deduped BEFORE
-    scoring so a pair colliding in several tables is scored once."""
-    c = with_srp_buckets(corpus, id_col, vec_col, num_planes, dim, num_tables=num_tables).select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv"), "_table", "_bucket"
+    of ``num_tables`` hash tables, re-ranked by the shared per-bucket
+    GEMM kernel (see ``_grouped_topk_kernel``). Returns the same shape
+    as ``cosine_topk``. A neighbor found in several tables yields
+    identical bucket-local rows — deduped before the global ranking so
+    it occupies one top-k slot."""
+    c = with_srp_buckets(corpus, id_col, vec_col, num_planes, dim, num_tables=num_tables)
+    q = with_srp_buckets(queries, id_col, vec_col, num_planes, dim, num_tables=num_tables)
+    tagged = c.withColumn("_is_q", F.lit(False)).unionByName(
+        q.withColumn("_is_q", F.lit(True))
     )
-    q = with_srp_buckets(queries, id_col, vec_col, num_planes, dim, num_tables=num_tables).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "_table", "_bucket"
-    )
-    scored = (
-        c.join(F.broadcast(q), ["_table", "_bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+    bucket_topk = (
+        tagged.groupBy("_table", "_bucket")
+        .applyInPandas(_grouped_topk_kernel(k), schema=_TOPK_SCHEMA)
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        bucket_topk.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
         .orderBy("query_id", "rank")
