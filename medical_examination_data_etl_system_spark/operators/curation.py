@@ -1,0 +1,174 @@
+"""Training-data curation operators (SURVEY.md §2b extension).
+
+The ops a 100 TB pretraining-data pipeline runs AFTER dedup/quality
+scoring: reproducible sampling, per-source capping, sequence packing,
+PII redaction, and context-window chunking. Design rules:
+
+- **Reproducibility across runs and engines.** Sampling uses an md5
+  bucket of the document id — not ``rand()`` (non-deterministic across
+  retries/speculative tasks) and not engine hash functions (xxhash64 in
+  Spark vs DuckDB ``hash()`` disagree). md5 is bit-stable everywhere,
+  so a sampled corpus is re-derivable from ids alone and the DuckDB
+  oracle reproduces it exactly.
+- **Map-only where possible.** Sampling, redaction, and chunking are
+  pure per-row column expressions (whole-stage codegen, no shuffle, no
+  Python). Capping and packing need one shuffle each on their
+  partition key — the minimum for the semantics.
+- **No row-at-a-time UDFs.** Everything is built-in expression trees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic engine-independent bucket in [0, buckets).
+
+    First 8 hex chars of md5 → unsigned 32-bit int → mod. 32 bits of
+    the digest is plenty for bucket assignment; md5 is uniform enough
+    that bucket populations are binomial around n/buckets.
+    """
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % buckets)
+
+
+def hash_sample(df: DataFrame, id_col: str, pct: int, buckets: int = 100) -> DataFrame:
+    """Keep rows whose id hashes into the first ``pct`` of ``buckets``.
+
+    The reproducible-sampling idiom for training corpora: membership is
+    a pure function of the id, so (a) re-runs, retries, and speculative
+    tasks agree, (b) a later run at a higher pct is a SUPERSET of the
+    earlier sample (bucket < 5 ⊂ bucket < 10), which makes scaling-law
+    subsample ladders consistent, and (c) no shuffle — the filter is
+    map-side and combines with pushdown of any other predicate.
+    """
+    return df.filter(hash_bucket(F.col(id_col), buckets) < pct)
+
+
+def cap_per_key(
+    df: DataFrame, key_col: str, n: int, order_col: str, keep_ties: bool = False
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``key_col``, lowest ``order_col`` first.
+
+    Domain/source capping — bounding any one source's share of the
+    corpus. One shuffle on the key; ``row_number`` (not ``rank``) gives
+    the exact-n contract. At 100 TB the win over sort-based take-n is
+    that AQE splits skewed keys' sort spill, and rows beyond n never
+    leave the sort — no second pass. Heavy-hitter sources (the reason
+    capping exists) are exactly the skewed keys, so AQE skew handling
+    is load-bearing here, not incidental.
+    """
+    fn = F.rank if keep_ties else F.row_number
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", fn().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    part_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Assign each row a ``bin_id`` so consecutive rows (by ``order_col``
+    within ``part_col``) accumulate ≈``budget`` tokens per bin.
+
+    Sequence packing for training: concatenate documents into
+    fixed-token-budget examples. Exact first-fit packing is inherently
+    sequential; the scalable deterministic relaxation is CUMULATIVE
+    packing — bin = floor(exclusive-prefix-sum / budget) — which needs
+    only one window pass (one shuffle on ``part_col``) and gives bins
+    that overflow by at most one document. Oracle-expressible because
+    the prefix sum is order-deterministic.
+
+    A document longer than ``budget`` still lands in exactly one bin
+    (its own, usually), mirroring the "truncate/split later" stance of
+    real packers — composing with :func:`chunk_tokens` upstream bounds
+    document length so overflow is bounded too.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        "bin_id", F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long")
+    )
+
+
+# RE2-and-Java-compatible patterns (no lookaround, no backrefs): the
+# oracle runs them in DuckDB (RE2), the engine in the JVM (java.util.regex).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask emails then phone numbers with typed placeholder tokens.
+
+    Pure per-row ``regexp_replace`` chain: map-only, codegen, no UDF.
+    The two-pass order matters — email first so digit runs inside a
+    masked email can't be re-matched as phones.
+    """
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in ``col`` — audit columns for the
+    redaction pass."""
+    return (
+        F.regexp_count(col, F.lit(EMAIL_RE)).cast("long"),
+        F.regexp_count(col, F.lit(PHONE_RE)).cast("long"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    chunk: int = 32,
+    step: int = 24,
+) -> DataFrame:
+    """Explode each document into overlapping ``chunk``-token windows
+    starting every ``step`` tokens (overlap = chunk - step).
+
+    Context-window chunking for embedding/RAG pipelines. Map-side
+    1→N fan-out via ``posexplode`` over a generated start-offset array —
+    no shuffle, no Python; the token array is built once per row and
+    shared by every chunk expression. Empty/whitespace-only documents
+    produce zero chunks (guarded ``sequence`` with explicit positive
+    step — Spark's default step is -1 when start > stop, ADVICE r2).
+
+    Returns ``id_cols`` + (chunk_no, n_chunk_tokens, chunk_text).
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    # starts: 0, step, 2*step, ... ; last start ≤ max(n - chunk, 0) padded
+    # up so a final partial window is emitted iff it contains new tokens.
+    n_starts = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((F.greatest(n - F.lit(chunk), F.lit(0)) + F.lit(step) - 1) / F.lit(step)) + 1
+    )
+    starts = F.when(
+        n_starts > 0,
+        F.sequence(F.lit(0), ((n_starts - 1) * F.lit(step)).cast("int"), F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        *id_cols,
+        F.col(text_col),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_no", "_start"),
+    )
+    piece = F.slice(F.split(F.trim(F.col(text_col)), "\\s+"), F.col("_start") + 1, chunk)
+    return out.select(
+        *id_cols,
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.least(F.lit(chunk), F.col("_n") - F.col("_start")).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -91,7 +91,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_click_attribution",
     "skew_salted_count_distinct",
     "skew_salted_join",
-    # new this round
+    # new in round 3 (curation battery)
+    "docs_hash_sample",
+    "docs_domain_cap",
+    "docs_pack_sequences",
+    "docs_pii_redact",
+    "docs_chunk_overlap",
+    # new in round 2
     "emb_near_dup_srp",
     "join_bucketed_colocated",
     "docs_near_dup_components_alt",
@@ -106,6 +112,7 @@ _DRIVER_WINDOW_PRIORITY = [
 
 def all_queries() -> dict[str, QueryDef]:
     from medical_examination_data_etl_system_spark.queries import (
+        curation,
         datapipe,
         events,
         functions,
@@ -117,7 +124,7 @@ def all_queries() -> dict[str, QueryDef]:
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (tpch, tpch2, relational, events, functions, datapipe, streaming, skew):
+    for mod in (tpch, tpch2, relational, events, functions, datapipe, curation, streaming, skew):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,205 @@
+"""Curation-operator queries (operators/curation.py) over ``documents``.
+
+Every operator here is exactly SQL-expressible, so each query carries a
+DuckDB oracle: the md5 bucket, window prefix-sums, and RE2-safe regex
+patterns were chosen precisely so the oracle can mirror the engine
+bit-for-bit (the driver value-hashes results — see test_oracle_parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators import curation
+from medical_examination_data_etl_system_spark.operators.text_analysis import token_count
+from medical_examination_data_etl_system_spark.queries import QueryDef, load
+
+# Shared oracle fragment: engine-independent md5 bucket (operators/
+# curation.hash_bucket). DuckDB parses '0x…'::BIGINT; Spark uses conv().
+_BUCKET_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% corpus sample: md5-bucket membership, map-only."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        curation.hash_sample(docs, "doc_id", pct=20)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+HASH_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE {_BUCKET_SQL} < 20
+ORDER BY doc_id
+"""
+
+
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 40 docs (lowest doc_id first) — bounding any
+    one domain's share of the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        curation.cap_per_key(docs, "source", n=40, order_col="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_CAP_SQL = """
+WITH capped AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 40
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       max(doc_id) AS max_doc_id
+FROM capped
+GROUP BY source
+ORDER BY source
+"""
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each source's documents (doc_id order) into ~256-token bins
+    via one window prefix-sum; report per-bin fill."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    packed = curation.pack_sequences(
+        docs, token_col="n_tokens", budget=256, part_col="source", order_col="doc_id"
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / 256) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc_id
+FROM binned
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: deterministically inject an email + phone
+    into each 3rd document (the synthetic corpus carries none), mask
+    both, and report per-doc counts + redacted-text digest.
+
+    The injection happens identically in the oracle, so the query
+    checks the REDACTION (pattern semantics, replace-all, pass order)
+    cross-engine, not the synthetic data.
+    """
+    docs = load(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    n_emails, n_phones = curation.pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(curation.redact_pii(injected)).alias("redacted_digest"),
+    ).orderBy("doc_id")
+
+
+PII_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-867-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_digest
+FROM injected
+ORDER BY doc_id
+"""
+
+
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks every 24 tokens (8-token overlap):
+    map-side 1→N posexplode fan-out; digest per chunk keeps the result
+    compact while pinning exact chunk content."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = curation.chunk_tokens(docs, "text", ["doc_id"], chunk=32, step=24)
+    return chunks.select(
+        "doc_id", "chunk_no", "n_chunk_tokens", F.md5("chunk_text").alias("chunk_digest")
+    ).orderBy("doc_id", "chunk_no")
+
+
+CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n <= 0 THEN 0
+              ELSE CAST(floor((greatest(n - 32, 0) + 23) / 24) AS BIGINT) + 1 END AS n_starts
+  FROM toks
+), exploded AS (
+  SELECT doc_id, tk, n, CAST(s AS BIGINT) AS chunk_no
+  FROM starts, UNNEST(range(0, n_starts)) AS t(s)
+)
+SELECT doc_id, chunk_no,
+       CAST(least(32, n - chunk_no * 24) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(tk, chunk_no * 24 + 1, chunk_no * 24 + 32), ' ')) AS chunk_digest
+FROM exploded
+ORDER BY doc_id, chunk_no
+"""
+
+
+QUERIES = {
+    "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
+    "docs_domain_cap": QueryDef(docs_domain_cap, DOMAIN_CAP_SQL),
+    "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_SQL),
+    "docs_pii_redact": QueryDef(docs_pii_redact, PII_SQL),
+    "docs_chunk_overlap": QueryDef(docs_chunk_overlap, CHUNK_SQL),
+}
