@@ -18,6 +18,9 @@ shuffle on one side).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -37,20 +40,54 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _bucket_spec_matches(
+    spark: SparkSession, table: str, bucket_col: str, num_buckets: int
+) -> bool:
+    """True iff ``table`` is in the catalog with exactly this bucket
+    spec. DESCRIBE EXTENDED is the stable surface for the spec (the
+    python catalog API doesn't expose bucketing)."""
+    if not spark.catalog.tableExists(table):
+        return False
+    desc = {r.col_name: (r.data_type or "") for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()}
+    return (
+        desc.get("Num Buckets", "").strip() == str(num_buckets)
+        and bucket_col in desc.get("Bucket Columns", "")
+    )
+
+
 def ensure_bucketed_order_tables(
-    spark: SparkSession, sf_dir: str, num_buckets: int = 8, database: str = "graft_buckets"
+    spark: SparkSession,
+    sf_dir: str,
+    num_buckets: int = 8,
+    database: str = "graft_buckets",
+    force: bool = False,
 ) -> tuple[str, str]:
-    """Write orders/lineitem bucketed on the order key (idempotent
-    overwrite; bucket counts MATCH by construction). Returns the two
-    table names."""
+    """Return catalog names of orders/lineitem bucketed on the order key,
+    writing them only when absent (bucket counts MATCH by construction).
+
+    Write-once-join-many is the whole point of bucketing (VERDICT r3
+    #4: the per-call rewrite billed a one-time layout cost to every
+    query). Reuse is safe because the table name encodes the IDENTITY of
+    the layout — source dir (resolved, hashed) + bucket count — and the
+    catalog entry is additionally verified to carry the expected bucket
+    spec; a different sf_dir or bucket count resolves to a different
+    table. ``force=True`` rewrites unconditionally (layout migration).
+    """
     import shutil
     from urllib.parse import urlparse
 
     from medical_examination_data_etl_system_spark.queries import load
 
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    orders_t = f"{database}.orders_by_orderkey_{tag}_b{num_buckets}"
+    lineitem_t = f"{database}.lineitem_by_orderkey_{tag}_b{num_buckets}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-    orders_t = f"{database}.orders_by_orderkey"
-    lineitem_t = f"{database}.lineitem_by_orderkey"
+    if (
+        not force
+        and _bucket_spec_matches(spark, orders_t, "o_orderkey", num_buckets)
+        and _bucket_spec_matches(spark, lineitem_t, "l_orderkey", num_buckets)
+    ):
+        return orders_t, lineitem_t
     # Cross-session idempotence: the in-memory catalog restarts empty
     # while spark-warehouse persists on disk, so a leftover managed-table
     # location from a previous process blocks saveAsTable. Drop from the

@@ -47,7 +47,11 @@ def hash_sample(df: DataFrame, id_col: str, pct: int, buckets: int = 100) -> Dat
 
 
 def cap_per_key(
-    df: DataFrame, key_col: str, n: int, order_col: str, keep_ties: bool = False
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_col: str | list[str],
+    keep_ties: bool = False,
 ) -> DataFrame:
     """Keep at most ``n`` rows per ``key_col``, lowest ``order_col`` first.
 
@@ -58,9 +62,16 @@ def cap_per_key(
     leave the sort — no second pass. Heavy-hitter sources (the reason
     capping exists) are exactly the skewed keys, so AQE skew handling
     is load-bearing here, not incidental.
+
+    Determinism contract (ADVICE r3): the combined ``order_col``
+    columns must be UNIQUE per key — ``row_number`` breaks ties by
+    partition-internal order, which is not stable across runs or
+    engines. Pass a list ending in a unique id (e.g.
+    ``["quality", "doc_id"]``) when the primary order column can tie.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     fn = F.rank if keep_ties else F.row_number
-    w = Window.partitionBy(key_col).orderBy(order_col)
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
     return (
         df.withColumn("_rn", fn().over(w)).filter(F.col("_rn") <= n).drop("_rn")
     )
@@ -95,9 +106,14 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(token_col)).over(w)
-    return df.withColumn(
-        "bin_id", F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long")
-    )
+    # Exact integer floor-division (`div`), not float `/` + floor: a
+    # per-partition cumulative token sum beyond 2^53 would lose integer
+    # precision in a double and could floor to the wrong bin (ADVICE
+    # r3). Both operands are integral and non-negative, so Spark `div`
+    # (truncating) == floor == DuckDB `//` in the oracle.
+    return df.withColumn("_prefix", (cum - F.col(token_col)).cast("long")).withColumn(
+        "bin_id", F.expr(f"_prefix div {int(budget)}")
+    ).drop("_prefix")
 
 
 # RE2-and-Java-compatible patterns (no lookaround, no backrefs): the
@@ -159,11 +175,11 @@ def chunk_tokens(
     ).otherwise(F.array().cast("array<int>"))
     out = df.select(
         *id_cols,
-        F.col(text_col),
+        toks.alias("_tk"),
         n.alias("_n"),
         F.posexplode(starts).alias("chunk_no", "_start"),
     )
-    piece = F.slice(F.split(F.trim(F.col(text_col)), "\\s+"), F.col("_start") + 1, chunk)
+    piece = F.slice(F.col("_tk"), F.col("_start") + 1, chunk)
     return out.select(
         *id_cols,
         F.col("chunk_no").cast("long").alias("chunk_no"),

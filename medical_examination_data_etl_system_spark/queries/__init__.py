@@ -63,50 +63,71 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# order. Round 1 proved everything before `text_quality_langid` green but
-# left the entire docs/emb/multimodal/stream/skew battery unchecked, so
-# the registry is ordered by evidence need: queries with no driver row
-# yet come first, then queries whose round-1 rows failed and have been
-# fixed since (q9 exact-cents, q12/events_json_extract oracle casts),
-# then the already-driver-green remainder in module order.
+# order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
+# r3 #1): rounds 1 and 3 together cover all 80 queries, but 30 of them
+# carry only round-1 rows — and one of those
+# (`agg_percentiles_by_flag`) had BOTH its implementation and its oracle
+# rewritten in round 2 after its only driver check. Stale-since-changed
+# first, then longest-unchecked (the round-1-only block), then the
+# queries whose code changes THIS round (curation ADVICE fixes, bucketed
+# table reuse, simhash collapse probe, SRP bucket shard) so their fresh
+# rows also land inside the window; the 43 round-3-green remainder rides
+# on its round-3 rows.
 _DRIVER_WINDOW_PRIORITY = [
-    # never checked in round 1 (registry positions 50-69)
-    "text_quality_langid",
-    "docs_dedup_exact",
-    "docs_near_dup_minhash",
-    "docs_near_dup_simhash",
-    "docs_near_dup_components",
-    "docs_ngram_jaccard",
-    "emb_cosine_topk",
-    "emb_near_dup_cosine",
-    "text_rolling_fingerprint",
-    "emb_lsh_topk",
-    "emb_ivf_topk",
-    "multimodal_doc_embedding_join",
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "stream_tumbling_hourly",
-    "stream_sessionize_stateful",
-    "stream_click_attribution",
-    "skew_salted_count_distinct",
-    "skew_salted_join",
-    # new in round 3 (curation battery)
+    # (1) rewritten in r2 AFTER its only driver check — highest need
+    "agg_percentiles_by_flag",
+    # (2) round-1 rows only, untouched since — longest unchecked
+    "q20_potential_promotion",
+    "q21_suppliers_who_kept_waiting",
+    "q22_global_sales_opportunity",
+    "join_inner_enrich",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_range_ship_lag",
+    "agg_distinct_per_segment",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_approx_distinct_parts",
+    "pivot_status_by_priority",
+    "window_running_total",
+    "window_topk_orders_per_customer",
+    "window_order_gaps",
+    "set_union_nations",
+    "set_intersect_nations",
+    "set_except_nations",
+    "dedup_first_lineitem_per_order",
+    "events_tumbling_hourly",
+    "events_asof_attribution",
+    "events_sliding_windows",
+    "events_session_windows",
+    "fn_datetime_extract",
+    "fn_math_string",
+    "fn_array_ops",
+    "fn_conditional_case",
+    "fn_map_ops",
+    "text_token_stats",
+    # (3) code touched in round 4 — re-verify after the change
     "docs_hash_sample",
     "docs_domain_cap",
     "docs_pack_sequences",
     "docs_pii_redact",
     "docs_chunk_overlap",
-    # new in round 2
-    "emb_near_dup_srp",
-    "join_bucketed_colocated",
-    "docs_near_dup_components_alt",
-    "unpivot_status_priority",
     "docs_curation_pipeline",
-    # round-1 hash-fails, fixed
+    "join_bucketed_colocated",
+    "docs_near_dup_simhash",
+    "docs_near_dup_minhash",
+    "emb_near_dup_srp",
+    # (4) r3-green, high-signal oracles to fill the 50-entry window
     "q9_product_profit",
     "q12_late_lines",
     "events_json_extract",
+    "text_quality_langid",
+    "docs_dedup_exact",
+    "docs_ngram_jaccard",
+    "emb_cosine_topk",
+    "emb_near_dup_cosine",
+    "text_rolling_fingerprint",
+    "unpivot_status_priority",
 ]
 
 

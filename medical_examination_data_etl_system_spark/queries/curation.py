@@ -96,10 +96,12 @@ WITH toks AS (
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
   FROM documents
 ), binned AS (
+  -- exact integer floor-division (`//`), mirroring Spark `div` — both
+  -- engines stay integral, no double rounding past 2^53 (ADVICE r3)
   SELECT doc_id, source, n_tokens,
-         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-                    / 256) AS BIGINT) AS bin_id
+         CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // 256 AS BIGINT) AS bin_id
   FROM toks
 )
 SELECT source, bin_id,

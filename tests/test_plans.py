@@ -153,6 +153,77 @@ def test_embedding_near_dup_never_packs_blocks(spark):
         assert "FlatMapGroupsInPandas" in plan
 
 
+def test_curation_operator_plan_shapes(spark):
+    """Curation operators' shuffle budget (VERDICT r3 #6): sampling,
+    redaction, and chunking are MAP-ONLY (zero Exchange — the membership
+    filter, regex chain, and posexplode fan-out are pure per-row
+    expressions); capping and packing need exactly ONE Exchange (their
+    window's hash partitioning — the minimum their semantics allow).
+    Guarded on the operators directly: the registered queries add a
+    presentation orderBy whose range Exchange is not the operator's.
+    """
+    from medical_examination_data_etl_system_spark.operators import curation
+    from medical_examination_data_etl_system_spark.operators.text_analysis import token_count
+
+    docs = load(spark, SF_DIR, "documents")
+    map_only = {
+        "hash_sample": curation.hash_sample(docs, "doc_id", pct=20),
+        "pii_redact": docs.select(
+            "doc_id", curation.redact_pii(F.col("text")).alias("clean")
+        ),
+        "chunk_tokens": curation.chunk_tokens(docs, "text", ["doc_id"]),
+    }
+    for name, df in map_only.items():
+        plan = _simple_plan(df)
+        assert "Exchange" not in plan, f"{name} must be map-only, plan:\n{plan}"
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name} has Python operator {marker}"
+    one_shuffle = {
+        "cap_per_key": curation.cap_per_key(docs, "source", n=40, order_col="doc_id"),
+        "pack_sequences": curation.pack_sequences(
+            docs.withColumn("n_tokens", token_count(F.col("text"))),
+            token_col="n_tokens", budget=256, part_col="source", order_col="doc_id",
+        ),
+    }
+    for name, df in one_shuffle.items():
+        plan = _simple_plan(df)
+        assert plan.count("Exchange") == 1, f"{name} expects exactly one Exchange:\n{plan}"
+    assert "Generate posexplode" in _simple_plan(map_only["chunk_tokens"])
+
+
+def test_bucketed_tables_reused_not_rewritten(spark):
+    """Write-once-join-many (VERDICT r3 #4): a second ensure call with a
+    matching bucket spec must REUSE the catalog tables (no rewrite);
+    force=True must rewrite; a different bucket count resolves to
+    different tables (no wrong-layout reuse)."""
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    from medical_examination_data_etl_system_spark.operators.bucketing import (
+        ensure_bucketed_order_tables,
+    )
+
+    def mtimes(table):
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        db, name = table.split(".")
+        return {
+            f: os.path.getmtime(f) for f in glob.glob(f"{warehouse}/{db}.db/{name}/*")
+        }
+
+    orders_t, lineitem_t = ensure_bucketed_order_tables(spark, SF_DIR)
+    first = mtimes(orders_t)
+    assert first, "bucketed write produced no files"
+    again = ensure_bucketed_order_tables(spark, SF_DIR)
+    assert again == (orders_t, lineitem_t)
+    assert mtimes(orders_t) == first, "matching spec must not rewrite"
+    forced = ensure_bucketed_order_tables(spark, SF_DIR, force=True)
+    assert forced == (orders_t, lineitem_t)
+    assert mtimes(orders_t) != first, "force=True must rewrite"
+    other_orders, _ = ensure_bucketed_order_tables(spark, SF_DIR, num_buckets=4)
+    assert other_orders != orders_t, "different bucket count must not collide"
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """The whole point of bucketing: the orderkey join over matching
     bucket specs must plan with ZERO Exchange (broadcast disabled so the
