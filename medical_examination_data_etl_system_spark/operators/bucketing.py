@@ -40,19 +40,55 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _parse_col_list(spec: str) -> list[str]:
+    """Parse DESCRIBE EXTENDED's ``[`a`, `b`]`` column-list syntax into
+    exact names — substring tests would false-positive on names that
+    contain each other (``key`` vs ``subkey``)."""
+    inner = spec.strip().lstrip("[").rstrip("]")
+    return [c.strip().strip("`") for c in inner.split(",") if c.strip()]
+
+
 def _bucket_spec_matches(
-    spark: SparkSession, table: str, bucket_col: str, num_buckets: int
+    spark: SparkSession,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
 ) -> bool:
     """True iff ``table`` is in the catalog with exactly this bucket
-    spec. DESCRIBE EXTENDED is the stable surface for the spec (the
-    python catalog API doesn't expose bucketing)."""
+    (and sort) spec. DESCRIBE EXTENDED is the stable surface for the
+    spec (the python catalog API doesn't expose bucketing)."""
     if not spark.catalog.tableExists(table):
         return False
     desc = {r.col_name: (r.data_type or "") for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()}
-    return (
-        desc.get("Num Buckets", "").strip() == str(num_buckets)
-        and bucket_col in desc.get("Bucket Columns", "")
-    )
+    if desc.get("Num Buckets", "").strip() != str(num_buckets):
+        return False
+    if _parse_col_list(desc.get("Bucket Columns", "")) != [bucket_col]:
+        return False
+    if sort_col is not None and _parse_col_list(desc.get("Sort Columns", "")) != [sort_col]:
+        return False
+    return True
+
+
+def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Content identity of the source parquet (max mtime + total size per
+    table): regenerated data under the SAME path must produce a DIFFERENT
+    catalog tag, or reuse would silently serve stale rows."""
+    parts: list[str] = [os.path.realpath(sf_dir)]
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        mtime, size = 0, 0
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    mtime = max(mtime, int(st.st_mtime))
+                    size += st.st_size
+        elif os.path.isfile(path):
+            st = os.stat(path)
+            mtime, size = int(st.st_mtime), st.st_size
+        parts.append(f"{t}:{mtime}:{size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
 def ensure_bucketed_order_tables(
@@ -68,24 +104,25 @@ def ensure_bucketed_order_tables(
     Write-once-join-many is the whole point of bucketing (VERDICT r3
     #4: the per-call rewrite billed a one-time layout cost to every
     query). Reuse is safe because the table name encodes the IDENTITY of
-    the layout — source dir (resolved, hashed) + bucket count — and the
-    catalog entry is additionally verified to carry the expected bucket
-    spec; a different sf_dir or bucket count resolves to a different
-    table. ``force=True`` rewrites unconditionally (layout migration).
+    the layout — source dir + source-file fingerprint (mtime/size, so
+    regenerated parquet under the same path gets a fresh table) + bucket
+    count — and the catalog entry is additionally verified to carry the
+    expected bucket AND sort spec; any mismatch resolves to a rewrite.
+    ``force=True`` rewrites unconditionally (layout migration).
     """
     import shutil
     from urllib.parse import urlparse
 
     from medical_examination_data_etl_system_spark.queries import load
 
-    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    tag = _source_fingerprint(sf_dir, ("orders", "lineitem"))
     orders_t = f"{database}.orders_by_orderkey_{tag}_b{num_buckets}"
     lineitem_t = f"{database}.lineitem_by_orderkey_{tag}_b{num_buckets}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     if (
         not force
-        and _bucket_spec_matches(spark, orders_t, "o_orderkey", num_buckets)
-        and _bucket_spec_matches(spark, lineitem_t, "l_orderkey", num_buckets)
+        and _bucket_spec_matches(spark, orders_t, "o_orderkey", num_buckets, "o_orderkey")
+        and _bucket_spec_matches(spark, lineitem_t, "l_orderkey", num_buckets, "l_orderkey")
     ):
         return orders_t, lineitem_t
     # Cross-session idempotence: the in-memory catalog restarts empty

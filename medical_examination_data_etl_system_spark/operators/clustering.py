@@ -35,7 +35,6 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
     node id reachable through the pair graph."""
-    spark = pairs.sparkSession
     # Materialize the DIRECTED edges first: the mirrored union otherwise
     # embeds the pairs subtree twice in one plan (no subtree reuse), and
     # upstream pair producers (MinHash + exact-collapse expansion) are
@@ -48,47 +47,41 @@ def connected_components(
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
 
-    # Size the per-round shuffle to the graph, not the session default:
-    # every round shuffles |edges|+|labels| rows, and an oversized
-    # partition count charges fixed per-partition cost × rounds on a
-    # sparse pair graph (near-dup graphs are far smaller than the corpus
-    # that produced them). ~1M edges per partition, no artificial floor:
-    # a few-hundred-edge graph converges fastest on ONE partition (each
-    # round is 2 scheduled jobs, so per-task overhead multiplies by
-    # rounds), while a 10⁹-edge graph still gets its thousand tasks.
-    n_edges = edges.count()
-    n_part = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                        n_edges // 1_000_000 + 1))
-    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
-    try:
+    # Per-round shuffle sizing is AQE's job, not a session-conf mutation
+    # (VERDICT r3 #8: conf.set on spark.sql.shuffle.partitions leaked to
+    # concurrent queries on the same session between set and finally).
+    # coalescePartitions is on in get_spark(), so every reduce stage in
+    # the loop is runtime-sized to the actual map-output bytes: a
+    # few-hundred-edge graph runs each round on ONE coalesced task
+    # (per-task overhead would otherwise multiply by rounds), a 10⁹-edge
+    # graph still fans out to its thousands — same behavior the previous
+    # static n_edges//1M sizing approximated, but per-stage, measured,
+    # and with no session-global writes.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Labels are monotonically non-increasing, so the label sum is a
+    # fixpoint detector: unchanged sum ⟺ converged. One scalar
+    # aggregation per round instead of a join + count.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("comp")
+        )
         labels = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("comp", F.col("node"))
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-
-        # Labels are monotonically non-increasing, so the label sum is a
-        # fixpoint detector: unchanged sum ⟺ converged. One scalar
-        # aggregation per round instead of a join + count.
-        prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        for _ in range(max_iter):
-            nbr_min = edges.join(labels, edges.dst == labels.node).select(
-                F.col("src").alias("node"), F.col("comp")
-            )
-            labels = (
-                labels.unionByName(nbr_min)
-                .groupBy("node")
-                .agg(F.min("comp").alias("comp"))
-                .localCheckpoint(eager=True)
-            )
-            cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels
 
 
@@ -121,21 +114,16 @@ def connected_components_alternating(
     output contract to ``connected_components`` (pinned against it in
     tests on random + path graphs).
     """
-    spark = pairs.sparkSession
     # Checkpoint before anything reads it: the input frame feeds the
-    # count, the iteration seed AND the isolated-node backfill — one
-    # evaluation of a potentially deep pair-producing plan.
+    # iteration seed AND the isolated-node backfill — one evaluation of
+    # a potentially deep pair-producing plan. Reduce-stage sizing inside
+    # the loop is left to AQE coalescing (see connected_components).
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=True)
     )
     input_edges = edges
-    n_edges_0 = edges.count()
-    n_part = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                        n_edges_0 // 1_000_000 + 1))
-    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
 
     def _edge_digest(e: DataFrame):
         # Order-insensitive multiset digest. No canonicalize/distinct
@@ -166,35 +154,32 @@ def connected_components_alternating(
             ).unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    try:
-        prev = _edge_digest(edges)
-        for _ in range(max_iter):
-            edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
-            cur = _edge_digest(edges)
-            if cur == prev:
-                break
-            prev = cur
-        # At fixpoint every edge is (node → its component min); nodes
-        # that became isolated roots map to themselves via the union.
-        comp = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-        roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
-            "comp", F.col("node")
-        )
-        nodes_seen = comp.select("node").unionByName(roots.select("node")).distinct()
-        all_nodes = input_edges.select(F.col("u").alias("node")).unionByName(
-            input_edges.select(F.col("v").alias("node"))
-        ).distinct()
-        isolated = all_nodes.join(nodes_seen, "node", "left_anti").withColumn(
-            "comp", F.col("node")
-        )
-        return (
-            comp.unionByName(roots)
-            .unionByName(isolated)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+    prev = _edge_digest(edges)
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        cur = _edge_digest(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # At fixpoint every edge is (node → its component min); nodes
+    # that became isolated roots map to themselves via the union.
+    comp = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    nodes_seen = comp.select("node").unionByName(roots.select("node")).distinct()
+    all_nodes = input_edges.select(F.col("u").alias("node")).unionByName(
+        input_edges.select(F.col("v").alias("node"))
+    ).distinct()
+    isolated = all_nodes.join(nodes_seen, "node", "left_anti").withColumn(
+        "comp", F.col("node")
+    )
+    return (
+        comp.unionByName(roots)
+        .unionByName(isolated)
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
 
 
 def dedup_by_components(

@@ -23,6 +23,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _temp_name(df: DataFrame, base: str) -> str:
+    """Collision-free scratch-column name (ADVICE r4: a fixed ``_rn`` /
+    ``_prefix`` would silently overwrite-and-drop a user column of the
+    same name). Suffix with counters until the name is absent."""
+    cols = set(df.columns)
+    name, i = base, 0
+    while name in cols:
+        i += 1
+        name = f"{base}_{i}"
+    return name
+
+
 def hash_bucket(col: Column, buckets: int = 100) -> Column:
     """Deterministic engine-independent bucket in [0, buckets).
 
@@ -72,9 +84,8 @@ def cap_per_key(
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     fn = F.rank if keep_ties else F.row_number
     w = Window.partitionBy(key_col).orderBy(*order_cols)
-    return (
-        df.withColumn("_rn", fn().over(w)).filter(F.col("_rn") <= n).drop("_rn")
-    )
+    rn = _temp_name(df, "_rn")
+    return df.withColumn(rn, fn().over(w)).filter(F.col(rn) <= n).drop(rn)
 
 
 def pack_sequences(
@@ -111,9 +122,10 @@ def pack_sequences(
     # precision in a double and could floor to the wrong bin (ADVICE
     # r3). Both operands are integral and non-negative, so Spark `div`
     # (truncating) == floor == DuckDB `//` in the oracle.
-    return df.withColumn("_prefix", (cum - F.col(token_col)).cast("long")).withColumn(
-        "bin_id", F.expr(f"_prefix div {int(budget)}")
-    ).drop("_prefix")
+    prefix = _temp_name(df, "_prefix")
+    return df.withColumn(prefix, (cum - F.col(token_col)).cast("long")).withColumn(
+        "bin_id", F.expr(f"`{prefix}` div {int(budget)}")
+    ).drop(prefix)
 
 
 # RE2-and-Java-compatible patterns (no lookaround, no backrefs): the
@@ -173,17 +185,18 @@ def chunk_tokens(
         n_starts > 0,
         F.sequence(F.lit(0), ((n_starts - 1) * F.lit(step)).cast("int"), F.lit(step)),
     ).otherwise(F.array().cast("array<int>"))
+    tk, nn, start = (_temp_name(df, b) for b in ("_tk", "_n", "_start"))
     out = df.select(
         *id_cols,
-        toks.alias("_tk"),
-        n.alias("_n"),
-        F.posexplode(starts).alias("chunk_no", "_start"),
+        toks.alias(tk),
+        n.alias(nn),
+        F.posexplode(starts).alias("chunk_no", start),
     )
-    piece = F.slice(F.col("_tk"), F.col("_start") + 1, chunk)
+    piece = F.slice(F.col(tk), F.col(start) + 1, chunk)
     return out.select(
         *id_cols,
         F.col("chunk_no").cast("long").alias("chunk_no"),
-        F.least(F.lit(chunk), F.col("_n") - F.col("_start")).cast("long").alias(
+        F.least(F.lit(chunk), F.col(nn) - F.col(start)).cast("long").alias(
             "n_chunk_tokens"
         ),
         F.array_join(piece, " ").alias("chunk_text"),

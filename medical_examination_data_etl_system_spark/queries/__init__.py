@@ -45,19 +45,27 @@ def _read_with_nanos_as_long(spark: SparkSession, path: str) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table.
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects — read it as raw nanos
-    (legacy.parquet.nanosAsLong) and convert to a microsecond timestamp
-    (lossless here: the generator emits microsecond-precision values).
+    The events table's ``ts`` physical type has varied across testdata
+    generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects; read as raw nanos via legacy.parquet.nanosAsLong and
+    convert — lossless: the generator emits microsecond-precision
+    values) and TIMESTAMP(MICROS) without timezone (read as
+    TIMESTAMP_NTZ). Both are normalized to a session-TZ TIMESTAMP so
+    every consumer (windows, unix_micros, streaming parity) sees one
+    type; the session TZ is UTC, so the NTZ→LTZ cast preserves the
+    wall-clock value.
     """
     if table == "events":
         from pyspark.sql import functions as F
 
         df = _read_with_nanos_as_long(spark, f"{sf_dir}/{table}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: epoch-nanos exceed double's 2^53 mantissa,
             # so float division here would round the microsecond.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -150,9 +158,13 @@ def all_queries() -> dict[str, QueryDef]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
+    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in merged]
+    if missing:
+        # A typo or a rename here would silently demote the query out of
+        # the driver's 50-entry checked window — fail loudly instead.
+        raise ValueError(f"_DRIVER_WINDOW_PRIORITY names not in registry: {missing}")
     ordered: dict[str, QueryDef] = {}
     for name in _DRIVER_WINDOW_PRIORITY:
-        if name in merged:
-            ordered[name] = merged.pop(name)
+        ordered[name] = merged.pop(name)
     ordered.update(merged)
     return ordered

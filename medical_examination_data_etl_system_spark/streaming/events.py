@@ -23,22 +23,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Raw file schema: the testdata events parquet stores ts as
-# TIMESTAMP(NANOS), which Spark's reader rejects as a timestamp — it is
-# read as raw nano longs (legacy.parquet.nanosAsLong) and converted to a
-# microsecond timestamp in ``read_events_stream`` (lossless: the
-# generator emits microsecond-precision values). Mirrors
-# ``queries.load``'s batch-side handling.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# Raw file schema, parameterized on the physical ts type: testdata
+# generators have emitted events.ts both as TIMESTAMP(NANOS) — which
+# Spark's reader rejects as a timestamp, so it is read as raw nano longs
+# (legacy.parquet.nanosAsLong) and converted — and as plain
+# TIMESTAMP(MICROS), which reads directly. ``read_events_stream`` probes
+# the footer via a batch read (streams can't infer) and picks the right
+# variant; mirrors ``queries.load``'s conditional batch-side handling.
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def read_events_stream(
@@ -51,23 +56,35 @@ def read_events_stream(
     """
     import os
 
+    # Probe the physical ts type with a scoped batch read (cheap: footer
+    # only; on the pre-glob path — batch reads take files directly).
+    # TIMESTAMP(NANOS) resolves to bigint under nanosAsLong;
+    # TIMESTAMP(MICROS) resolves to timestamp[_ntz] and needs no
+    # conversion.
+    from medical_examination_data_etl_system_spark.queries import _read_with_nanos_as_long
+
+    ts_is_nanos = dict(_read_with_nanos_as_long(spark, path).dtypes).get("ts") == "bigint"
     # FileStreamSource requires a directory or glob; turn a plain file
     # path into a glob matching exactly that file ("x.parquet" →
     # "x.parque[t]") so the source's basePath resolves to its directory.
     if os.path.isfile(path):
         path = f"{path[:-1]}[{path[-1]}]"
-    # Session-wide by necessity for the STREAM's lifetime: each
-    # microbatch re-reads parquet footers at trigger time, so the conf
-    # must hold while the query runs (there is no per-read nanosAsLong
-    # option — verified: .option("nanosAsLong") still throws
-    # PARQUET_TYPE_ILLEGAL). Batch reads scope it instead
-    # (queries._read_with_nanos_as_long).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if ts_is_nanos:
+        # Session-wide by necessity for the STREAM's lifetime: each
+        # microbatch re-reads parquet footers at trigger time, so the
+        # conf must hold while the query runs (there is no per-read
+        # nanosAsLong option — verified: .option("nanosAsLong") still
+        # throws PARQUET_TYPE_ILLEGAL). Batch reads scope it instead
+        # (queries._read_with_nanos_as_long).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_schema(T.LongType() if ts_is_nanos else T.TimestampType())
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -47,3 +47,66 @@ def test_mixed_valid_and_degenerate_records(spark):
     ]
     out = process_records(spark, records).collect()
     assert [r["record_id"] for r in out] == [r["RECORD_ID"] for r in sample_request()]
+
+
+def test_curation_temp_columns_survive_collision(spark):
+    """ADVICE r4: scratch columns (_rn, _prefix) must not clobber user
+    columns of the same name."""
+    from pyspark.sql import functions as F
+
+    from medical_examination_data_etl_system_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [("a", i, f"marker{i}", 10) for i in range(5)]
+        + [("b", i, f"marker{i}", 10) for i in range(5)],
+        ["key", "id", "_rn", "n_tokens"],
+    ).withColumn("_prefix", F.col("_rn"))
+
+    capped = curation.cap_per_key(df, "key", n=2, order_col="id")
+    assert "_rn" in capped.columns
+    rows = {(r["key"], r["id"]): r["_rn"] for r in capped.collect()}
+    assert rows[("a", 0)] == "marker0" and len(rows) == 4
+
+    packed = curation.pack_sequences(df, "n_tokens", budget=25, part_col="key", order_col="id")
+    assert "_prefix" in packed.columns
+    got = {(r["key"], r["id"]): (r["_prefix"], r["bin_id"]) for r in packed.collect()}
+    assert got[("a", 3)] == ("marker3", 1)  # exclusive prefix 30 // 25
+
+
+def test_chunk_tokens_temp_columns_survive_collision(spark):
+    from medical_examination_data_etl_system_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [("d1", "one two three four", "keepme")], ["doc_id", "text", "_tk"]
+    )
+    out = curation.chunk_tokens(df, "text", ["doc_id", "_tk"], chunk=3, step=2)
+    rows = out.collect()
+    assert all(r["_tk"] == "keepme" for r in rows)
+    assert [r["chunk_text"] for r in rows] == ["one two three", "three four"]
+
+
+def test_driver_window_priority_names_must_exist():
+    """ADVICE r4: a typo in _DRIVER_WINDOW_PRIORITY must raise, not
+    silently demote the query out of the driver's checked window."""
+    import pytest
+
+    from medical_examination_data_etl_system_spark import queries as q
+
+    assert q.all_queries()  # real list resolves
+    orig = q._DRIVER_WINDOW_PRIORITY
+    try:
+        q._DRIVER_WINDOW_PRIORITY = orig + ["no_such_query_zzz"]
+        with pytest.raises(ValueError, match="no_such_query_zzz"):
+            q.all_queries()
+    finally:
+        q._DRIVER_WINDOW_PRIORITY = orig
+
+
+def test_bucket_col_list_parsed_exactly():
+    """ADVICE r4: `key` must not match a table bucketed on `subkey`."""
+    from medical_examination_data_etl_system_spark.operators.bucketing import _parse_col_list
+
+    assert _parse_col_list("[`o_orderkey`]") == ["o_orderkey"]
+    assert _parse_col_list("[`subkey`]") != ["key"]
+    assert _parse_col_list("[`a`, `b`]") == ["a", "b"]
+    assert _parse_col_list("") == []
