@@ -21,10 +21,24 @@ from medical_examination_data_etl_system_spark.streaming.events import (
     stream_tumbling_counts,
     write_parquet_stream,
 )
+from medical_examination_data_etl_system_spark.streaming.sources import (
+    PAYLOAD_SCHEMA,
+    event_payload_json,
+    parse_event_payload,
+    read_events_kafka,
+    read_events_socket,
+    read_events_source,
+)
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "PAYLOAD_SCHEMA",
     "attribution_join",
+    "event_payload_json",
+    "parse_event_payload",
+    "read_events_kafka",
+    "read_events_socket",
+    "read_events_source",
     "read_events_stream",
     "run_available_now",
     "sessionize_stateful",
