@@ -72,49 +72,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1): rounds 1 and 3 together cover all 80 queries, but 30 of them
-# carry only round-1 rows — and one of those
-# (`agg_percentiles_by_flag`) had BOTH its implementation and its oracle
-# rewritten in round 2 after its only driver check. Stale-since-changed
-# first, then longest-unchecked (the round-1-only block), then the
-# queries whose code changes THIS round (curation ADVICE fixes, bucketed
-# table reuse, simhash collapse probe, SRP bucket shard) so their fresh
-# rows also land inside the window; the 43 round-3-green remainder rides
-# on its round-3 rows.
+# r3 #1). Round 5: (1) queries whose code changed THIS round — the
+# events ts-type normalization touches every events/streaming consumer,
+# the SRP near-dup grew the mega-bucket shard, curation ops switched to
+# collision-free scratch columns, the bucketed join's reuse tag gained a
+# source fingerprint, and connected components moved from a session-conf
+# mutation to AQE sizing; then (2) the 30 queries whose latest driver
+# row is from round 3 (rounds 3∪4 cover all 80; these are now the
+# longest-unchecked); then (3) high-signal round-4-green fills. Every
+# name is asserted against the registry (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
-    # (1) rewritten in r2 AFTER its only driver check — highest need
-    "agg_percentiles_by_flag",
-    # (2) round-1 rows only, untouched since — longest unchecked
-    "q20_potential_promotion",
-    "q21_suppliers_who_kept_waiting",
-    "q22_global_sales_opportunity",
-    "join_inner_enrich",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_range_ship_lag",
-    "agg_distinct_per_segment",
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "agg_approx_distinct_parts",
-    "pivot_status_by_priority",
-    "window_running_total",
-    "window_topk_orders_per_customer",
-    "window_order_gaps",
-    "set_union_nations",
-    "set_intersect_nations",
-    "set_except_nations",
-    "dedup_first_lineitem_per_order",
+    # (1) code changed in round 5 — re-verify first
     "events_tumbling_hourly",
-    "events_asof_attribution",
     "events_sliding_windows",
     "events_session_windows",
-    "fn_datetime_extract",
-    "fn_math_string",
-    "fn_array_ops",
-    "fn_conditional_case",
-    "fn_map_ops",
-    "text_token_stats",
-    # (3) code touched in round 4 — re-verify after the change
+    "events_asof_attribution",
+    "events_json_extract",
+    "stream_tumbling_hourly",
+    "stream_sessionize_stateful",
+    "stream_click_attribution",
+    "emb_near_dup_srp",
     "docs_hash_sample",
     "docs_domain_cap",
     "docs_pack_sequences",
@@ -122,20 +99,42 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_chunk_overlap",
     "docs_curation_pipeline",
     "join_bucketed_colocated",
-    "docs_near_dup_simhash",
-    "docs_near_dup_minhash",
-    "emb_near_dup_srp",
-    # (4) r3-green, high-signal oracles to fill the 50-entry window
+    "docs_near_dup_components",
+    "docs_near_dup_components_alt",
+    # (2) latest driver row is round 3 — longest unchecked
+    "emb_lsh_topk",
+    "emb_ivf_topk",
+    "multimodal_doc_embedding_join",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "skew_salted_count_distinct",
+    "skew_salted_join",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    # (3) round-4-green, high-signal oracles to fill the 50-entry window
+    "agg_percentiles_by_flag",
     "q9_product_profit",
-    "q12_late_lines",
-    "events_json_extract",
-    "text_quality_langid",
+    "q21_suppliers_who_kept_waiting",
+    "docs_near_dup_minhash",
+    "docs_near_dup_simhash",
     "docs_dedup_exact",
     "docs_ngram_jaccard",
-    "emb_cosine_topk",
-    "emb_near_dup_cosine",
-    "text_rolling_fingerprint",
-    "unpivot_status_priority",
 ]
 
 

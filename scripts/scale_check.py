@@ -44,6 +44,10 @@ HEAVY_EXTENSION = [
     "docs_dedup_exact",
     "docs_near_dup_minhash",
     "docs_near_dup_simhash",
+    "docs_near_dup_components",
+    "docs_near_dup_components_alt",
+    "docs_ngram_jaccard",
+    "docs_curation_pipeline",
     "emb_near_dup_srp",
     "emb_ivf_topk",
     "events_asof_attribution",
