@@ -128,6 +128,107 @@ def pack_sequences(
     ).drop(prefix)
 
 
+def _word_gram_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(_id, _gram) — one row per word n-gram OCCURRENCE (not distinct).
+
+    Same codegen construction as the Jaccard inverted index
+    (operators/dedup.py): explode positions, slice + array_join +
+    xxhash64 — a transform() lambda would fall back to interpreted
+    eval. Grams travel as 8-byte hashes; distinct-counts and joins on
+    them are hash-collision-exact at any realistic corpus (a collision
+    can only merge two grams — same stance as ngram_jaccard_pairs).
+    Docs with < n tokens produce no rows (empty positions branch).
+    """
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    count = F.greatest(F.size("_toks") - (n - 1), F.lit(0))
+    positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return staged.select("_id", "_toks", F.explode(positions).alias("_pos")).select(
+        "_id",
+        F.xxhash64(F.array_join(F.slice(F.col("_toks"), F.col("_pos"), n), " ")).alias(
+            "_gram"
+        ),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Drop every document sharing ANY word ``n``-gram with the
+    benchmark corpus — test-set decontamination, the curation step that
+    keeps eval benchmarks out of training data.
+
+    Plan shape: the benchmark's distinct gram set BROADCASTS (eval
+    benchmarks are a few MB of grams against a 100 TB corpus), so the
+    corpus side is one map-only gram explode + broadcast semi-join —
+    the corpus never shuffles. The distinct-hit aggregation and the
+    anti-join shuffle only the contaminated ids (≪ corpus). If the
+    benchmark ever outgrows the broadcast threshold, drop the
+    ``broadcast()`` hint and the same plan degrades to a shuffle
+    semi-join — semantics unchanged.
+
+    ``n`` trades precision for recall: standard pipelines use 8-13-word
+    grams (an 8-gram collision between independent texts is vanishingly
+    rare, so any shared gram is evidence of contamination).
+    """
+    doc_grams = _word_gram_rows(docs, text_col, id_col, n)
+    bench_grams = (
+        _word_gram_rows(benchmark, text_col, id_col, n).select("_gram").distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_gram")
+        .select("_id")
+        .distinct()
+        .withColumnRenamed("_id", id_col)
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition: (id, n_grams, n_distinct,
+    rep_ratio = 1 − distinct/total) — the Gopher-style quality signal
+    flagging boilerplate/spam (high duplicate-gram fraction).
+
+    One shuffle (the per-doc aggregation); gram building is map-only
+    codegen. Documents with < n tokens emit no row — repetition is
+    undefined on an empty gram set, and the absence composes with a
+    left join + null-handling at the caller.
+    """
+    return (
+        _word_gram_rows(docs, text_col, id_col, n)
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("_gram").alias("n_distinct"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_distinct",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 4).alias(
+                "rep_ratio"
+            ),
+        )
+    )
+
+
 # RE2-and-Java-compatible patterns (no lookaround, no backrefs): the
 # oracle runs them in DuckDB (RE2), the engine in the JVM (java.util.regex).
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

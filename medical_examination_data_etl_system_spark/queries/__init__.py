@@ -127,14 +127,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
-    # (3) round-4-green, high-signal oracles to fill the 50-entry window
+    # (3) NEW in round 5 — never driver-checked
+    "docs_decontaminate",
+    "docs_repetition_ratio",
+    # (4) round-4-green, high-signal oracles to fill the 50-entry window
     "agg_percentiles_by_flag",
     "q9_product_profit",
     "q21_suppliers_who_kept_waiting",
     "docs_near_dup_minhash",
     "docs_near_dup_simhash",
-    "docs_dedup_exact",
-    "docs_ngram_jaccard",
 ]
 
 

@@ -198,10 +198,79 @@ ORDER BY doc_id, chunk_no
 """
 
 
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the pseudo-benchmark is the
+    deterministic doc_id % 97 == 0 slice; every remaining document
+    sharing any word trigram with it is dropped (n=3 rather than the
+    production 8 so the short test documents actually collide)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (
+        curation.decontaminate(corpus, bench, n=3)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# Tokenization mirrors operators/text_analysis.normalized_text
+# (lower+trim+collapse-whitespace); grams compare as strings where the
+# engine compares xxhash64 longs — hash-collision-exact, the
+# ngram_jaccard stance.
+DECONTAMINATE_SQL = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+cg AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+         )) AS g
+  FROM corpus
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+         )) AS g
+  FROM bench
+)
+SELECT doc_id, source, lang
+FROM corpus
+WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+ORDER BY doc_id
+"""
+
+
+def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document bigram repetition signal."""
+    docs = load(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs, n=2).orderBy("doc_id")
+
+
+REPETITION_SQL = """
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 0) + 1),
+           i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+1], ' ')
+         )) AS g
+  FROM documents
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(DISTINCT g) AS n_distinct,
+       round(1 - (count(DISTINCT g)::DOUBLE / count(*)), 4) AS rep_ratio
+FROM grams
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_domain_cap": QueryDef(docs_domain_cap, DOMAIN_CAP_SQL),
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_SQL),
     "docs_pii_redact": QueryDef(docs_pii_redact, PII_SQL),
     "docs_chunk_overlap": QueryDef(docs_chunk_overlap, CHUNK_SQL),
+    "docs_decontaminate": QueryDef(docs_decontaminate, DECONTAMINATE_SQL),
+    "docs_repetition_ratio": QueryDef(docs_repetition_ratio, REPETITION_SQL),
 }

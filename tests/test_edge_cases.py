@@ -110,3 +110,41 @@ def test_bucket_col_list_parsed_exactly():
     assert _parse_col_list("[`subkey`]") != ["key"]
     assert _parse_col_list("[`a`, `b`]") == ["a", "b"]
     assert _parse_col_list("") == []
+
+
+def test_decontaminate_semantics(spark):
+    """A doc sharing an n-gram with the benchmark is dropped; disjoint
+    docs and sub-n-token docs survive."""
+    from medical_examination_data_etl_system_spark.operators import curation
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # shares trigram with bench
+            (2, "entirely different words here"),  # survives
+            (3, "two tokens"),                     # < n tokens: no grams, survives
+            (4, "QUICK   Brown FOX"),              # normalization: matches bench
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "a quick brown fox ran")], ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"] for r in curation.decontaminate(corpus, bench, n=3).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_repetition_stats_values(spark):
+    from medical_examination_data_etl_system_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab → 5 grams, 2 distinct
+            (2, "w x y z"),       # 3 grams, all distinct
+            (3, "solo"),          # < 2 tokens → no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in curation.repetition_stats(docs, n=2).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["n_grams"], got[1]["n_distinct"], got[1]["rep_ratio"]) == (5, 2, 0.6)
+    assert got[2]["rep_ratio"] == 0.0

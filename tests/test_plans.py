@@ -242,3 +242,31 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join reintroduced a shuffle"
+
+
+def test_decontaminate_corpus_never_shuffles(spark):
+    """Decontamination's corpus side must reach the gram semi-join
+    map-only (benchmark gram set broadcasts; a SortMergeJoin would mean
+    the 100 TB corpus shuffles on gram)."""
+    from medical_examination_data_etl_system_spark.operators import curation
+
+    docs = load(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _simple_plan(curation.decontaminate(corpus, bench, n=3))
+    assert "SortMergeJoin" not in plan, f"corpus shuffled on gram:\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan  # codegen gram fan-out, no Python
+
+
+def test_repetition_stats_two_phase_distinct(spark):
+    """Exact distinct-gram counting is a two-Exchange aggregate
+    ((id, gram) partial → id final) — the minimum for exact
+    countDistinct; more would mean a redundant shuffle."""
+    from medical_examination_data_etl_system_spark.operators import curation
+
+    docs = load(spark, SF_DIR, "documents")
+    plan = _simple_plan(curation.repetition_stats(docs))
+    assert plan.count("Exchange") <= 2, f"extra shuffle:\n{plan}"
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
