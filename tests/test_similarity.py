@@ -153,3 +153,34 @@ def test_srp_mega_bucket_sharded(spark):
     }
     assert len(exact) == 120 * 119 // 2, "adversarial corpus should be all-pairs"
     assert srp == exact, "sharding changed the emitted pair set"
+
+
+def test_srp_shard_invariance(spark):
+    """The emitted pair set must be IDENTICAL for any shard target and
+    any size-sample rate — sharding and sampled sizing affect task
+    bounds only, never results (random corpus, three configurations
+    incl. pathological target=1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # two loose clusters + noise → a mix of dense and sparse buckets
+    centers = rng.normal(size=(2, 64))
+    rows = []
+    for i in range(90):
+        base = centers[i % 2] if i % 3 else rng.normal(size=64)
+        rows.append((i, (base + rng.normal(scale=0.05, size=64)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in similarity.embedding_near_duplicates_srp(
+                emb, threshold=0.8, num_tables=2, **kw
+            ).collect()
+        )
+
+    baseline = pairs(target_block_rows=10**9, size_sample_mod=1)  # unsharded
+    assert baseline, "corpus should produce near-dup pairs"
+    assert pairs(target_block_rows=16, size_sample_mod=1) == baseline
+    assert pairs(target_block_rows=1, size_sample_mod=1) == baseline
+    assert pairs(target_block_rows=16, size_sample_mod=5) == baseline
