@@ -35,9 +35,34 @@ from medical_examination_data_etl_system_spark.operators.cache import cache_scop
 from medical_examination_data_etl_system_spark.queries import all_queries  # noqa: E402
 
 
+def _settle(max_wait_sec: int = 60, load_per_cpu: float = 0.25) -> None:
+    """Bounded wait for background load to drain before timing.
+
+    A bench started while another JVM is tearing down (the driver runs
+    phases back-to-back) inflates EVERY query uniformly — measured
+    ×1.4 on untouched TPC-H shapes in round 5. One-minute cap: if the
+    machine stays busy, proceed anyway (min-of-N still bounds the
+    damage) and note it on stderr so the number can be discounted.
+    """
+    try:
+        ncpu = os.cpu_count() or 1
+        deadline = time.time() + max_wait_sec
+        while time.time() < deadline:
+            load1 = os.getloadavg()[0]
+            if load1 <= ncpu * load_per_cpu:
+                return
+            print(f"bench: load {load1:.1f} > {ncpu * load_per_cpu:.1f}, settling...",
+                  file=sys.stderr, flush=True)
+            time.sleep(5)
+        print("bench: proceeding under residual load", file=sys.stderr, flush=True)
+    except OSError:
+        pass  # platform without getloadavg
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    _settle()
     spark = get_spark(app_name="medical_examination_data_etl_system_spark-bench")
 
     # warm-up: JVM + parquet footer caches
