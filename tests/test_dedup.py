@@ -47,7 +47,10 @@ def test_ngram_df_cap_drops_stopword_grams(spark):
 def test_cache_scope_releases_operator_persists(spark):
     docs = _docs(spark, [(i, f"the quick brown fox {i} jumps over", "s") for i in range(20)])
     with cache.cache_scope() as frames:
-        minhash_near_duplicates(docs, threshold=0.9).collect()
+        # collapse_exact forced on: "auto" would skip it (unique corpus)
+        # and persist one frame fewer — this test pins RELEASE, not the
+        # probe decision.
+        minhash_near_duplicates(docs, threshold=0.9, collapse_exact=True).collect()
         assert len(frames) == 4  # collapse window + shingle rows + distinct index + bands
         assert all(f.storageLevel != StorageLevel.NONE for f in frames)
     assert all(f.storageLevel == StorageLevel.NONE for f in frames)
@@ -56,7 +59,7 @@ def test_cache_scope_releases_operator_persists(spark):
 def test_unscoped_persists_are_tracked_and_releasable(spark):
     docs = _docs(spark, [(i, f"a b c d e f {i}", "s") for i in range(5)])
     before = len(cache.tracked_frames())
-    minhash_near_duplicates(docs, threshold=0.9).collect()
+    minhash_near_duplicates(docs, threshold=0.9, collapse_exact=True).collect()
     assert len(cache.tracked_frames()) == before + 4
     cache.release_all()
     assert cache.tracked_frames() == []
@@ -119,3 +122,40 @@ def test_simhash_collapse_exact_equivalence(spark):
     assert key(fast) == key(direct)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in fast}
     assert pairs[(1, 2)] == 0 and pairs[(21, 22)] == 0
+
+
+def test_collapse_probe_decides_by_duplication(spark):
+    """_should_collapse: mostly-unique corpus → skip; duplicate-heavy
+    (10x replication) → collapse."""
+    from medical_examination_data_etl_system_spark.operators.dedup import _should_collapse
+
+    unique = spark.createDataFrame(
+        [(i, f"totally unique document number {i} with words {i*7}") for i in range(300)],
+        ["doc_id", "text"],
+    )
+    assert not _should_collapse(unique, "text")
+    replicated = spark.createDataFrame(
+        [(i * 100 + r, f"shared text {i}") for i in range(30) for r in range(10)],
+        ["doc_id", "text"],
+    )
+    assert _should_collapse(replicated, "text")
+
+
+def test_minhash_auto_equals_forced_modes(spark):
+    """collapse_exact 'auto'/True/False must emit identical pairs on
+    both a unique-heavy and a duplicate-heavy corpus (the probe is a
+    cost decision, never a semantic one)."""
+    from medical_examination_data_etl_system_spark.operators.dedup import minhash_near_duplicates
+
+    base = [(i, f"some base document text number {i} padded with shared words") for i in range(40)]
+    dup_heavy = base + [(1000 + i, base[i % 10][1]) for i in range(60)]
+    for rows in (base, dup_heavy):
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            mode: sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in minhash_near_duplicates(docs, collapse_exact=mode).collect()
+            )
+            for mode in ("auto", True, False)
+        }
+        assert out["auto"] == out[True] == out[False]
