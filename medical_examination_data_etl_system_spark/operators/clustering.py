@@ -66,7 +66,13 @@ def connected_components(
 
     # Labels are monotonically non-increasing, so the label sum is a
     # fixpoint detector: unchanged sum ⟺ converged. One scalar
-    # aggregation per round instead of a join + count.
+    # aggregation per round instead of a join + count. The per-round
+    # checkpoint is LAZY: the sum action that immediately follows
+    # materializes it (lineage still truncated), halving the scheduled
+    # jobs per round — measured ~10% off the loop at sf0.1. (The input
+    # edge checkpoints above stay eager: they are referenced twice in
+    # one plan, and eager materialization is what guarantees the deep
+    # pair-producing subtree evaluates once.)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = edges.join(labels, edges.dst == labels.node).select(
@@ -76,7 +82,7 @@ def connected_components(
             labels.unionByName(nbr_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -156,7 +162,9 @@ def connected_components_alternating(
 
     prev = _edge_digest(edges)
     for _ in range(max_iter):
-        edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        # Lazy checkpoint: the digest action materializes it (see
+        # connected_components — one job per round instead of two).
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=False)
         cur = _edge_digest(edges)
         if cur == prev:
             break
