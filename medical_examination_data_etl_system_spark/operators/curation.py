@@ -58,6 +58,36 @@ def hash_sample(df: DataFrame, id_col: str, pct: int, buckets: int = 100) -> Dat
     return df.filter(hash_bucket(F.col(id_col), buckets) < pct)
 
 
+def domain_mix(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rates: dict[str, int],
+    default_pct: int = 100,
+    buckets: int = 100,
+) -> DataFrame:
+    """Weighted per-domain sampling: keep ``rates[key]`` percent of each
+    domain's rows (``default_pct`` for unlisted domains), selected by
+    the same deterministic md5 bucket as :func:`hash_sample`.
+
+    Training-mixture construction — up/down-weighting sources (web vs
+    books vs code) to hit a target distribution. Still map-only: the
+    per-row rate is a literal-map lookup (``create_map`` → codegen
+    ``GetMapValue``), the membership test the same id-hash filter, so
+    the operator composes with pushdown and never shuffles. Because the
+    bucket depends only on the id, per-domain samples at different
+    rates remain mutually consistent (a row kept at 20% is kept at any
+    higher rate), which keeps mixture re-weighting MONOTONE: raising
+    one domain's rate only ADDS rows, so ablation ladders share
+    documents instead of resampling the corpus.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for k in sorted(rates) for x in (k, int(rates[k]))]
+    )
+    rate = F.coalesce(mapping[F.col(key_col)], F.lit(int(default_pct)))
+    return df.filter(hash_bucket(F.col(id_col), buckets) < rate)
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,149 @@
+"""CDC merge / upsert and SCD type-2 history operators.
+
+The mutation surface of a warehouse engine, re-expressed for Spark's
+immutable-DataFrame model: instead of in-place MERGE, both operators
+produce the post-merge relation as a new DataFrame — the shape that
+scales (a 100 TB MERGE is a rewrite of the touched partitions anyway;
+expressing it as base ⟕ changes lets Catalyst plan the join, AQE split
+skewed keys, and the writer rewrite only what changed).
+
+Plan shapes:
+
+- :func:`apply_changes` — one shuffle of the changes on the key (the
+  latest-wins window), one join of base against the change KEYS only
+  (broadcast-able whenever a batch of changes is small relative to the
+  base — the common CDC case), one union. The base never sorts.
+- :func:`scd2_intervals` — a single partition-sort of the change log;
+  both window passes (change-collapse lag, validity lead) share the
+  same (partition, order) spec so Catalyst plans ONE Sort + Window
+  chain, no second shuffle.
+
+Determinism contract (same stance as ``curation.cap_per_key``): the
+``seq_col`` / ``order_col`` must be unique per key — ``row_number`` /
+``lag`` / ``lead`` tie-break by partition-internal order otherwise,
+which is not stable across runs or engines. Pass a composite like
+``["ts", "event_id"]`` when the primary column can tie.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators.curation import _temp_name
+
+
+def _order_cols(order_col: str | list[str]) -> list[str]:
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: str | list[str],
+    seq_col: str | list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change batch onto a base relation (type-1 MERGE).
+
+    Semantics (Delta/Iceberg ``MERGE`` + Debezium-style op codes):
+    for each key, only the LATEST change (max ``seq_col``) applies;
+    a delete op removes the key, any other op replaces the full row;
+    base rows whose key has no change pass through unchanged.
+
+    ``changes`` must carry the base's columns plus ``op_col``; the
+    result has exactly the base's schema.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in _order_cols(seq_col)])
+    rn = _temp_name(changes, "_rn")
+    latest = changes.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    untouched = base.join(latest.select(*keys), keys, "left_anti")
+    return untouched.unionByName(upserts)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at its
+    timestamp: ``valid_from <= ts AND (ts < valid_to OR valid_to IS
+    NULL)`` — the temporal/point-in-time join over an SCD2 history
+    (training-data labeling's "no future leakage" join).
+
+    Plan shape: the key equality makes this a plain hash/sort-merge
+    equi-join with the interval containment as a post-join filter —
+    NOT a nested-loop range join. Per-key version counts are small
+    (that is what SCD2 collapse guarantees), so the filter discards a
+    bounded number of candidate versions per fact. With
+    ``how="inner"``, facts before their key's first version drop out;
+    ``"left"`` keeps them with null dimension columns.
+
+    Because :func:`scd2_intervals` emits non-overlapping intervals per
+    key, each fact matches AT MOST one version — the join never
+    duplicates facts.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cond = (F.col(f"f.{ts_col}") >= F.col(f"h.{valid_from}")) & (
+        F.col(f"h.{valid_to}").isNull() | (F.col(f"f.{ts_col}") < F.col(f"h.{valid_to}"))
+    )
+    for k in keys:
+        cond = cond & (F.col(f"f.{k}") == F.col(f"h.{k}"))
+    hist_cols = [c for c in history.columns if c not in keys]
+    return (
+        facts.alias("f")
+        .join(history.alias("h"), cond, how)
+        .select("f.*", *[F.col(f"h.{c}").alias(c) for c in hist_cols])
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: str | list[str],
+    order_col: str | list[str],
+    attr_cols: list[str],
+    collapse: bool = True,
+) -> DataFrame:
+    """Build SCD type-2 validity intervals from an ordered change log.
+
+    One output row per STATE of ``attr_cols`` per key:
+    ``valid_from`` = the first order value with that state,
+    ``valid_to`` = the next state's ``valid_from`` (null while current),
+    ``is_current`` = the key's trailing open state.
+
+    With ``collapse=True`` (the SCD2 contract) consecutive rows whose
+    attributes did not change are folded into one interval — a change
+    log that re-states the same value does not fragment history. The
+    collapse test is null-safe (``<=>``-style via struct equality), so
+    a null attribute is a state like any other.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = _order_cols(order_col)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    state: Column = F.struct(*[F.col(c) for c in attr_cols])
+    out = df.select(*keys, *order, *attr_cols)
+    if collapse:
+        ch = _temp_name(out, "_changed")
+        # lag over the SAME window spec as the later lead: one sort.
+        out = (
+            out.withColumn(ch, ~state.eqNullSafe(F.lag(state).over(w)) | F.lag(state).over(w).isNull())
+            .filter(F.col(ch))
+            .drop(ch)
+        )
+    # lead() over the collapsed rows: same partitioning and ordering, so
+    # when collapse dropped rows Spark re-sorts the (smaller) survivor
+    # set; valid_from of the NEXT state closes this one.
+    out = out.withColumn("valid_from", F.col(order[0]))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        out.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*keys, *attr_cols, "valid_from", "valid_to", "is_current")
+    )

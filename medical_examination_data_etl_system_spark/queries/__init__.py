@@ -127,20 +127,24 @@ _DRIVER_WINDOW_PRIORITY = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
-    # (3) NEW in round 5 — never driver-checked
+    # (3) NEW in round 5 — never driver-checked (the late-round CDC /
+    # mixture / streaming-dedup / outlier additions displace the
+    # round-4-green fills that previously padded the window: a query
+    # with ZERO driver rows outranks one green 1 round ago)
     "docs_decontaminate",
     "docs_repetition_ratio",
-    # (4) round-4-green, high-signal oracles to fill the 50-entry window
-    "agg_percentiles_by_flag",
-    "q9_product_profit",
-    "q21_suppliers_who_kept_waiting",
-    "docs_near_dup_minhash",
-    "docs_near_dup_simhash",
+    "cdc_merge_orders",
+    "scd2_user_event_history",
+    "docs_domain_mix",
+    "stream_dedup_exactly_once",
+    "agg_p90_outlier_orders",
+    "pit_purchase_user_state",
 ]
 
 
 def all_queries() -> dict[str, QueryDef]:
     from medical_examination_data_etl_system_spark.queries import (
+        cdc,
         curation,
         datapipe,
         events,
@@ -153,7 +157,7 @@ def all_queries() -> dict[str, QueryDef]:
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (tpch, tpch2, relational, events, functions, datapipe, curation, streaming, skew):
+    for mod in (tpch, tpch2, relational, events, functions, datapipe, curation, streaming, skew, cdc):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -38,6 +38,45 @@ ORDER BY doc_id
 """
 
 
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture re-weighting: per-source keep rates (src0 100%,
+    src1 60%, src2 30%, src3 10%, everything else 50%) applied via the
+    same md5 id-bucket as the flat sample — map-only, and monotone with
+    docs_hash_sample (a doc kept at 20% flat is kept by any source rate
+    ≥ 20)."""
+    docs = load(spark, sf_dir, "documents")
+    mixed = curation.domain_mix(
+        docs,
+        key_col="source",
+        id_col="doc_id",
+        rates={"src0": 100, "src1": 60, "src2": 30, "src3": 10},
+        default_pct=50,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_MIX_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id
+FROM documents
+WHERE {_BUCKET_SQL} < CASE source
+         WHEN 'src0' THEN 100 WHEN 'src1' THEN 60
+         WHEN 'src2' THEN 30 WHEN 'src3' THEN 10 ELSE 50 END
+GROUP BY source
+ORDER BY source
+"""
+
+
 def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap every source at 40 docs (lowest doc_id first) — bounding any
     one domain's share of the corpus."""
@@ -267,6 +306,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
+    "docs_domain_mix": QueryDef(docs_domain_mix, DOMAIN_MIX_SQL),
     "docs_domain_cap": QueryDef(docs_domain_cap, DOMAIN_CAP_SQL),
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_SQL),
     "docs_pii_redact": QueryDef(docs_pii_redact, PII_SQL),

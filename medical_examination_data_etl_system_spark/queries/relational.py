@@ -538,7 +538,82 @@ ORDER BY s.o_orderstatus, p.prio
 """
 
 
+def agg_p90_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped robust-outlier filter: orders strictly above their
+    priority group's exact p90 total price.
+
+    The p90 comes from the same one-sort rank-interpolation as
+    ``agg_percentiles_by_flag`` (no TypedImperativeAggregate); the
+    5-row per-group threshold table then BROADCASTS back onto orders,
+    so the filter pass is map-side — the full relation shuffles once
+    (the rank sort), never twice. The UNROUNDED p90 drives the
+    comparison (rounding only the reported column): both engines
+    evaluate the identical double expression tree, so the
+    greater-than can't flip at a display-rounding boundary.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice", "o_orderkey")
+    wo = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wp = W.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    h = (F.col("_n") - 1) * F.lit(0.9) + 1
+    lo = F.max(F.when(F.col("_rn") == F.floor(h), F.col("o_totalprice")))
+    hi = F.max(F.when(F.col("_rn") == F.floor(h) + 1, F.col("o_totalprice")))
+    frac = F.max(h - F.floor(h))
+    p90 = ranked.groupBy("o_orderpriority").agg(
+        (lo + frac * (F.coalesce(hi, lo) - lo)).alias("_p90")
+    )
+    return (
+        orders.join(F.broadcast(p90), "o_orderpriority")
+        .filter(F.col("o_totalprice") > F.col("_p90"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min("_p90"), 2).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# Mirrors the Spark rank-and-interpolate EXPRESSION FOR EXPRESSION
+# (PERCENTILES_SQL discipline): the unrounded p90 drives the filter on
+# both engines.
+P90_OUTLIER_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), p90 AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN o_totalprice END)
+         + max((n - 1) * CAST(0.9 AS DOUBLE) + 1 - floor((n - 1) * CAST(0.9 AS DOUBLE) + 1)) *
+           (coalesce(max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) + 1 THEN o_totalprice END),
+                     max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN o_totalprice END))
+            - max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN o_totalprice END)) AS p90_exact
+  FROM ranked
+  GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       round(min(p.p90_exact), 2) AS p90_price,
+       CAST(count(*) AS BIGINT) AS n_outliers,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(o.o_orderkey) AS max_orderkey
+FROM orders o JOIN p90 p USING (o_orderpriority)
+WHERE o.o_totalprice > p.p90_exact
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES = {
+    "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
     "join_inner_enrich": QueryDef(join_inner_enrich, JOIN_INNER_SQL),
     "join_semi_customers_with_orders": QueryDef(join_semi_customers_with_orders, JOIN_SEMI_SQL),
     "join_anti_customers_without_orders": QueryDef(join_anti_customers_without_orders, JOIN_ANTI_SQL),

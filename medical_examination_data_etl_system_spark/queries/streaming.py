@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark.streaming import (
     attribution_join,
+    dedup_within_watermark,
     read_events_stream,
     run_available_now,
     sessionize_stateful,
@@ -102,8 +103,47 @@ ORDER BY purchase_id, click_id
 """
 
 
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked dedup under simulated at-least-once
+    delivery: TWO independent file streams over the same events (every
+    row delivered twice) are unioned, then
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type, ts)
+    collapses the redelivery — the drained output is each distinct key
+    exactly once, summarized per event type. The oracle is the batch
+    DISTINCT, which is the exactly-once contract."""
+    a = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    b = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    deduped = dedup_within_watermark(a.unionByName(b), ["user_id", "event_type", "ts"])
+    out = run_available_now(deduped, "q_stream_dedup")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       max(ts) AS max_ts
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_sessionize_stateful": QueryDef(stream_sessionize_stateful, STREAM_SESSIONS_SQL),
     "stream_click_attribution": QueryDef(stream_click_attribution, STREAM_ATTRIBUTION_SQL),
+    "stream_dedup_exactly_once": QueryDef(stream_dedup_exactly_once, STREAM_DEDUP_SQL),
 }

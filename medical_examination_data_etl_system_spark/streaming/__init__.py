@@ -13,6 +13,7 @@ and compares against the batch implementation on the same data.
 from medical_examination_data_etl_system_spark.streaming.events import (
     EVENTS_SCHEMA,
     attribution_join,
+    dedup_within_watermark,
     read_events_stream,
     run_available_now,
     sessionize_stateful,
@@ -34,6 +35,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "PAYLOAD_SCHEMA",
     "attribution_join",
+    "dedup_within_watermark",
     "event_payload_json",
     "parse_event_payload",
     "read_events_kafka",

@@ -161,6 +161,29 @@ def stream_session_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    subset: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop rows whose ``subset`` key was
+    already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``):
+    state for a key is EVICTED once the watermark passes its event
+    time, so state size is bounded by the key arrival rate × watermark
+    horizon instead of growing forever — the only dedup formulation
+    that survives an unbounded stream. At-least-once sources (Kafka
+    redelivery, file-source reprocessing) become exactly-once for any
+    downstream agg as long as redelivery happens inside the horizon.
+
+    ``subset`` must include the event-time column (here duplicates
+    carry the same ``ts``, so redeliveries always land inside the
+    horizon of the first copy).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(subset)
+
+
 # ---------------------------------------------------------------------------
 # Stream-stream join
 # ---------------------------------------------------------------------------

@@ -55,6 +55,14 @@ HEAVY_EXTENSION = [
     "skew_salted_count_distinct",
     "agg_percentiles_by_flag",
     "text_rolling_fingerprint",
+    # round-5 late additions: mutation/mixture/temporal surface
+    "cdc_merge_orders",
+    "scd2_user_event_history",
+    "pit_purchase_user_state",
+    "docs_domain_mix",
+    "agg_p90_outlier_orders",
+    "docs_decontaminate",
+    "docs_repetition_ratio",
 ]
 
 
