@@ -270,3 +270,44 @@ def test_repetition_stats_two_phase_distinct(spark):
     assert plan.count("Exchange") <= 2, f"extra shuffle:\n{plan}"
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_point_in_time_join_is_equi_join(spark):
+    """The temporal join's key equality must make it a hash/sort-merge
+    equi-join with the interval containment as a post-join filter — a
+    BroadcastNestedLoopJoin/CartesianProduct would mean Spark planned
+    the range predicate as the join itself (quadratic at scale)."""
+    from medical_examination_data_etl_system_spark.operators import merge
+
+    events = load(spark, SF_DIR, "events")
+    history = merge.scd2_intervals(
+        events.filter(F.col("event_type") != "purchase"),
+        "user_id", ["ts", "event_id"], ["event_type"],
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = _simple_plan(merge.point_in_time_join(facts, history, "user_id", "ts"))
+    assert "NestedLoopJoin" not in plan, f"range planned as NL join:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_apply_changes_base_never_sort_merge_joins(spark):
+    """CDC MERGE plan contract: the changed-key set broadcasts into the
+    anti-join, so the base side never shuffles or sorts (only the
+    changes pay the latest-wins window sort — measured 3× at a 100×
+    batch where AQE's post-window estimate refused the broadcast)."""
+    from medical_examination_data_etl_system_spark.operators import merge
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(k=i, v="x") for i in range(100)])
+    changes = spark.createDataFrame([Row(k=i, v="y", seq=1, op="U") for i in range(10)])
+    plan = _simple_plan(merge.apply_changes(base, changes, "k", "seq"))
+    assert "BroadcastHashJoin" in plan, f"key set not broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"base paid a sort-merge join:\n{plan}"
+
+
+def test_p90_outlier_threshold_broadcasts(spark):
+    """The 5-row per-group p90 table must broadcast back onto orders —
+    a SortMergeJoin would shuffle the full fact relation a second time."""
+    plan = _simple_plan(all_queries()["agg_p90_outlier_orders"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, f"threshold join shuffled the facts:\n{plan}"
