@@ -141,9 +141,59 @@ ORDER BY event_type
 """
 
 
+def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-upsert materialized view: the event stream
+    applied as a CDC upsert batch keyed by user (seq = event time,
+    event_id tie-break) through foreachBatch + the batch MERGE, with
+    snapshot-commit isolation. The converged view holds each user's
+    LATEST event; summarized per event type. Oracle = the equivalent
+    batch latest-per-key QUALIFY."""
+    import tempfile
+
+    from medical_examination_data_etl_system_spark.streaming import (
+        UpsertParquetView,
+        run_upsert_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts", "value", "event_id", F.lit("U").alias("op")
+    )
+    d = tempfile.mkdtemp(prefix="upsert_view_")
+    view = UpsertParquetView(
+        f"{d}/view", key_cols="user_id", seq_col=["ts", "event_id"]
+    )
+    run_upsert_stream(stream, view, checkpoint=f"{d}/ckpt")
+    return (
+        view.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_UPSERT_SQL = """
+WITH latest AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(ts) AS max_ts
+FROM latest
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_sessionize_stateful": QueryDef(stream_sessionize_stateful, STREAM_SESSIONS_SQL),
     "stream_click_attribution": QueryDef(stream_click_attribution, STREAM_ATTRIBUTION_SQL),
     "stream_dedup_exactly_once": QueryDef(stream_dedup_exactly_once, STREAM_DEDUP_SQL),
+    "stream_upsert_latest_state": QueryDef(stream_upsert_latest_state, STREAM_UPSERT_SQL),
 }

@@ -22,6 +22,10 @@ from medical_examination_data_etl_system_spark.streaming.events import (
     stream_tumbling_counts,
     write_parquet_stream,
 )
+from medical_examination_data_etl_system_spark.streaming.upsert import (
+    UpsertParquetView,
+    run_upsert_stream,
+)
 from medical_examination_data_etl_system_spark.streaming.sources import (
     PAYLOAD_SCHEMA,
     event_payload_json,
@@ -47,5 +51,7 @@ __all__ = [
     "stream_session_counts",
     "stream_sliding_counts",
     "stream_tumbling_counts",
+    "UpsertParquetView",
+    "run_upsert_stream",
     "write_parquet_stream",
 ]

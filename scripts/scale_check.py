@@ -63,6 +63,7 @@ HEAVY_EXTENSION = [
     "agg_p90_outlier_orders",
     "docs_decontaminate",
     "docs_repetition_ratio",
+    "stream_upsert_latest_state",
 ]
 
 
