@@ -120,7 +120,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
-    "q10_returned_items",
     "q11_important_parts",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -141,6 +140,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_p90_outlier_orders",
     "pit_purchase_user_state",
     "stream_upsert_latest_state",
+    "layout_partition_prune",
 ]
 
 

@@ -612,8 +612,55 @@ ORDER BY o.o_orderpriority
 """
 
 
+def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout round trip: orders written Hive-partitioned by
+    priority (sorted by orderdate within files), read back through the
+    pruned path — the priority predicate eliminates directories before
+    I/O, the date predicate pushes into the surviving files' row-group
+    stats. The oracle aggregates the source directly, so the round trip
+    (dir-name value restoration included) is value-hash-checked."""
+    import tempfile
+
+    from medical_examination_data_etl_system_spark.operators.layout import (
+        read_pruned,
+        write_partitioned,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="layout_orders_") + "/by_priority"
+    write_partitioned(
+        orders, out, partition_cols=["o_orderpriority"], sort_cols=["o_orderdate"]
+    )
+    back = read_pruned(spark, out).filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1996-07-01")
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LAYOUT_PRUNE_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1996-07-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
+    "layout_partition_prune": QueryDef(layout_partition_prune, LAYOUT_PRUNE_SQL),
     "join_inner_enrich": QueryDef(join_inner_enrich, JOIN_INNER_SQL),
     "join_semi_customers_with_orders": QueryDef(join_semi_customers_with_orders, JOIN_SEMI_SQL),
     "join_anti_customers_without_orders": QueryDef(join_anti_customers_without_orders, JOIN_ANTI_SQL),

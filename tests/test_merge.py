@@ -150,6 +150,22 @@ def test_domain_mix_default_rate_applies_to_unlisted(spark):
     assert 0 < n < 200  # ~50%, binomial around 100
 
 
+def test_domain_mix_null_semantics(spark):
+    """Null id → null bucket → filtered out (a row that can't be
+    deterministically re-derived has no place in a reproducible
+    sample); null domain key → the default rate applies."""
+    df = spark.createDataFrame(
+        [Row(id=None, src="a"), Row(id=1, src=None), Row(id=2, src="a")],
+        "id int, src string",
+    )
+    kept = curation.domain_mix(df, "src", "id", {"a": 100}, default_pct=100)
+    assert [(r.id, r.src) for r in kept.orderBy("id").collect()] == [
+        (1, None), (2, "a")
+    ]
+    none_kept = curation.domain_mix(df, "src", "id", {"a": 100}, default_pct=0)
+    assert [r.src for r in none_kept.collect()] == ["a"]
+
+
 def test_domain_mix_is_map_only(spark):
     df = spark.createDataFrame([Row(id=1, src="a")])
     plan = curation.domain_mix(df, "src", "id", {"a": 10})._jdf.queryExecution().executedPlan().toString()
