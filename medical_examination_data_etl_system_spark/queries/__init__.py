@@ -121,10 +121,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q11_important_parts",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     # (3) NEW in round 5 — never driver-checked (the late-round CDC /
@@ -141,6 +139,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "pit_purchase_user_state",
     "stream_upsert_latest_state",
     "layout_partition_prune",
+    "window_range_30d_sum",
+    "events_variant_extract",
 ]
 
 

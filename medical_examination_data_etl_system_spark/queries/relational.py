@@ -658,9 +658,83 @@ ORDER BY o_orderstatus
 """
 
 
+def window_range_30d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame (time-based) moving aggregate: per customer, order
+    count and exact-cent spend over the trailing 30 days INCLUSIVE of
+    peers — the frame is defined by the ORDER VALUE (event time), not
+    row offsets, so same-day orders are all peers and the result is
+    tie-order independent (the physical property rows-frames lack).
+    Spark needs a numeric range key: epoch seconds, frame
+    [-30*86400, 0]; DuckDB runs the same frame as RANGE INTERVAL."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w)
+        .alias("sum_cents_30d"),
+    ).orderBy("o_orderkey")
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): events.props parsed once
+    into the binary variant encoding, fields extracted with typed
+    ``variant_get`` — the open-schema column pattern (no schema
+    declared up front, per-path typed access, shredding-ready) that
+    replaces string-re-parsing ``get_json_object`` chains. Oracle is
+    DuckDB's JSON extraction of the same path."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+WHERE CAST(props->>'k' AS INTEGER) >= 50
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
     "layout_partition_prune": QueryDef(layout_partition_prune, LAYOUT_PRUNE_SQL),
+    "window_range_30d_sum": QueryDef(window_range_30d_sum, WINDOW_RANGE_SQL),
+    "events_variant_extract": QueryDef(events_variant_extract, VARIANT_SQL),
     "join_inner_enrich": QueryDef(join_inner_enrich, JOIN_INNER_SQL),
     "join_semi_customers_with_orders": QueryDef(join_semi_customers_with_orders, JOIN_SEMI_SQL),
     "join_anti_customers_without_orders": QueryDef(join_anti_customers_without_orders, JOIN_ANTI_SQL),
