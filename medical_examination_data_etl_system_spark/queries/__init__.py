@@ -146,6 +146,7 @@ _DRIVER_WINDOW_PRIORITY = [
 
 def all_queries() -> dict[str, QueryDef]:
     from medical_examination_data_etl_system_spark.queries import (
+        analytics,
         cdc,
         curation,
         datapipe,
@@ -159,7 +160,7 @@ def all_queries() -> dict[str, QueryDef]:
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (tpch, tpch2, relational, events, functions, datapipe, curation, streaming, skew, cdc):
+    for mod in (tpch, tpch2, relational, events, functions, datapipe, curation, streaming, skew, cdc, analytics):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
