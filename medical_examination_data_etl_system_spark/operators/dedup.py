@@ -470,29 +470,51 @@ def ngram_jaccard_pairs(
             )
         )
         return cross.unionByName(intra).orderBy("id_a", "id_b")
-    # Inverted-index formulation: explode n-grams and count shared grams
-    # per pair by aggregation. Pairs sharing no gram never materialize —
-    # unlike an array_intersect over every within-block pair, which is
-    # quadratic in non-overlapping pairs. Shuffled rows are (id, gram)
-    # tokens; pair volume is Σ_g df(g)² — ONE stop-word-like gram with
-    # df=d contributes d² pairs, so ultra-frequent grams are dropped
-    # from the index before pairing (df > max_df). That is structural at
-    # 100 TB, not tuning: a gram shared by a million docs says nothing
-    # about pairwise similarity but would alone emit 10¹² join rows.
-    # Recall loss is bounded: dropping a gram can only LOWER the counted
-    # intersection for pairs that shared it; max_df=10k exceeds any
-    # testdata df, so tested results are byte-identical with the cap on.
-    # Grams enter the index as xxhash64 longs: the shuffle moves 8-byte
-    # keys instead of n-word strings and the equi-join compares longs —
-    # measured 1.5× on the whole query, with identical jaccard values
-    # (distinct-gram counts are hash-collision-exact at any realistic
-    # corpus).
-    # Gram construction mirrors shingle_hash_rows: explode positions so
-    # slice+array_join+xxhash64 stay codegen'd (a transform() lambda is
-    # CodegenFallback — interpreted), then ONE groupBy rebuilds the
-    # per-doc distinct gram set, giving both the exploded index rows and
-    # the Jaccard denominator _n. Short docs (< n tokens) take the
-    # empty-positions branch and simply contribute no grams.
+    pairs = _gram_pair_counts(docs, text_col, id_col, block_col, n, max_df)
+    jaccard = F.round(F.col("_inter") / (F.col("n_a") + F.col("n_b") - F.col("_inter")), 4)
+    return (
+        pairs.select("id_a", "id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _gram_pair_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None,
+    n: int,
+    max_df: int,
+) -> DataFrame:
+    """Shared inverted-index core for the exact set-overlap family
+    (Jaccard, containment): per same-block pair, the distinct-gram
+    intersection count plus both set sizes —
+    ``(id_a, id_b, n_a, n_b, _inter)``.
+
+    Inverted-index formulation: explode n-grams and count shared grams
+    per pair by aggregation. Pairs sharing no gram never materialize —
+    unlike an array_intersect over every within-block pair, which is
+    quadratic in non-overlapping pairs. Shuffled rows are (id, gram)
+    tokens; pair volume is Σ_g df(g)² — ONE stop-word-like gram with
+    df=d contributes d² pairs, so ultra-frequent grams are dropped
+    from the index before pairing (df > max_df). That is structural at
+    100 TB, not tuning: a gram shared by a million docs says nothing
+    about pairwise similarity but would alone emit 10¹² join rows.
+    Recall loss is bounded: dropping a gram can only LOWER the counted
+    intersection for pairs that shared it; max_df=10k exceeds any
+    testdata df, so tested results are byte-identical with the cap on.
+    Grams enter the index as xxhash64 longs: the shuffle moves 8-byte
+    keys instead of n-word strings and the equi-join compares longs —
+    measured 1.5× on the whole query, with identical jaccard values
+    (distinct-gram counts are hash-collision-exact at any realistic
+    corpus).
+    Gram construction mirrors shingle_hash_rows: explode positions so
+    slice+array_join+xxhash64 stay codegen'd (a transform() lambda is
+    CodegenFallback — interpreted), then ONE groupBy rebuilds the
+    per-doc distinct gram set, giving both the exploded index rows and
+    the set-size denominators. Short docs (< n tokens) take the
+    empty-positions branch and simply contribute no grams."""
     staged = docs.select(
         F.col(id_col).alias("_id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
@@ -535,9 +557,35 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    jaccard = F.round(F.col("_inter") / (F.col("n_a") + F.col("n_b") - F.col("_inter")), 4)
+    return pairs
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    n: int = 2,
+    threshold: float = 0.6,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥
+    ``threshold`` within the same block.
+
+    Containment is the near-SUBSET detector Jaccard misses: a document
+    embedded verbatim inside a much longer one scores
+    containment ≈ 1.0 but Jaccard ≈ |A|/|B| → 0 — the
+    quote-a-whole-article and boilerplate-wrapper cases an LLM-corpus
+    dedup pass wants to catch (Broder's resemblance vs containment
+    distinction). Same single-shuffle inverted-index plan as
+    ``ngram_jaccard_pairs`` (shared ``_gram_pair_counts`` core), so the
+    100 TB cost model — Σ_g df(g)² pair volume under a structural
+    df-cap — is identical.
+    """
+    pairs = _gram_pair_counts(docs, text_col, id_col, block_col, n, max_df)
+    containment = F.round(F.col("_inter") / F.least("n_a", "n_b"), 4)
     return (
-        pairs.select("id_a", "id_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        pairs.select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
         .orderBy("id_a", "id_b")
     )

@@ -176,3 +176,101 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text))
         .withColumn("fingerprint", content_fingerprint(text))
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``(id, term, tf, tfidf, rnk)``.
+
+    Scoring: ``tfidf = tf · ln(N / df)`` (raw counts, no smoothing —
+    every quantity is an exact integer until the single ``ln``), rounded
+    to 6 places BEFORE ranking so the rank comparison is on the same
+    rounded value in any engine; ties break on the term itself.
+
+    Plan: tokenize map-only → (doc, term) count → term-level df
+    aggregate → co-partitioned join back on term (vocabulary-sized —
+    AQE broadcasts it when small, shuffles on the term key when not;
+    both sides arrive hashed on term) → per-doc top-k window. Three
+    hash shuffles on high-cardinality keys, no driver-side vocabulary.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs").cast("double") / F.col("_df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "tfidf", "rnk")
+        .orderBy(id_col, "rnk")
+    )
+
+
+def token_entropy_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_entropy_nats: float = 2.0,
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) and type-token
+    ratio: ``(id, n_tokens, n_types, ttr, entropy, low_entropy)`` —
+    the repetitive/degenerate-text quality gate (a doc looping a few
+    tokens has near-zero entropy regardless of length, which
+    length/stopword features miss).
+
+    Entropy is folded into ONE aggregation pass via
+    ``H = ln(T) − (Σ c·ln c)/T`` (algebraically −Σ (c/T)ln(c/T)
+    without needing T inside the sum), so the plan is exactly two hash
+    aggregations — (doc, term) counts, then per-doc — the same shape
+    as ``repetition_stats``. Empty docs emit no token rows and are
+    re-attached with 0 tokens / null entropy by a left join from the
+    input frame.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("_t"),
+    ).filter(F.col("_t") != "")
+    counts = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = counts.groupBy("_id").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("_c") * F.log(F.col("_c").cast("double"))).alias("_clogc"),
+    )
+    entropy = F.round(
+        F.log(F.col("n_tokens").cast("double"))
+        - F.col("_clogc") / F.col("n_tokens"),
+        4,
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+            entropy.alias("entropy"),
+            (entropy < F.lit(low_entropy_nats)).alias("low_entropy"),
+        )
+        .orderBy(id_col)
+    )

@@ -16,6 +16,7 @@ from medical_examination_data_etl_system_spark.operators import multimodal, simi
 from medical_examination_data_etl_system_spark.operators.dedup import (
     dedup_documents_exact,
     minhash_near_duplicates,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
@@ -25,7 +26,9 @@ from medical_examination_data_etl_system_spark.operators.text_analysis import (
     lang_id,
     quality_features,
     quality_score,
+    tfidf_top_terms,
     token_count,
+    token_entropy_stats,
     with_rolling_fingerprint,
 )
 from medical_examination_data_etl_system_spark.queries import QueryDef, load
@@ -493,8 +496,102 @@ ORDER BY media_id
 """
 
 
+def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram containment pairs (near-subset detector)
+    within the same source block."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, threshold=0.6)
+
+
+# Same gram construction as NGRAM_JACCARD_SQL; the metric divides by
+# the SMALLER distinct-gram set instead of the union.
+NGRAM_CONTAINMENT_SQL = """
+WITH grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 0) + 1),
+           i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+1], ' ')
+         )) AS ng
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+             / least(len(a.ng), len(b.ng)), 4) AS containment
+FROM grams a JOIN grams b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+            / least(len(a.ng), len(b.ng)), 4) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (rounded-then-ranked scores)."""
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS _df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / _df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy + type-token ratio quality gate."""
+    docs = load(spark, sf_dir, "documents")
+    return token_entropy_stats(docs, low_entropy_nats=2.0)
+
+
+# Mirrors the operator's single-pass algebra exactly:
+# H = ln(T) - (Σ c·ln c)/T, rounded to 4 — same fold, same rounding.
+TOKEN_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id, t, count(*) AS c FROM toks WHERE t <> '' GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+         sum(c * ln(CAST(c AS DOUBLE))) AS clogc
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+       round(CAST(p.n_types AS DOUBLE) / p.n_tokens, 4) AS ttr,
+       round(ln(CAST(p.n_tokens AS DOUBLE)) - p.clogc / p.n_tokens, 4) AS entropy,
+       round(ln(CAST(p.n_tokens AS DOUBLE)) - p.clogc / p.n_tokens, 4) < 2.0 AS low_entropy
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
+    "docs_ngram_containment": QueryDef(docs_ngram_containment, NGRAM_CONTAINMENT_SQL),
+    "docs_tfidf_top_terms": QueryDef(docs_tfidf_top_terms, TFIDF_SQL),
+    "docs_token_entropy": QueryDef(docs_token_entropy, TOKEN_ENTROPY_SQL),
     "text_quality_langid": QueryDef(text_quality_langid, QUALITY_SQL),
     "docs_curation_pipeline": QueryDef(docs_curation_pipeline, CURATION_SQL),
     "docs_dedup_exact": QueryDef(docs_dedup_exact, DEDUP_EXACT_SQL),

@@ -1,0 +1,135 @@
+"""Unit + plan tests for operators/timeseries.py (funnel, retention,
+gap-fill) and the round-5 text additions (containment, TF-IDF,
+entropy)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
+from medical_examination_data_etl_system_spark.operators.text_analysis import (
+    token_entropy_stats,
+)
+from medical_examination_data_etl_system_spark.operators.timeseries import (
+    funnel_stages,
+    resample_gap_fill,
+    retention_cohorts,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, user_id=u, ts=_ts(m), event_type=t, value=1.0)
+         for i, (u, m, t) in enumerate(rows)]
+    )
+
+
+class TestFunnel:
+    def test_ordered_semantics(self, spark):
+        # u1 completes all 3 in order; u2 clicks BEFORE its first view
+        # (click must not count) then purchases after nothing → stage 0
+        # only; u3 views only.
+        ev = _events(spark, [
+            (1, 0, "view"), (1, 5, "click"), (1, 9, "purchase"),
+            (2, 0, "click"), (2, 3, "view"), (2, 6, "purchase"),
+            (3, 2, "view"),
+        ])
+        out = {r["stage"]: r for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+        assert out["view"]["n_users"] == 3
+        # u2's click at t=0 precedes its view → not a valid stage 1.
+        assert out["click"]["n_users"] == 1
+        assert out["purchase"]["n_users"] == 1
+        assert out["view"]["pct_of_first"] == 1.0
+        assert abs(out["click"]["pct_of_first"] - round(1 / 3, 4)) < 1e-9
+
+    def test_equal_timestamp_does_not_count(self, spark):
+        # click at the SAME timestamp as the first view: strict < ⇒ no.
+        ev = _events(spark, [(1, 0, "view"), (1, 0, "click")])
+        out = {r["stage"]: r["n_users"] for r in funnel_stages(ev, ["view", "click"]).collect()}
+        assert out == {"view": 1, "click": 0}
+
+    def test_single_exchange_plan(self, spark):
+        ev = _events(spark, [(1, 0, "view"), (1, 5, "click"), (1, 9, "purchase")])
+        plan = funnel_stages(ev, ["view", "click", "purchase"])._jdf.queryExecution().executedPlan().toString()
+        # The stage cascade shares one (user, ts) sort: exactly one
+        # hashpartitioning exchange on user_id feeds every Window, and
+        # the remaining exchanges are the tiny post-agg single-partition
+        # ones. No Exchange may repeat the user_id hash.
+        assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+class TestRetention:
+    def test_offsets(self, spark):
+        ev = spark.createDataFrame([
+            Row(event_id=0, user_id=1, ts=dt.datetime(2024, 1, 1, 9), event_type="view", value=1.0),
+            Row(event_id=1, user_id=1, ts=dt.datetime(2024, 1, 3, 9), event_type="view", value=1.0),
+            Row(event_id=2, user_id=2, ts=dt.datetime(2024, 1, 3, 9), event_type="view", value=1.0),
+        ])
+        rows = {(str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+                for r in retention_cohorts(ev).collect()}
+        assert rows == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-03", 0): 1,
+        }
+
+
+class TestGapFill:
+    def test_forward_fill_across_gap(self, spark):
+        ev = spark.createDataFrame([
+            Row(event_id=0, user_id=1, ts=dt.datetime(2024, 1, 1, 0, 30), event_type="a", value=2.0),
+            # hour 1 and 2 empty for "a"
+            Row(event_id=1, user_id=1, ts=dt.datetime(2024, 1, 1, 3, 10), event_type="a", value=5.0),
+            Row(event_id=2, user_id=1, ts=dt.datetime(2024, 1, 1, 2, 0), event_type="b", value=1.0),
+        ])
+        out = resample_gap_fill(ev, key_col="event_type", step="1 hour").collect()
+        a = [r for r in out if r["event_type"] == "a"]
+        # spine spans global min..max hour (0..3) for every key
+        assert [str(r["bucket_start"]) for r in a] == [
+            "2024-01-01 00:00:00", "2024-01-01 01:00:00",
+            "2024-01-01 02:00:00", "2024-01-01 03:00:00",
+        ]
+        assert [r["n_events"] for r in a] == [1, 0, 0, 1]
+        assert [r["was_gap"] for r in a] == [False, True, True, False]
+        # gap hours carry the last observed sum forward
+        assert [r["filled_sum"] for r in a] == [2.0, 2.0, 2.0, 5.0]
+        b = [r for r in out if r["event_type"] == "b"]
+        # before b's first observation the fill is null
+        assert [r["filled_sum"] for r in b] == [None, None, 1.0, 1.0]
+
+
+class TestTextRound5:
+    def test_containment_catches_subset_jaccard_misses(self, spark):
+        short = "alpha beta gamma delta"
+        long = short + " " + " ".join(f"w{i}" for i in range(60))
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text=short, source="s"),
+            Row(doc_id=2, text=long, source="s"),
+        ])
+        cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+        assert len(cont) == 1 and cont[0]["containment"] == 1.0
+        jac = ngram_jaccard_pairs(docs, threshold=0.9, collapse_exact=False).collect()
+        assert jac == []  # same pair is invisible to Jaccard at 0.9
+
+    def test_entropy_values(self, spark):
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text="a a a a"),          # zero entropy
+            Row(doc_id=2, text="a b c d"),          # ln(4), max for 4 tokens
+            Row(doc_id=3, text="   "),              # empty → nulls
+        ])
+        rows = {r["doc_id"]: r for r in token_entropy_stats(docs).collect()}
+        assert rows[1]["entropy"] == 0.0 and rows[1]["low_entropy"]
+        assert rows[2]["entropy"] == round(math.log(4), 4)
+        assert rows[2]["ttr"] == 1.0
+        assert rows[3]["n_tokens"] == 0 and rows[3]["entropy"] is None
