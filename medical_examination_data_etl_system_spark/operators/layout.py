@@ -47,3 +47,64 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     adds prune directories (assert via ``PartitionFilters`` in the
     plan — guarded in tests/test_layout.py)."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — multi-column locality without directories
+# ---------------------------------------------------------------------------
+
+
+def minmax_bucket(col, lo, hi, bits: int = 12):
+    """Monotone map of ``col`` into integer buckets [0, 2^bits) by its
+    [lo, hi] range (Column or literal bounds; a 1-row global min/max
+    aggregate cross-joined broadcast keeps the whole thing lazy).
+    Monotonicity is the property Z-order needs: range predicates on the
+    source column stay range-shaped in bucket space."""
+    from pyspark.sql import functions as F
+
+    lo_c = lo if hasattr(lo, "cast") else F.lit(lo)
+    hi_c = hi if hasattr(hi, "cast") else F.lit(hi)
+    span = F.greatest(hi_c.cast("double") - lo_c.cast("double"), F.lit(1.0))
+    scaled = F.floor(
+        (col.cast("double") - lo_c.cast("double")) * ((1 << bits) - 1) / span
+    ).cast("long")
+    return F.greatest(F.least(scaled, F.lit((1 << bits) - 1)), F.lit(0))
+
+
+def zorder_value(bucket_cols, bits: int = 12):
+    """Morton code: interleave the bits of k bucket columns (each in
+    [0, 2^bits)) so lexicographic order on the result alternates
+    locality across ALL dimensions. The expression is a static sum of
+    shift/mask terms — pure codegen, no UDF; k·bits terms (≤ ~64)."""
+    from pyspark.sql import functions as F
+
+    k = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + j)
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, zcol, n_files: int = 16, mode: str = "overwrite") -> None:
+    """Cluster ``df`` by a Z-order value and write plain (unpartitioned)
+    parquet: ``repartitionByRange`` on the Morton code splits the curve
+    into ``n_files`` contiguous segments, ``sortWithinPartitions``
+    tightens every file's row-group min/max stats on BOTH underlying
+    dimensions. This is the Delta/Iceberg ``OPTIMIZE ZORDER BY`` role:
+    unlike Hive partitioning (one coarse column, directory explosion),
+    Z-order gives multi-dimensional skipping on the same flat files —
+    a predicate box on (c1, c2) overlaps only the curve segments that
+    cross it, so most files are skipped by footer stats alone.
+
+    The range shuffle samples the z distribution, so file sizes stay
+    balanced under ANY data skew — the property a modulo bucketing
+    would lose."""
+    staged = (
+        df.withColumn("_zorder", zcol)
+        .repartitionByRange(n_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+    )
+    staged.write.mode(mode).parquet(path)

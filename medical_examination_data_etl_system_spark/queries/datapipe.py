@@ -22,6 +22,7 @@ from medical_examination_data_etl_system_spark.operators.dedup import (
 )
 from medical_examination_data_etl_system_spark.operators.text_analysis import (
     bpe_token_count,
+    normalized_text,
     content_fingerprint,
     lang_id,
     quality_features,
@@ -587,8 +588,38 @@ ORDER BY d.doc_id
 """
 
 
+def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus terms via Misra-Gries candidates + exact recount —
+    the vocabulary-scale frequent-items path (candidates shuffle, raw
+    terms never do). Capacity 256 ≫ the N/(cap+1) bound needed for the
+    testdata's Zipf-ish term distribution, so the result is exactly the
+    true top-10 (oracle-checked)."""
+    from medical_examination_data_etl_system_spark.operators.sketch import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return heavy_hitters(toks, "term", k=10, capacity=256)
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY 1
+)
+SELECT term, cnt, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM counts)
+WHERE rnk <= 10
+ORDER BY rnk
+"""
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
+    "docs_heavy_hitter_terms": QueryDef(docs_heavy_hitter_terms, HEAVY_HITTERS_SQL),
     "docs_ngram_containment": QueryDef(docs_ngram_containment, NGRAM_CONTAINMENT_SQL),
     "docs_tfidf_top_terms": QueryDef(docs_tfidf_top_terms, TFIDF_SQL),
     "docs_token_entropy": QueryDef(docs_token_entropy, TOKEN_ENTROPY_SQL),

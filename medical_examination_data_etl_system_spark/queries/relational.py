@@ -658,6 +658,75 @@ ORDER BY o_orderstatus
 """
 
 
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered layout round trip: orders written as flat
+    parquet clustered by the Morton code of (o_custkey, o_orderdate),
+    read back through a 2-D predicate box — the multi-column skipping
+    Hive partitioning can't give (every file keeps tight min/max stats
+    on BOTH dimensions, so the box overlaps few curve segments; file-
+    skip ratio pinned in tests/test_layout.py). The oracle aggregates
+    the source directly, value-hash-checking the whole round trip."""
+    import tempfile
+
+    from medical_examination_data_etl_system_spark.operators.layout import (
+        minmax_bucket,
+        write_zordered,
+        zorder_value,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("timestamp").cast("long")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min(day).alias("d_lo"),
+        F.max(day).alias("d_hi"),
+    )
+    staged = orders.crossJoin(F.broadcast(bounds))
+    z = zorder_value(
+        [
+            minmax_bucket(F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi")),
+            minmax_bucket(day, F.col("d_lo"), F.col("d_hi")),
+        ]
+    )
+    out = tempfile.mkdtemp(prefix="layout_zorder_") + "/orders_z"
+    # Materialize the Morton code while the bounds columns are in scope,
+    # then keep only the original columns + the code for the write.
+    clustered = staged.withColumn("_zorder", z).select(*orders.columns, "_zorder")
+    write_zordered(clustered, out, F.col("_zorder"), n_files=16)
+    back = (
+        spark.read.parquet(out)
+        .filter(
+            F.col("o_custkey").between(100, 400)
+            & (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LAYOUT_ZORDER_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def window_range_30d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame (time-based) moving aggregate: per customer, order
     count and exact-cent spend over the trailing 30 days INCLUSIVE of
@@ -733,6 +802,7 @@ ORDER BY event_type
 QUERIES = {
     "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
     "layout_partition_prune": QueryDef(layout_partition_prune, LAYOUT_PRUNE_SQL),
+    "layout_zorder_cluster": QueryDef(layout_zorder_cluster, LAYOUT_ZORDER_SQL),
     "window_range_30d_sum": QueryDef(window_range_30d_sum, WINDOW_RANGE_SQL),
     "events_variant_extract": QueryDef(events_variant_extract, VARIANT_SQL),
     "join_inner_enrich": QueryDef(join_inner_enrich, JOIN_INNER_SQL),
