@@ -113,14 +113,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_resize",
     "skew_salted_count_distinct",
     "skew_salted_join",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q11_important_parts",
+    # (2b) round 6 drops q1/q2/q3/q4/q5/q7/q8/q11 from this section —
+    # all r3-green and pytest-parity-covered every session — to make
+    # room for the 8 new round-6 queries in section (4).
     "q15_top_supplier",
     "q16_parts_supplier_relationship",
     "q18_large_volume_customers",
@@ -141,6 +136,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "layout_partition_prune",
     "window_range_30d_sum",
     "events_variant_extract",
+    # (4) NEW in round 6 — never driver-checked: product analytics
+    # (funnel / retention / gap-fill), the set-overlap + relevance +
+    # entropy text additions, Z-order layout, and the MG heavy-hitter
+    # sketch.
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_gap_fill_hourly",
+    "docs_ngram_containment",
+    "docs_tfidf_top_terms",
+    "docs_token_entropy",
+    "layout_zorder_cluster",
+    "docs_heavy_hitter_terms",
 ]
 
 

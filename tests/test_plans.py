@@ -311,3 +311,51 @@ def test_p90_outlier_threshold_broadcasts(spark):
     plan = _simple_plan(all_queries()["agg_p90_outlier_orders"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, f"threshold join shuffled the facts:\n{plan}"
+
+
+def test_runtime_bloom_filter_engages_at_scan_scale(spark):
+    """Semi-join reduction contract: when a selective dim filters a
+    shuffle join and the fact scan is big enough, Catalyst injects a
+    bloom filter on the fact side (InjectRuntimeFilter) — the fact
+    rows that can't match never enter the shuffle. The production
+    thresholds (10 GB application-side scan) are exactly the 100 TB
+    regime; here they're lowered scoped-and-restored to pin the
+    mechanism on testdata, and the filtered result must equal the
+    unfiltered join's."""
+    from medical_examination_data_etl_system_spark.queries import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, SF_DIR, "lineitem")
+        part = load(spark, SF_DIR, "part").filter(F.col("p_brand") == "Brand#23")
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, f"no runtime bloom injected:\n{plan[:2000]}"
+        rows = {(r["p_brand"], r["n"]) for r in j.collect()}
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = load(spark, SF_DIR, "lineitem")
+    part = load(spark, SF_DIR, "part").filter(F.col("p_brand") == "Brand#23")
+    want = {
+        (r["p_brand"], r["n"])
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows == want
