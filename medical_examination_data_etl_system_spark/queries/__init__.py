@@ -115,8 +115,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "skew_salted_join",
     # (2b) round 6 drops q1/q2/q3/q4/q5/q7/q8/q11 from this section —
     # all r3-green and pytest-parity-covered every session — to make
-    # room for the 8 new round-6 queries in section (4).
-    "q15_top_supplier",
+    # room for the 9 new round-6 queries in section (4).
     "q16_parts_supplier_relationship",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
@@ -148,6 +147,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_token_entropy",
     "layout_zorder_cluster",
     "docs_heavy_hitter_terms",
+    "events_transition_matrix",
 ]
 
 

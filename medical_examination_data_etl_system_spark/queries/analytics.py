@@ -9,6 +9,7 @@ driver value-hashes them end to end.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark.operators.timeseries import (
     funnel_stages,
@@ -124,8 +125,56 @@ ORDER BY event_type, bucket_start
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event (Markov) transition counts + row-normalized
+    probabilities. One Exchange on user_id (the lead window), then a
+    key-local count — the clickstream path-analysis shape.
+
+    The lead is over (ts, event_id) so same-timestamp successors are
+    engine-deterministic; terminal events (lead = null) are dropped,
+    and probabilities are exact ratios of BIGINT counts rounded at 4.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtot = Window.partitionBy("from_type")
+    return (
+        trans.withColumn("p", F.round(F.col("n") / F.sum("n").over(wtot), 4))
+        .orderBy("from_type", "to_type")
+    )
+
+
+TRANSITION_SQL = """
+WITH trans AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM trans WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
+    "events_transition_matrix": QueryDef(events_transition_matrix, TRANSITION_SQL),
     "events_retention_cohorts": QueryDef(events_retention_cohorts, RETENTION_SQL),
     "events_gap_fill_hourly": QueryDef(events_gap_fill_hourly, GAP_FILL_SQL),
 }
