@@ -210,3 +210,69 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 15,
+) -> DataFrame:
+    """(node, rank) by power iteration with uniform teleport and
+    dangling-mass redistribution; Σ rank = 1 at every round.
+
+    Same iterative-loop hygiene as ``connected_components``: edge set
+    and degree table are eager-checkpointed once (they are re-read
+    every round), per-round rank frames are LAZY local checkpoints
+    materialized by the one scalar action the round already needs (the
+    dangling-mass aggregate), and reduce stages are AQE-sized — no
+    session-conf mutation, no lineage growth, per-round cost is one
+    |edges| shuffle + one |nodes| aggregation. Fixed ``n_iter`` (the
+    standard 10-20) keeps the loop data-independent; power iteration's
+    geometric convergence makes further rounds sub-float-precision.
+
+    Iterative + engine-specific float folding → rows-only at the
+    driver; tests pin values against a NumPy power iteration of the
+    same formulation.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left").select(
+            "node", "rank", "deg"
+        )
+        # one scalar action per round: dangling mass (also materializes
+        # the previous round's lazy checkpoint)
+        dangling = (
+            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            e.join(with_deg.filter(F.col("deg").isNotNull()), e.src == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

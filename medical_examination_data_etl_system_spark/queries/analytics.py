@@ -172,9 +172,42 @@ ORDER BY from_type, to_type
 """
 
 
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase part graph (parts
+    sharing an order are linked, both directions): top-20 parts.
+    Edge build is one self-join on the order key — pair count per
+    order is quadratic in order SIZE, which TPC-H bounds at 7 lines,
+    so edges stay linear in lineitem. Iterative float folding →
+    rows-only at the driver; values pinned vs NumPy in tests."""
+    from pyspark.sql import Window
+
+    from medical_examination_data_etl_system_spark.operators.clustering import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iter=10)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("node").alias("l_partkey"), F.round("rank", 6).alias("rank"), "rnk")
+        .orderBy("rnk")
+    )
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "events_transition_matrix": QueryDef(events_transition_matrix, TRANSITION_SQL),
     "events_retention_cohorts": QueryDef(events_retention_cohorts, RETENTION_SQL),
     "events_gap_fill_hourly": QueryDef(events_gap_fill_hourly, GAP_FILL_SQL),
+    "graph_pagerank_parts": QueryDef(graph_pagerank_parts, None),
 }

@@ -64,6 +64,16 @@ HEAVY_EXTENSION = [
     "docs_decontaminate",
     "docs_repetition_ratio",
     "stream_upsert_latest_state",
+    # round-6 additions: analytics / text / layout / sketch surface
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_gap_fill_hourly",
+    "events_transition_matrix",
+    "docs_ngram_containment",
+    "docs_tfidf_top_terms",
+    "docs_token_entropy",
+    "docs_heavy_hitter_terms",
+    "layout_zorder_cluster",
 ]
 
 

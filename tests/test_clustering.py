@@ -110,3 +110,47 @@ def test_dedup_by_components_algorithms_agree_on_same_pairs(spark):
         for r in dedup_by_components(docs, pairs, algorithm="alternating").collect()
     )
     assert a == b and len(a) > 0
+
+
+class TestPageRank:
+    @staticmethod
+    def _numpy_pagerank(edges, n_iter=15, d=0.85):
+        import numpy as np
+
+        nodes = sorted({x for e in edges for x in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        out = {v: 0 for v in nodes}
+        for s, _ in edges:
+            out[s] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            nr = np.zeros(n)
+            dangling = sum(r[idx[v]] for v in nodes if out[v] == 0)
+            for s, t in edges:
+                nr[idx[t]] += r[idx[s]] / out[s]
+            r = (1 - d) / n + d * dangling / n + d * nr
+        return {v: r[idx[v]] for v in nodes}
+
+    def test_matches_numpy_power_iteration(self, spark):
+        from pyspark.sql import Row
+
+        from medical_examination_data_etl_system_spark.operators.clustering import pagerank
+
+        # chain + hub + a dangling sink
+        edges = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4)]
+        df = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+        got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=15).collect()}
+        want = self._numpy_pagerank(edges, n_iter=15)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_rank_mass_conserved_on_real_graph(self, spark):
+        from medical_examination_data_etl_system_spark.queries import all_queries
+
+        top = all_queries()["graph_pagerank_parts"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert len(top) == 20
+        assert top == sorted(top, key=lambda r: r["rnk"])
+        assert all(r["rank"] > 0 for r in top)
