@@ -105,20 +105,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # — the two simplest shapes, both r3-green and pytest-parity-covered
     # — yield their slots to the section-3 never-checked queries: the
     # window is exactly 50)
-    "emb_lsh_topk",
-    "emb_ivf_topk",
     "multimodal_doc_embedding_join",
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_resize",
     "skew_salted_count_distinct",
     "skew_salted_join",
-    # (2b) round 6 drops q1/q2/q3/q4/q5/q7/q8/q11 from this section —
-    # all r3-green and pytest-parity-covered every session — to make
-    # room for the 9 new round-6 queries in section (4).
-    "q16_parts_supplier_relationship",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
+    # (2b) round 6 drops the r3-green, pytest-parity-covered TPC-H
+    # fills (q1-q5, q7, q8, q11, q15, q16, q18, q19) and the two
+    # rows-only ANN queries (emb_lsh/emb_ivf — recall pinned in
+    # pytest) from this section to make room for the 14 new round-6
+    # queries in section (4): a query with ZERO driver rows outranks
+    # one green 1-2 rounds ago.
     # (3) NEW in round 5 — never driver-checked (the late-round CDC /
     # mixture / streaming-dedup / outlier additions displace the
     # round-4-green fills that previously padded the window: a query
@@ -148,6 +146,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "layout_zorder_cluster",
     "docs_heavy_hitter_terms",
     "events_transition_matrix",
+    "dq_check_orders",
+    "layout_schema_evolution",
+    "docs_fuzzy_levenshtein",
+    "orders_mom_growth",
+    "stream_static_enrich",
 ]
 
 
@@ -159,6 +162,7 @@ def all_queries() -> dict[str, QueryDef]:
         datapipe,
         events,
         functions,
+        quality,
         relational,
         skew,
         streaming,
@@ -167,7 +171,7 @@ def all_queries() -> dict[str, QueryDef]:
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (tpch, tpch2, relational, events, functions, datapipe, curation, streaming, skew, cdc, analytics):
+    for mod in (tpch, tpch2, relational, events, functions, datapipe, curation, streaming, skew, cdc, analytics, quality):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

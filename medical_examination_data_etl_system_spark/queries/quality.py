@@ -1,0 +1,224 @@
+"""Data-quality auditing, schema evolution, fuzzy matching, and
+period-over-period analytics (SURVEY.md §2b X53-X56) — the ETL
+hygiene surface: the reference's whole job is tolerating dirty input
+(missing columns, blank keys, dup rows); these queries make each of
+those checks a first-class, oracle-verified operator at warehouse
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.queries import QueryDef, load
+
+
+def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality audit of the orders table:
+    ``(rule, n_violations, ok)`` per rule.
+
+    All row-local rules (nulls, domains) and the duplicate-key rule
+    fold into ONE aggregation over the fact table (conditional sums +
+    count-distinct); only the referential check pays a second pass —
+    a left-anti join against the customer keys, broadcastable at dim
+    scale. At 100 TB that is the floor: one scan for N rules, not one
+    scan per rule (the per-rule-query anti-pattern every DQ framework
+    warns about)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    row_checks = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("null_orderdate"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpositive_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+    )
+    orphans = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_custkey"))
+    )
+    combined = row_checks.crossJoin(F.broadcast(orphans))
+    checks = ["dup_orderkey", "nonpositive_price", "null_custkey", "null_orderdate", "orphan_custkey"]
+    rows = F.array(
+        *[
+            F.struct(F.lit(c).alias("rule"), F.col(c).cast("long").alias("n_violations"))
+            for c in checks
+        ]
+    )
+    return (
+        combined.select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_violations").alias("n_violations"),
+            (F.col("r.n_violations") == 0).alias("ok"),
+        )
+        .orderBy("rule")
+    )
+
+
+DQ_CHECK_SQL = """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey
+  FROM orders
+), orph AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphan_custkey
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT rule, n_violations, n_violations = 0 AS ok FROM (
+  SELECT 'dup_orderkey' AS rule, dup_orderkey AS n_violations FROM agg
+  UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM agg
+  UNION ALL SELECT 'null_custkey', null_custkey FROM agg
+  UNION ALL SELECT 'null_orderdate', null_orderdate FROM agg
+  UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM orph
+)
+ORDER BY rule
+"""
+
+
+def layout_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift round trip: an old batch written WITHOUT a column,
+    a new batch WITH it, read back through ``mergeSchema`` and
+    normalized with an explicit backfill — the file-level twin of the
+    reference's missing-column guard (db_to_dataframe.py:180-182 /
+    schemas.ensure_columns). The oracle derives the same channel
+    labeling from the source, value-hash-checking that drift handling
+    loses no rows and invents no values."""
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="layout_evolve_") + "/orders_evolved"
+    old = orders.filter(F.col("o_orderkey") % 2 == 1)
+    new = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn("o_channel", F.lit("web"))
+    old.write.mode("overwrite").parquet(out)
+    new.write.mode("append").parquet(out)
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .withColumn("o_channel", F.coalesce("o_channel", F.lit("unknown")))
+    )
+    return (
+        back.groupBy("o_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_channel")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'unknown' END AS o_channel,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY 1
+ORDER BY o_channel
+"""
+
+
+def docs_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching on normalized 24-char prefixes
+    within the same source block — the record-linkage primitive for
+    near-identical titles/headers exact hashing misses. Blocking keeps
+    the pair space Σ|block|² (the near-dup family's cost model);
+    Levenshtein itself is codegen (built-in), no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.substring(normalized_text(F.col("text")), 1, 24).alias("pfx"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") <= 12)
+        .orderBy("id_a", "id_b")
+    )
+
+
+FUZZY_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 24) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS distance
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 12
+ORDER BY id_a, id_b
+"""
+
+
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority: monthly
+    exact-cent sums, lag window within priority, growth as a ratio of
+    exact BIGINT cents rounded at 4 (float enters only at the final
+    division — same value on any engine)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return (
+        monthly.select(
+            "o_orderpriority",
+            "month",
+            "rev_cents",
+            "n_orders",
+            F.round((F.col("rev_cents") - prev) / prev, 4).alias("mom_growth"),
+        )
+        .orderBy("o_orderpriority", "month")
+    )
+
+
+MOM_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, rev_cents, n_orders,
+       round(CAST(rev_cents - lag(rev_cents) OVER w AS DOUBLE)
+             / lag(rev_cents) OVER w, 4) AS mom_growth
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+"""
+
+
+QUERIES = {
+    "dq_check_orders": QueryDef(dq_check_orders, DQ_CHECK_SQL),
+    "layout_schema_evolution": QueryDef(layout_schema_evolution, SCHEMA_EVOLUTION_SQL),
+    "docs_fuzzy_levenshtein": QueryDef(docs_fuzzy_levenshtein, FUZZY_SQL),
+    "orders_mom_growth": QueryDef(orders_mom_growth, MOM_GROWTH_SQL),
+}

@@ -190,8 +190,49 @@ ORDER BY event_type
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a STATIC
+    dimension (customer market segment keyed to user_id) inside the
+    streaming query, then a watermarked tumbling daily aggregate per
+    segment. The static side needs no watermark — Spark re-plans it
+    per micro-batch and broadcasts it under AQE, which is exactly the
+    dimension-enrichment shape a 100 TB stream pipeline runs (facts
+    stream, dims broadcast; no state for the join). Oracle = the batch
+    join + date_trunc aggregate."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    from medical_examination_data_etl_system_spark.queries import load as _load
+
+    dim = _load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(dim, "user_id")
+    agged = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"), "c_mktsegment", "n_events", "sum_value"
+        )
+    )
+    out = run_available_now(agged, "q_stream_static", output_mode="complete")
+    return out.orderBy("day", "c_mktsegment")
+
+
+STREAM_STATIC_SQL = """
+SELECT date_trunc('day', e.ts) AS day, c.c_mktsegment,
+       count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey - 1
+GROUP BY 1, 2
+ORDER BY day, c_mktsegment
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
+    "stream_static_enrich": QueryDef(stream_static_enrich, STREAM_STATIC_SQL),
     "stream_sessionize_stateful": QueryDef(stream_sessionize_stateful, STREAM_SESSIONS_SQL),
     "stream_click_attribution": QueryDef(stream_click_attribution, STREAM_ATTRIBUTION_SQL),
     "stream_dedup_exactly_once": QueryDef(stream_dedup_exactly_once, STREAM_DEDUP_SQL),
