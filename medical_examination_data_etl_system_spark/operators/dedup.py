@@ -426,50 +426,18 @@ def ngram_jaccard_pairs(
             docs, text_col, extra_group_cols=[block_col] if block_col else None
         )
     if collapse_exact:
-        # Group key includes the block: only same-block pairs are ever
-        # compared, so cross-block exact dups must NOT collapse.
-        members, reps = _collapse_docs(
-            docs, text_col, id_col, extra_group_cols=[block_col] if block_col else None
+        return _collapse_expand_pairs(
+            docs,
+            text_col,
+            id_col,
+            block_col,
+            n,
+            metric_col="jaccard",
+            direct_fn=lambda reps: ngram_jaccard_pairs(
+                reps, text_col, id_col, block_col, n, threshold, max_df,
+                collapse_exact=False,
+            ),
         )
-        rep_pairs = ngram_jaccard_pairs(
-            reps, text_col, id_col, block_col, n, threshold, max_df, collapse_exact=False
-        )
-        ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
-        mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
-        cross = (
-            rep_pairs.join(ma, "id_a")
-            .join(mb, "id_b")
-            .select(
-                F.least("_ma", "_mb").alias("id_a"),
-                F.greatest("_ma", "_mb").alias("id_b"),
-                "jaccard",
-            )
-        )
-        x, y = members.alias("x"), members.alias("y")
-        # Zero-gram docs (< n tokens) never pair in the direct form —
-        # their gram sets are empty, and 0/0 yields no row — so exact
-        # copies of such docs must not pair here either: the direct
-        # form's jaccard is undefined (null), not 1.0. Only groups whose
-        # representative HAS grams expand; short-doc groups are excluded
-        # by requiring the rep to appear in some pair OR carry >=1 gram.
-        has_grams = (
-            reps.select(
-                F.col(id_col).alias("_rep"),
-                F.split(normalized_text(F.col(text_col)), " ").alias("_t"),
-            )
-            .filter(F.size("_t") >= n)
-            .select("_rep")
-        )
-        intra = (
-            x.join(y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id")))
-            .join(has_grams, F.col("x._rep") == has_grams._rep)
-            .select(
-                F.col("x._id").alias("id_a"),
-                F.col("y._id").alias("id_b"),
-                F.lit(1.0).alias("jaccard"),
-            )
-        )
-        return cross.unionByName(intra).orderBy("id_a", "id_b")
     pairs = _gram_pair_counts(docs, text_col, id_col, block_col, n, max_df)
     jaccard = F.round(F.col("_inter") / (F.col("n_a") + F.col("n_b") - F.col("_inter")), 4)
     return (
@@ -477,6 +445,65 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def _collapse_expand_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None,
+    n: int,
+    metric_col: str,
+    direct_fn,
+) -> DataFrame:
+    """Exact-content pre-collapse shared by the set-overlap metrics:
+    same-block exact duplicates reduce to one representative,
+    ``direct_fn`` scores representative pairs, and the result expands
+    back — cross-group pairs inherit the representatives' metric
+    (identical token sets ⇒ identical gram sets AND sizes, so both
+    Jaccard and containment are preserved exactly), intra-group pairs
+    score 1.0. Group key includes the block: only same-block pairs are
+    ever compared, so cross-block exact dups must NOT collapse."""
+    members, reps = _collapse_docs(
+        docs, text_col, id_col, extra_group_cols=[block_col] if block_col else None
+    )
+    rep_pairs = direct_fn(reps)
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            metric_col,
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    # Zero-gram docs (< n tokens) never pair in the direct form —
+    # their gram sets are empty, and 0/0 yields no row — so exact
+    # copies of such docs must not pair here either: the direct
+    # form's metric is undefined (null), not 1.0. Only groups whose
+    # representative HAS grams expand; short-doc groups are excluded
+    # by requiring the rep to carry >= 1 gram.
+    has_grams = (
+        reps.select(
+            F.col(id_col).alias("_rep"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("_t"),
+        )
+        .filter(F.size("_t") >= n)
+        .select("_rep")
+    )
+    intra = (
+        x.join(y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id")))
+        .join(has_grams, F.col("x._rep") == has_grams._rep)
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(1.0).alias(metric_col),
+        )
+    )
+    return cross.unionByName(intra).orderBy("id_a", "id_b")
 
 
 def _gram_pair_counts(
@@ -568,6 +595,7 @@ def ngram_containment_pairs(
     n: int = 2,
     threshold: float = 0.6,
     max_df: int = 10_000,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥
     ``threshold`` within the same block.
@@ -580,8 +608,27 @@ def ngram_containment_pairs(
     distinction). Same single-shuffle inverted-index plan as
     ``ngram_jaccard_pairs`` (shared ``_gram_pair_counts`` core), so the
     100 TB cost model — Σ_g df(g)² pair volume under a structural
-    df-cap — is identical.
+    df-cap — is identical, including the adaptive exact-content
+    pre-collapse (containment survives the expansion exactly: equal
+    token sets have equal gram sets AND sizes).
     """
+    if collapse_exact == "auto":
+        collapse_exact = _should_collapse(
+            docs, text_col, extra_group_cols=[block_col] if block_col else None
+        )
+    if collapse_exact:
+        return _collapse_expand_pairs(
+            docs,
+            text_col,
+            id_col,
+            block_col,
+            n,
+            metric_col="containment",
+            direct_fn=lambda reps: ngram_containment_pairs(
+                reps, text_col, id_col, block_col, n, threshold, max_df,
+                collapse_exact=False,
+            ),
+        )
     pairs = _gram_pair_counts(docs, text_col, id_col, block_col, n, max_df)
     containment = F.round(F.col("_inter") / F.least("n_a", "n_b"), 4)
     return (

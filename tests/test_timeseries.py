@@ -133,3 +133,29 @@ class TestTextRound5:
         assert rows[2]["entropy"] == round(math.log(4), 4)
         assert rows[2]["ttr"] == 1.0
         assert rows[3]["n_tokens"] == 0 and rows[3]["entropy"] is None
+
+    def test_containment_collapse_invariant(self, spark):
+        # duplicate-heavy block: output must be identical with the
+        # pre-collapse on, off, and auto (auto probes and collapses)
+        base = [
+            ("alpha beta gamma delta", "s"),
+            ("alpha beta gamma delta", "s"),      # exact dup
+            ("alpha beta gamma delta epsilon zeta", "s"),
+            ("unrelated words entirely here", "s"),
+            ("alpha beta gamma delta", "t"),      # same text, other block
+        ]
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t, source=src) for i, (t, src) in enumerate(base)]
+        )
+
+        def run(mode):
+            return sorted(
+                (r["id_a"], r["id_b"], r["containment"])
+                for r in ngram_containment_pairs(docs, threshold=0.5, collapse_exact=mode).collect()
+            )
+
+        on, off, auto = run(True), run(False), run("auto")
+        assert on == off == auto
+        # the exact dup pair is containment 1.0; cross-block dup never pairs
+        assert (0, 1, 1.0) in on
+        assert all(not (a == 1 and b == 4) and not (a == 0 and b == 4) for a, b, _ in on)
