@@ -105,10 +105,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # — the two simplest shapes, both r3-green and pytest-parity-covered
     # — yield their slots to the section-3 never-checked queries: the
     # window is exactly 50)
-    "multimodal_doc_embedding_join",
     "multimodal_binary_features",
     "multimodal_frame_sample",
-    "multimodal_resize",
     "skew_salted_count_distinct",
     "skew_salted_join",
     # (2b) round 6 drops the r3-green, pytest-parity-covered TPC-H
@@ -151,6 +149,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_fuzzy_levenshtein",
     "orders_mom_growth",
     "stream_static_enrich",
+    "emb_quantize_int8",
+    "fn_value_histogram",
 ]
 
 

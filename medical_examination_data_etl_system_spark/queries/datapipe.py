@@ -617,8 +617,83 @@ ORDER BY rnk
 """
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) min-max quantization of the embedding
+    column — the 4× storage/bandwidth step every vector store applies
+    before ANN. Map-only higher-order functions (no shuffle, no UDF);
+    the oracle recomputes the same double-precision arithmetic, so the
+    quantized checksum AND the reconstruction-error bound are
+    value-hash-checked. Dequantization error ≤ scale/2 by construction
+    (asserted in the projection for every vector)."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    lo = F.array_min(x).cast("double")
+    hi = F.array_max(x).cast("double")
+    scale = F.greatest((hi - lo) / F.lit(255.0), F.lit(1e-12))
+    staged = emb.select(
+        "vec_id",
+        x.alias("v"),
+        lo.alias("lo"),
+        scale.alias("scale"),
+    )
+    q = F.transform(
+        F.col("v"),
+        lambda e: F.round((e.cast("double") - F.col("lo")) / F.col("scale")).cast("int"),
+    )
+    dq_err = F.zip_with(
+        F.col("v"),
+        F.col("q"),
+        lambda e, qq: F.abs(
+            e.cast("double") - (qq.cast("double") * F.col("scale") + F.col("lo"))
+        ),
+    )
+    return (
+        staged.withColumn("q", q)
+        .select(
+            "vec_id",
+            F.size("q").alias("n_dims"),
+            F.aggregate("q", F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+                "q_checksum"
+            ),
+            F.round(F.array_max(dq_err), 8).alias("max_abs_err"),
+            (F.array_max(dq_err) <= F.col("scale") / 2 + F.lit(1e-12)).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUANTIZE_SQL = """
+WITH staged AS (
+  SELECT vec_id, embedding AS v,
+         CAST(list_min(embedding) AS DOUBLE) AS lo,
+         greatest((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0,
+                  1e-12) AS scale
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, v, lo, scale,
+         list_transform(v, e -> CAST(round((CAST(e AS DOUBLE) - lo) / scale) AS INTEGER)) AS q
+  FROM staged
+), err AS (
+  SELECT vec_id, lo, scale, q,
+         list_transform(list_zip(v, q),
+                        z -> abs(CAST(z[1] AS DOUBLE) - (CAST(z[2] AS DOUBLE) * scale + lo))) AS d
+  FROM quant
+)
+SELECT vec_id,
+       CAST(len(q) AS INTEGER) AS n_dims,
+       CAST(list_sum(q) AS BIGINT) AS q_checksum,
+       round(list_max(d), 8) AS max_abs_err,
+       list_max(d) <= scale / 2 + 1e-12 AS within_bound
+FROM err
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
+    "emb_quantize_int8": QueryDef(emb_quantize_int8, QUANTIZE_SQL),
     "docs_heavy_hitter_terms": QueryDef(docs_heavy_hitter_terms, HEAVY_HITTERS_SQL),
     "docs_ngram_containment": QueryDef(docs_ngram_containment, NGRAM_CONTAINMENT_SQL),
     "docs_tfidf_top_terms": QueryDef(docs_tfidf_top_terms, TFIDF_SQL),

@@ -173,7 +173,37 @@ ORDER BY c_nationkey
 """
 
 
+def fn_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type: 50-unit bins,
+    clamped upper tail — binning as pure integer arithmetic (identical
+    in any engine, unlike width_bucket variants), one hash aggregate."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    return (
+        ev.groupBy("event_type", bucket.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(least(floor(value / 50), 9) AS INTEGER) AS bin,
+       count(*) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bin
+"""
+
+
 QUERIES = {
+    "fn_value_histogram": QueryDef(fn_value_histogram, HISTOGRAM_SQL),
     "fn_datetime_extract": QueryDef(fn_datetime_extract, DATETIME_SQL),
     "fn_math_string": QueryDef(fn_math_string, MATH_STRING_SQL),
     "fn_array_ops": QueryDef(fn_array_ops, ARRAY_SQL),
