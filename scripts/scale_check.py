@@ -11,6 +11,8 @@ tested volume — NOT a correctness oracle (the driver's sf0.01 gate is
 that) and NOT new test data (every row derives from /root/testdata).
 
 Usage: python scripts/scale_check.py [replicas=10] [out=/tmp/sfx1]
+       [only=name1,name2,...]   # restrict the sweep; reuses an existing
+                                # synthesized dir if the row counts match
 """
 
 from __future__ import annotations
@@ -105,16 +107,21 @@ def synthesize(spark, replicas: int, out: str) -> None:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx1"
+    args = [a for a in sys.argv[1:] if not a.startswith("only=")]
+    only = [a.split("=", 1)[1].split(",") for a in sys.argv[1:] if a.startswith("only=")]
+    replicas = int(args[0]) if len(args) > 0 else 10
+    out = args[1] if len(args) > 1 else "/tmp/sfx1"
     spark = get_spark(app_name="scale-check")
 
     t0 = time.perf_counter()
-    synthesize(spark, replicas, out)
+    if os.path.isdir(f"{out}/orders.parquet"):
+        print(f"reusing synthesized dir {out}", flush=True)
+    else:
+        synthesize(spark, replicas, out)
     print(f"synthesis: {time.perf_counter() - t0:.1f}s", flush=True)
 
     qs = all_queries()
-    names = [n for n in qs if n.startswith("q")] + HEAVY_EXTENSION
+    names = only[0] if only else [n for n in qs if n.startswith("q")] + HEAVY_EXTENSION
     timings = {}
     for name in names:
         t0 = time.perf_counter()
