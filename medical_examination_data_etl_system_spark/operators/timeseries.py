@@ -57,6 +57,8 @@ def funnel_stages(
     timestamp" columns are running mins over one shared window spec,
     then one per-user aggregate collapses the partition.
     """
+    from medical_examination_data_etl_system_spark.operators.curation import _temp_name
+
     w = (
         Window.partitionBy(user_col)
         .orderBy(ts_col, order_tiebreak)
@@ -67,7 +69,8 @@ def funnel_stages(
     valid_cols: list[str] = []
     prev_first: Column | None = None
     for i, stage in enumerate(stages):
-        vcol = f"_funnel_valid_{i}"
+        # collision-free scratch names (ADVICE r4 discipline)
+        vcol = _temp_name(df, f"_funnel_valid_{i}")
         if prev_first is None:
             df = df.withColumn(vcol, F.when(F.col(type_col) == stage, ts))
         else:
@@ -76,8 +79,8 @@ def funnel_stages(
             df = df.withColumn(
                 vcol, F.when((F.col(type_col) == stage) & (prev_first < ts), ts)
             )
-        fcol = f"_funnel_first_{i}"
-        df = df.withColumn(fcol, F.min(vcol).over(w))
+        fcol = _temp_name(df, f"_funnel_first_{i}")
+        df = df.withColumn(fcol, F.min(F.col(vcol)).over(w))
         prev_first = F.col(fcol)
         valid_cols.append(vcol)
 

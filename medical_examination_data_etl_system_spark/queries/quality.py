@@ -138,7 +138,12 @@ def docs_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(normalized_text(F.col("text")), 1, 24).alias("pfx"),
     )
     a, b = t.alias("a"), t.alias("b")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    # 3-arg levenshtein runs the BANDED DP (O(len·k) per pair instead
+    # of O(len²)) and early-exits past the threshold, returning -1.
+    # The band only prunes when k ≪ len — threshold 6 on 24-char
+    # prefixes (width-13 band ≈ half the DP matrix); a threshold near
+    # the string length degenerates to the full quadratic DP.
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 6)
     return (
         a.join(
             b,
@@ -150,7 +155,7 @@ def docs_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             dist.alias("distance"),
         )
-        .filter(F.col("distance") <= 12)
+        .filter(F.col("distance").between(0, 6))
         .orderBy("id_a", "id_b")
     )
 
@@ -164,7 +169,7 @@ WITH t AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS distance
 FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE levenshtein(a.pfx, b.pfx) <= 12
+WHERE levenshtein(a.pfx, b.pfx) <= 6
 ORDER BY id_a, id_b
 """
 
