@@ -105,9 +105,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # — the two simplest shapes, both r3-green and pytest-parity-covered
     # — yield their slots to the section-3 never-checked queries: the
     # window is exactly 50)
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    "skew_salted_count_distinct",
     "skew_salted_join",
     # (2b) round 6 drops the r3-green, pytest-parity-covered TPC-H
     # fills (q1-q5, q7, q8, q11, q15, q16, q18, q19) and the two
@@ -151,6 +148,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_static_enrich",
     "emb_quantize_int8",
     "fn_value_histogram",
+    "emb_label_centroids",
+    "events_pmi_cooccurrence",
+    "customer_rfm_segments",
 ]
 
 

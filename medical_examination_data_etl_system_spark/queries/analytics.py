@@ -204,8 +204,133 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring
+    within a user-day — the association-mining primitive (which
+    behaviors travel together). All probabilities are exact ratios of
+    BIGINT co-occurrence counts; ln enters once at the end, rounded.
+
+    Plan: distinct (user-day, type) contexts → per-type context counts
+    (vocabulary-sized, broadcast back) → same-context self-join for
+    pair counts. The self-join shuffles on the context key — pair
+    volume is Σ_ctx |types-in-ctx|², bounded by the type-alphabet
+    squared per context, NOT by row count — the same structural bound
+    as the n-gram inverted index."""
+    ev = load(spark, sf_dir, "events")
+    ctx = ev.select(
+        F.concat_ws("|", F.col("user_id"), F.to_date("ts")).alias("ctx"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    # context total as a broadcast 1-row aggregate — no driver action
+    n = ctx.agg(F.countDistinct("ctx").alias("n_ctx"))
+    singles = ctx.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = ctx.alias("a"), ctx.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ctx") == F.col("b.ctx")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("t1"), F.col("b.t").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    sa = singles.select(F.col("t").alias("t1"), F.col("n_t").alias("n1"))
+    sb = singles.select(F.col("t").alias("t2"), F.col("n_t").alias("n2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("n_ctx").cast("double"))
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ),
+        4,
+    )
+    return (
+        pairs.join(F.broadcast(sa), "t1")
+        .join(F.broadcast(sb), "t2")
+        .crossJoin(F.broadcast(n))
+        .select("t1", "t2", "n_pair", "n1", "n2", pmi.alias("pmi"))
+        .orderBy("t1", "t2")
+    )
+
+
+PMI_SQL = """
+WITH ctx AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS ctx,
+         event_type AS t
+  FROM events
+), n AS (
+  SELECT count(DISTINCT ctx) AS n_ctx FROM ctx
+), singles AS (
+  SELECT t, count(*) AS n_t FROM ctx GROUP BY t
+), pairs AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS n_pair
+  FROM ctx a JOIN ctx b ON a.ctx = b.ctx AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT t1, t2, n_pair, s1.n_t AS n1, s2.n_t AS n2,
+       round(ln(CAST(n_pair AS DOUBLE) * n_ctx / (CAST(s1.n_t AS DOUBLE) * CAST(s2.n_t AS DOUBLE))), 4) AS pmi
+FROM pairs
+JOIN singles s1 ON pairs.t1 = s1.t
+JOIN singles s2 ON pairs.t2 = s2.t
+CROSS JOIN n
+ORDER BY t1, t2
+"""
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary,
+    quartiled with ``ntile`` and rolled up to segment sizes. Every
+    ntile ordering carries the customer key as the final tie-break, so
+    quartile assignment — normally order-dependent under ties — is
+    engine-deterministic and the whole segmentation value-hashes."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    fq = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+    scored = per_cust.select(
+        "o_custkey",
+        r.alias("r_quartile"),
+        fq.alias("f_quartile"),
+        m.alias("m_quartile"),
+        "monetary_cents",
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, monetary_cents,
+         CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INTEGER) AS m_quartile
+  FROM per_cust
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       count(*) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
+    "events_pmi_cooccurrence": QueryDef(events_pmi_cooccurrence, PMI_SQL),
+    "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
     "events_transition_matrix": QueryDef(events_transition_matrix, TRANSITION_SQL),
     "events_retention_cohorts": QueryDef(events_retention_cohorts, RETENTION_SQL),
     "events_gap_fill_hourly": QueryDef(events_gap_fill_hourly, GAP_FILL_SQL),

@@ -691,8 +691,55 @@ ORDER BY vec_id
 """
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + spread — the class-prototype
+    aggregation under every centroid-based method (k-means assignment,
+    nearest-class-mean classification, IVF coarse quantizers).
+
+    Vectors never collect: ``posexplode`` → (label, dim) mean is two
+    hash aggregates over scalar rows, shuffling (label, dim, double)
+    triples — at 100 TB the shuffle is |labels|·|dims| partial rows per
+    task, independent of vector count. Mean divides an exact double
+    SUM by an exact count; DuckDB reproduces it bit-for-bit, so this
+    is the rare vector aggregate with a full value-hash oracle.
+    Output: one row per (label, dim) with the centroid coordinate and
+    per-dimension variance."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x") / F.count(F.lit(1)), 8).alias("centroid"),
+            F.round(
+                F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+                - (F.sum("x") / F.count(F.lit(1))) * (F.sum("x") / F.count(F.lit(1))),
+                8,
+            ).alias("variance"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH exploded AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT label, CAST(dim AS INTEGER) AS dim, count(*) AS n,
+       round(sum(x) / count(*), 8) AS centroid,
+       round(sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)), 8) AS variance
+FROM exploded
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
+    "emb_label_centroids": QueryDef(emb_label_centroids, LABEL_CENTROIDS_SQL),
     "emb_quantize_int8": QueryDef(emb_quantize_int8, QUANTIZE_SQL),
     "docs_heavy_hitter_terms": QueryDef(docs_heavy_hitter_terms, HEAVY_HITTERS_SQL),
     "docs_ngram_containment": QueryDef(docs_ngram_containment, NGRAM_CONTAINMENT_SQL),
