@@ -452,18 +452,23 @@ def _collapse_expand_pairs(
     text_col: str,
     id_col: str,
     block_col: str | None,
-    n: int,
+    n: int | None,
     metric_col: str,
     direct_fn,
+    intra_value: float = 1.0,
 ) -> DataFrame:
-    """Exact-content pre-collapse shared by the set-overlap metrics:
+    """Exact-content pre-collapse shared by the pairwise text metrics:
     same-block exact duplicates reduce to one representative,
     ``direct_fn`` scores representative pairs, and the result expands
     back — cross-group pairs inherit the representatives' metric
-    (identical token sets ⇒ identical gram sets AND sizes, so both
-    Jaccard and containment are preserved exactly), intra-group pairs
-    score 1.0. Group key includes the block: only same-block pairs are
-    ever compared, so cross-block exact dups must NOT collapse."""
+    (identical texts ⇒ identical gram sets, sizes, and prefixes, so
+    Jaccard, containment, and edit distance are all preserved
+    exactly), intra-group pairs score ``intra_value`` (1.0 for
+    similarity metrics, 0 for distances). ``n`` gates the intra
+    expansion to groups whose representative has ≥ 1 n-gram (pass
+    ``None`` for metrics defined on every text, e.g. edit distance).
+    Group key includes the block: only same-block pairs are ever
+    compared, so cross-block exact dups must NOT collapse."""
     members, reps = _collapse_docs(
         docs, text_col, id_col, extra_group_cols=[block_col] if block_col else None
     )
@@ -480,30 +485,90 @@ def _collapse_expand_pairs(
         )
     )
     x, y = members.alias("x"), members.alias("y")
-    # Zero-gram docs (< n tokens) never pair in the direct form —
-    # their gram sets are empty, and 0/0 yields no row — so exact
-    # copies of such docs must not pair here either: the direct
-    # form's metric is undefined (null), not 1.0. Only groups whose
-    # representative HAS grams expand; short-doc groups are excluded
-    # by requiring the rep to carry >= 1 gram.
-    has_grams = (
-        reps.select(
-            F.col(id_col).alias("_rep"),
-            F.split(normalized_text(F.col(text_col)), " ").alias("_t"),
-        )
-        .filter(F.size("_t") >= n)
-        .select("_rep")
+    intra = x.join(
+        y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id"))
     )
-    intra = (
-        x.join(y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id")))
-        .join(has_grams, F.col("x._rep") == has_grams._rep)
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.lit(1.0).alias(metric_col),
+    if n is not None:
+        # Zero-gram docs (< n tokens) never pair in the direct form —
+        # their gram sets are empty, and 0/0 yields no row — so exact
+        # copies of such docs must not pair here either: the direct
+        # form's metric is undefined (null), not 1.0. Only groups whose
+        # representative HAS grams expand; short-doc groups are
+        # excluded by requiring the rep to carry >= 1 gram.
+        has_grams = (
+            reps.select(
+                F.col(id_col).alias("_rep"),
+                F.split(normalized_text(F.col(text_col)), " ").alias("_t"),
+            )
+            .filter(F.size("_t") >= n)
+            .select("_rep")
         )
+        intra = intra.join(has_grams, F.col("x._rep") == has_grams._rep)
+    intra = intra.select(
+        F.col("x._id").alias("id_a"),
+        F.col("y._id").alias("id_b"),
+        F.lit(intra_value).alias(metric_col),
     )
     return cross.unionByName(intra).orderBy("id_a", "id_b")
+
+
+def fuzzy_levenshtein_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    prefix_len: int = 24,
+    threshold: int = 6,
+    collapse_exact: bool | str = "auto",
+) -> DataFrame:
+    """Edit-distance fuzzy matching on normalized ``prefix_len``-char
+    prefixes within the same block — the record-linkage primitive for
+    near-identical titles/headers exact hashing misses. Per-pair cost
+    is the 3-arg BANDED Levenshtein (O(len·k), early exit past the
+    threshold); pair volume is Σ|block|² over UNIQUE texts — the
+    adaptive exact-content pre-collapse (same ``_should_collapse`` /
+    ``_collapse_expand_pairs`` machinery as the n-gram metrics, intra
+    distance 0) keeps a duplicate-heavy corpus from re-running the DP
+    on identical strings, which is exactly the replicated-corpus blowup
+    the 100× scale check synthesizes."""
+    if collapse_exact == "auto":
+        collapse_exact = _should_collapse(
+            docs, text_col, extra_group_cols=[block_col] if block_col else None
+        )
+    if collapse_exact:
+        return _collapse_expand_pairs(
+            docs,
+            text_col,
+            id_col,
+            block_col,
+            None,
+            metric_col="distance",
+            direct_fn=lambda reps: fuzzy_levenshtein_pairs(
+                reps, text_col, id_col, block_col, prefix_len, threshold,
+                collapse_exact=False,
+            ),
+            intra_value=0,
+        )
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+        F.substring(normalized_text(F.col(text_col)), 1, prefix_len).alias("_pfx"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a._pfx"), F.col("b._pfx"), threshold)
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance").between(0, threshold))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _gram_pair_counts(

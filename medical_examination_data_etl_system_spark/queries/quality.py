@@ -125,39 +125,12 @@ ORDER BY o_channel
 
 def docs_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching on normalized 24-char prefixes
-    within the same source block — the record-linkage primitive for
-    near-identical titles/headers exact hashing misses. Blocking keeps
-    the pair space Σ|block|² (the near-dup family's cost model);
-    Levenshtein itself is codegen (built-in), no UDF."""
-    docs = load(spark, sf_dir, "documents")
-    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+    within the same source block (operators/dedup.py::
+    fuzzy_levenshtein_pairs — banded DP + adaptive exact-collapse)."""
+    from medical_examination_data_etl_system_spark.operators.dedup import fuzzy_levenshtein_pairs
 
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.substring(normalized_text(F.col("text")), 1, 24).alias("pfx"),
-    )
-    a, b = t.alias("a"), t.alias("b")
-    # 3-arg levenshtein runs the BANDED DP (O(len·k) per pair instead
-    # of O(len²)) and early-exits past the threshold, returning -1.
-    # The band only prunes when k ≪ len — threshold 6 on 24-char
-    # prefixes (width-13 band ≈ half the DP matrix); a threshold near
-    # the string length degenerates to the full quadratic DP.
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dist.alias("distance"),
-        )
-        .filter(F.col("distance").between(0, 6))
-        .orderBy("id_a", "id_b")
-    )
+    docs = load(spark, sf_dir, "documents")
+    return fuzzy_levenshtein_pairs(docs, prefix_len=24, threshold=6)
 
 
 FUZZY_SQL = """

@@ -159,3 +159,28 @@ class TestTextRound5:
         # the exact dup pair is containment 1.0; cross-block dup never pairs
         assert (0, 1, 1.0) in on
         assert all(not (a == 1 and b == 4) and not (a == 0 and b == 4) for a, b, _ in on)
+
+    def test_fuzzy_collapse_invariant(self, spark):
+        from medical_examination_data_etl_system_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+        base = [
+            ("alpha beta gamma", "s"),
+            ("alpha beta gamma", "s"),       # exact dup → intra distance 0
+            ("alpha beta gamna", "s"),       # 1 edit away
+            ("completely different text", "s"),
+        ]
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t, source=src) for i, (t, src) in enumerate(base)]
+        )
+
+        def run(mode):
+            return sorted(
+                (r["id_a"], r["id_b"], r["distance"])
+                for r in fuzzy_levenshtein_pairs(
+                    docs, prefix_len=24, threshold=3, collapse_exact=mode
+                ).collect()
+            )
+
+        on, off, auto = run(True), run(False), run("auto")
+        assert on == off == auto
+        assert (0, 1, 0) in on and (0, 2, 1) in on and (1, 2, 1) in on
