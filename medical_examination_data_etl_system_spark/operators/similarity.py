@@ -692,3 +692,97 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's) — centroid clustering on the embedding column
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over ``vec_col``: returns ``(id, cluster,
+    sq_dist)`` assignments after ``n_iter`` rounds.
+
+    Shape per round: ONE ``mapInPandas`` BLAS sweep assigns every
+    vector to its nearest centroid (O(n·k) against the broadcast k×d
+    matrix — the IVF assignment kernel's cost model), then the centroid
+    update is a (cluster, dim) ``posexplode`` mean — two hash
+    aggregates whose shuffle volume is k·d partials per task,
+    independent of n. The k×d centroid matrix (a few KB) collects to
+    the driver between rounds — the same scalar-state discipline as the
+    CC convergence digest; vectors themselves never collect.
+
+    Deterministic throughout: init is the k lowest-xxhash64 ids (the
+    IVF sampling discipline), assignment ties break on the lower
+    cluster index (stable argmin), and the trajectory is reproducible
+    run-to-run — tests pin exact-recovery on separated clusters and
+    non-increasing inertia over rounds. Iterative + float folding →
+    rows-only at the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sampled = (
+        vectors.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+        .orderBy(F.xxhash64(F.col("_cid")))
+        .limit(k)
+        .collect()
+    )
+    cmat = np.array([list(r["_cv"]) for r in sampled], dtype=np.float64)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_cluster", T.IntegerType(), False),
+            T.StructField("_sq", T.DoubleType(), True),
+        ]
+    )
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def _assign_with(cm: "np.ndarray"):
+        c_sq = (cm * cm).sum(axis=1)
+
+        def _assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+                # argmin ||v-c||² = argmin(c·c − 2 v·c); stable argmin
+                # breaks ties on the lower cluster index
+                d = c_sq[None, :] - 2.0 * (vm @ cm.T)
+                cl = np.argmin(d, axis=1)
+                sq = d[np.arange(len(cl)), cl] + (vm * vm).sum(axis=1)
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"].to_numpy(dtype=np.int64),
+                     "_cluster": cl.astype("int32"),
+                     "_sq": np.maximum(sq, 0.0)}
+                )
+
+        return _assign
+
+    for _ in range(n_iter):
+        assigned = base.mapInPandas(_assign_with(cmat), schema=assign_schema)
+        means = (
+            assigned.join(base, "_id")
+            .select("_cluster", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cluster", "_dim")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        new_c = cmat.copy()
+        for r in means:
+            new_c[r["_cluster"], r["_dim"]] = r["_m"]
+        cmat = new_c
+
+    final = base.mapInPandas(_assign_with(cmat), schema=assign_schema)
+    return final.select(
+        F.col("_id").alias(id_col),
+        F.col("_cluster").alias("cluster"),
+        F.col("_sq").alias("sq_dist"),
+    )

@@ -737,8 +737,26 @@ ORDER BY label, dim
 """
 
 
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (k=8, 5 Lloyd rounds) over the embeddings; cluster
+    sizes + mean squared distance. Iterative float folding → rows-only;
+    exact-recovery and monotone-inertia pins live in
+    tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_assign(emb, k=8, n_iter=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("sq_dist"), 6).alias("avg_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
+    "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
     "emb_label_centroids": QueryDef(emb_label_centroids, LABEL_CENTROIDS_SQL),
     "emb_quantize_int8": QueryDef(emb_quantize_int8, QUANTIZE_SQL),
     "docs_heavy_hitter_terms": QueryDef(docs_heavy_hitter_terms, HEAVY_HITTERS_SQL),

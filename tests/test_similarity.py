@@ -184,3 +184,43 @@ def test_srp_shard_invariance(spark):
     assert pairs(target_block_rows=16, size_sample_mod=1) == baseline
     assert pairs(target_block_rows=1, size_sample_mod=1) == baseline
     assert pairs(target_block_rows=16, size_sample_mod=5) == baseline
+
+
+class TestKMeans:
+    def test_exact_recovery_on_separated_clusters(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from medical_examination_data_etl_system_spark.operators.similarity import kmeans_assign
+
+        rng = np.random.RandomState(3)
+        rows, truth = [], {}
+        for c, center in enumerate([(0, 0), (100, 0), (0, 100)]):
+            for i in range(40):
+                vid = c * 100 + i
+                v = [float(center[0] + rng.randn() * 0.1),
+                     float(center[1] + rng.randn() * 0.1)]
+                rows.append(Row(vec_id=vid, embedding=v))
+                truth[vid] = c
+        df = spark.createDataFrame(rows).repartition(4)
+        got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=3, n_iter=4).collect()}
+        # clusters recovered up to label permutation
+        from collections import defaultdict
+        mapping = defaultdict(set)
+        for vid, cl in got.items():
+            mapping[truth[vid]].add(cl)
+        assert all(len(s) == 1 for s in mapping.values()), mapping
+        assert len({next(iter(s)) for s in mapping.values()}) == 3
+
+    def test_inertia_monotone_nonincreasing(self, spark):
+        from medical_examination_data_etl_system_spark.operators.similarity import kmeans_assign
+        from medical_examination_data_etl_system_spark.queries import load
+        from pyspark.sql import functions as F
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        inertias = []
+        for it in (1, 2, 4):
+            a = kmeans_assign(emb, k=4, n_iter=it)
+            inertias.append(a.agg(F.sum("sq_dist")).collect()[0][0])
+        assert inertias[0] >= inertias[1] - 1e-6
+        assert inertias[1] >= inertias[2] - 1e-6
