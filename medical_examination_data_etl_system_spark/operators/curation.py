@@ -332,3 +332,39 @@ def chunk_tokens(
         ),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Reproducible weighted sampling WITHOUT replacement, ``k`` rows
+    per ``key_col`` group (Efraimidis–Spirakis A-Res): each row draws
+    u = md5-uniform(id) ∈ [0,1) and ranks by the exponential key
+    −ln(u)/w — the top-k per group is a weight-proportional sample.
+
+    Deterministic and engine-independent like ``hash_sample``: u comes
+    from the first 13 hex chars of md5(id) (52 exact mantissa bits /
+    2⁵²), so re-runs, retries, and the DuckDB oracle draw the SAME
+    sample. One row_number window per group — no shuffle beyond the
+    group key, no RNG state, no driver involvement; the idiom for
+    quality-weighted corpus subsampling at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    rn = _temp_name(df, "_wrs_rn")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(key_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= k)
+        .withColumnRenamed(rn, "sample_rank")
+    )

@@ -105,7 +105,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # — the two simplest shapes, both r3-green and pytest-parity-covered
     # — yield their slots to the section-3 never-checked queries: the
     # window is exactly 50)
-    "skew_salted_join",
     # (2b) round 6 drops the r3-green, pytest-parity-covered TPC-H
     # fills (q1-q5, q7, q8, q11, q15, q16, q18, q19) and the two
     # rows-only ANN queries (emb_lsh/emb_ivf — recall pinned in
@@ -151,6 +150,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_label_centroids",
     "events_pmi_cooccurrence",
     "customer_rfm_segments",
+    "docs_weighted_sample",
 ]
 
 

@@ -304,8 +304,40 @@ ORDER BY doc_id
 """
 
 
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional reproducible sample: 5 docs per source,
+    weighted by n_chars (longer docs proportionally likelier) — the
+    Efraimidis-Spirakis exponential-key top-k, md5-derived uniforms so
+    the DuckDB oracle draws the identical sample."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        curation.weighted_sample_per_key(
+            docs, key_col="source", weight_col="n_chars", id_col="doc_id", k=5
+        )
+        .select("doc_id", "source", "n_chars", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT)
+             / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS sample_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY wkey, doc_id) AS rn
+      FROM keyed)
+WHERE rn <= 5
+ORDER BY source, sample_rank
+"""
+
 QUERIES = {
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
+    "docs_weighted_sample": QueryDef(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "docs_domain_mix": QueryDef(docs_domain_mix, DOMAIN_MIX_SQL),
     "docs_domain_cap": QueryDef(docs_domain_cap, DOMAIN_CAP_SQL),
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_SQL),
