@@ -76,6 +76,10 @@ HEAVY_EXTENSION = [
     "docs_token_entropy",
     "docs_heavy_hitter_terms",
     "layout_zorder_cluster",
+    "emb_kmeans_clusters",
+    "docs_weighted_sample",
+    "docs_fuzzy_levenshtein",
+    "graph_pagerank_parts",
 ]
 
 
