@@ -108,3 +108,31 @@ def write_zordered(df: DataFrame, path: str, zcol, n_files: int = 16, mode: str 
         .drop("_zorder")
     )
     staged.write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (the Delta/Iceberg ``OPTIMIZE`` role):
+    read a fragmented parquet dir, rewrite it as ⌈bytes/target⌉ files,
+    return the file count written.
+
+    Streaming upserts, per-trigger micro-batches, and over-parallel
+    writes all strand thousands of KB-scale files; every subsequent
+    scan then pays a task + footer read per file. Compaction is one
+    ``coalesce`` write — coalesce, not repartition: no shuffle, each
+    output file concatenates whole input splits. File count derives
+    from the ACTUAL on-disk bytes (Hadoop listing), so the same call
+    yields 128 MB-class files whether the input was 10 files or 10⁵.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total) // int(target_file_bytes)))
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -194,8 +194,187 @@ ORDER BY o_orderpriority, month
 """
 
 
+
+
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry path: tables registered as temp views, the
+    query expressed as one ANSI SQL string (CTE + window + aggregate)
+    through ``spark.sql`` — proving the engine's second API surface.
+    The oracle runs the same text (modulo DuckDB's CAST spellings), so
+    the two dialects are value-hash-compared end to end."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        WITH cust_rev AS (
+          SELECT c.c_mktsegment,
+                 o.o_custkey,
+                 SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+          FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, o.o_custkey
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY rev_cents DESC, o_custkey) AS rnk
+          FROM cust_rev
+        )
+        SELECT c_mktsegment, o_custkey AS top_custkey, rev_cents, rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY c_mktsegment, rnk
+    """)
+
+
+SQL_INTERFACE_SQL = """
+WITH cust_rev AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY rev_cents DESC, o_custkey) AS rnk
+  FROM cust_rev
+)
+SELECT c_mktsegment, o_custkey AS top_custkey, rev_cents,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY c_mktsegment, rnk
+"""
+
+
+def layout_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: nation written as CSV (with header)
+    AND as JSON-lines, both read back with EXPLICIT schemas (never
+    inference — the engine's schema discipline), joined to verify the
+    two round trips agree row-for-row, then aggregated per region. The
+    oracle computes from the parquet source, so any value corruption in
+    either text format fails the hash."""
+    import tempfile
+
+    nation = load(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    nation.write.mode("overwrite").option("header", True).csv(f"{d}/csv")
+    nation.write.mode("overwrite").json(f"{d}/json")
+    schema = nation.schema
+    from_csv = spark.read.option("header", True).schema(schema).csv(f"{d}/csv")
+    from_json_f = spark.read.schema(schema).json(f"{d}/json")
+    joined = from_csv.alias("c").join(
+        from_json_f.alias("j"), F.col("c.n_nationkey") == F.col("j.n_nationkey")
+    )
+    return (
+        joined.filter(F.col("c.n_name") == F.col("j.n_name"))
+        .groupBy(F.col("c.n_regionkey").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min(F.col("c.n_name")).alias("first_name"),
+            F.max(F.col("j.n_name")).alias("last_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+FORMAT_ROUNDTRIP_SQL = """
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name) AS first_name, max(n_name) AS last_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+def events_corrupt_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input hygiene: the props JSON column is re-parsed with
+    a STRICT schema after injecting synthetic corruption (every 7th
+    record's payload is truncated); ``from_json`` yields null for the
+    corrupt rows, and the audit counts parse failures and the surviving
+    value sum per event type — the PERMISSIVE-ingest accounting every
+    production pipeline needs. The oracle reproduces the same injection
+    and json_extract semantics."""
+    ev = load(spark, sf_dir, "events")
+    import pyspark.sql.types as T
+
+    corrupted = ev.withColumn(
+        "raw",
+        F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 3)).otherwise(
+            F.col("props")
+        ),
+    )
+    parsed = corrupted.withColumn(
+        "k", F.from_json("raw", T.StructType([T.StructField("k", T.IntegerType())]))["k"]
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_corrupt"),
+            F.sum(F.coalesce("k", F.lit(0))).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CORRUPT_JSON_SQL = """
+WITH corrupted AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3) ELSE props END AS raw
+  FROM events
+), parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(raw) THEN CAST(json_extract(raw, '$.k') AS INTEGER) END AS k
+  FROM corrupted
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k
+FROM parsed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip: orders deliberately fragmented
+    into 200 files, compacted back to byte-targeted files (shuffle-free
+    coalesce — the OPTIMIZE maintenance op), re-read and aggregated.
+    The oracle aggregates the source, so compaction provably loses and
+    invents nothing; the file-count collapse is asserted in
+    tests/test_layout.py."""
+    import tempfile
+
+    from medical_examination_data_etl_system_spark.operators.layout import compact_small_files
+
+    orders = load(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="compact_")
+    orders.repartition(200).write.mode("overwrite").parquet(f"{d}/fragmented")
+    compact_small_files(spark, f"{d}/fragmented", f"{d}/compacted")
+    back = spark.read.parquet(f"{d}/compacted")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+COMPACT_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
 QUERIES = {
     "dq_check_orders": QueryDef(dq_check_orders, DQ_CHECK_SQL),
+    "sql_interface_revenue": QueryDef(sql_interface_revenue, SQL_INTERFACE_SQL),
+    "layout_format_roundtrip": QueryDef(layout_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
+    "events_corrupt_json_audit": QueryDef(events_corrupt_json_audit, CORRUPT_JSON_SQL),
+    "layout_compact_small_files": QueryDef(layout_compact_small_files, COMPACT_SQL),
     "layout_schema_evolution": QueryDef(layout_schema_evolution, SCHEMA_EVOLUTION_SQL),
     "docs_fuzzy_levenshtein": QueryDef(docs_fuzzy_levenshtein, FUZZY_SQL),
     "orders_mom_growth": QueryDef(orders_mom_growth, MOM_GROWTH_SQL),

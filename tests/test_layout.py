@@ -138,3 +138,18 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     # count grows)
     assert z_hit < 0.7, (z_hit, zfiles)
     assert z_hit <= l_hit, (z_hit, l_hit)
+
+
+def test_compaction_collapses_file_count(spark, tmp_path):
+    from medical_examination_data_etl_system_spark.operators.layout import compact_small_files
+
+    orders = load(spark, SF_DIR, "orders")
+    frag = f"{tmp_path}/frag"
+    orders.repartition(100).write.parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag == 100
+    out = f"{tmp_path}/compacted"
+    n = compact_small_files(spark, frag, out, target_file_bytes=1 << 20)
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_out == n and n_out < 5  # sf0.01 orders ≈ sub-MB total
+    assert spark.read.parquet(out).count() == orders.count()
