@@ -369,12 +369,47 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+
+
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit
+    binary-tree hierarchy parent(partkey) = partkey DIV 2 from every
+    part up to the root and histogram the depths — transitive-closure
+    iteration expressed IN SQL, planned by the engine (no driver
+    loop). DuckDB runs the same recursion with its // spelling of
+    integer division."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql("""
+        WITH RECURSIVE walk(partkey, anc, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM v_part
+          UNION ALL
+          SELECT partkey, anc DIV 2, depth + 1 FROM walk WHERE anc > 1
+        )
+        SELECT depth, COUNT(*) AS n_parts, MIN(partkey) AS min_partkey
+        FROM walk WHERE anc = 1
+        GROUP BY depth ORDER BY depth
+    """)
+
+
+SQL_RECURSIVE_SQL = """
+WITH RECURSIVE walk(partkey, anc, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT partkey, anc // 2, depth + 1 FROM walk WHERE anc > 1
+)
+SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_parts,
+       min(partkey) AS min_partkey
+FROM walk WHERE anc = 1
+GROUP BY depth ORDER BY depth
+"""
+
 QUERIES = {
     "dq_check_orders": QueryDef(dq_check_orders, DQ_CHECK_SQL),
     "sql_interface_revenue": QueryDef(sql_interface_revenue, SQL_INTERFACE_SQL),
     "layout_format_roundtrip": QueryDef(layout_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "events_corrupt_json_audit": QueryDef(events_corrupt_json_audit, CORRUPT_JSON_SQL),
     "layout_compact_small_files": QueryDef(layout_compact_small_files, COMPACT_SQL),
+    "sql_recursive_hierarchy": QueryDef(sql_recursive_hierarchy, SQL_RECURSIVE_SQL),
     "layout_schema_evolution": QueryDef(layout_schema_evolution, SCHEMA_EVOLUTION_SQL),
     "docs_fuzzy_levenshtein": QueryDef(docs_fuzzy_levenshtein, FUZZY_SQL),
     "orders_mom_growth": QueryDef(orders_mom_growth, MOM_GROWTH_SQL),
