@@ -799,6 +799,154 @@ ORDER BY event_type
 """
 
 
+
+
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the missing member of the join
+    battery: per-day order counts from two derived "systems" (urgent
+    priorities vs high-value orders) full-outer-joined on the day, with
+    null-side tagging and coalesced keys — the ledger-diff shape every
+    reconciliation job runs. One co-partitioned shuffle join; neither
+    side is dropped."""
+    orders = load(spark, sf_dir, "orders")
+    sys_a = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    sys_b = (
+        orders.filter(F.col("o_totalprice") > 250000)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        sys_a.join(sys_b, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.when(F.col("n_a").isNull(), "only_b")
+            .when(F.col("n_b").isNull(), "only_a")
+            .otherwise("both")
+            .alias("presence"),
+        )
+        .orderBy("day")
+    )
+
+
+FULL_OUTER_SQL = """
+WITH sys_a AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_a
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+), sys_b AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_b
+  FROM orders WHERE o_totalprice > 250000 GROUP BY 1
+)
+SELECT coalesce(a.day, b.day) AS day,
+       CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+       CASE WHEN n_a IS NULL THEN 'only_b'
+            WHEN n_b IS NULL THEN 'only_a'
+            ELSE 'both' END AS presence
+FROM sys_a a FULL OUTER JOIN sys_b b USING (day)
+ORDER BY day
+"""
+
+
+def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution members of the window battery: percent_rank,
+    cume_dist, and nth_value over each priority's price ordering —
+    ordering carries the order key as final tie-break so every rank
+    statistic is engine-deterministic. Top-20 rows per priority keep
+    the result compact."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(
+                F.nth_value("o_totalprice", 3).over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+                2,
+            ).alias("third_price"),
+        )
+        .filter(F.col("rn") <= 20)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+WINDOW_DIST_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       round(o_totalprice, 2) AS price,
+       CAST(rn AS INTEGER) AS rn,
+       round(pct_rank, 6) AS pct_rank,
+       round(cume, 6) AS cume,
+       round(third_price, 2) AS third_price
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey
+                                          ROWS UNBOUNDED PRECEDING) AS third_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+)
+WHERE rn <= 20
+ORDER BY o_orderpriority, rn
+"""
+
+
+def fn_explode_outer_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: tokenized document rows fan out 1→N,
+    but EMPTY documents survive as a null-token row (explode_outer) —
+    the row-preservation contract plain explode silently breaks; the
+    count reconciliation (every doc appears) is the point."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.filter(
+                F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("token").alias("n_tokens"),
+            (F.count(F.lit(1)) > F.count("token")).alias("had_empty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXPLODE_OUTER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                     t -> t <> '') AS tl
+  FROM documents
+)
+SELECT doc_id,
+       CAST(greatest(len(tl), 1) AS BIGINT) AS n_rows,
+       CAST(len(tl) AS BIGINT) AS n_tokens,
+       len(tl) = 0 AS had_empty
+FROM toks
+ORDER BY doc_id
+"""
+
 QUERIES = {
     "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
     "layout_partition_prune": QueryDef(layout_partition_prune, LAYOUT_PRUNE_SQL),
@@ -820,6 +968,9 @@ QUERIES = {
     "window_running_total": QueryDef(window_running_total, WINDOW_RUNNING_SQL),
     "window_topk_orders_per_customer": QueryDef(window_topk_orders_per_customer, WINDOW_TOPK_SQL),
     "window_order_gaps": QueryDef(window_order_gaps, WINDOW_LAG_SQL),
+    "join_full_outer_reconcile": QueryDef(join_full_outer_reconcile, FULL_OUTER_SQL),
+    "window_distribution_stats": QueryDef(window_distribution_stats, WINDOW_DIST_SQL),
+    "fn_explode_outer_arrays": QueryDef(fn_explode_outer_arrays, EXPLODE_OUTER_SQL),
     "set_union_nations": QueryDef(set_union_nations, SET_UNION_SQL),
     "set_intersect_nations": QueryDef(set_intersect_nations, SET_INTERSECT_SQL),
     "set_except_nations": QueryDef(set_except_nations, SET_EXCEPT_SQL),
