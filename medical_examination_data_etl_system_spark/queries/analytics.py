@@ -327,8 +327,96 @@ ORDER BY 1, 2, 3
 """
 
 
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase part graph — one summary row
+    ``(n_nodes, n_edges, n_triangles, clustering)``.
+
+    The enumeration is DEGREE-ORIENTED (each edge directed from its
+    lower-(degree, id) endpoint): every triangle is generated from its
+    lowest-degree vertex exactly once, so the wedge join's volume is
+    Σ out_deg² with out-degrees bounded by ~√|E| under any skew — the
+    arboricity argument that makes triangle counting feasible on
+    power-law graphs where an id-oriented join explodes on hub nodes.
+    The oracle counts the same triangles with the naive u<v 3-way
+    join (identical result, fine at sf0.01)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    # the closing edge between b and c may be oriented either way
+    closing = oriented.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    summary = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("clustering"),
+    )
+
+
+TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+  ) GROUP BY n
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles,
+       round(3.0 * (SELECT n_triangles FROM tri)
+             / (SELECT sum(d * (d - 1) / 2) FROM deg), 6) AS clustering
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
+    "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_pmi_cooccurrence": QueryDef(events_pmi_cooccurrence, PMI_SQL),
     "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
     "events_transition_matrix": QueryDef(events_transition_matrix, TRANSITION_SQL),

@@ -335,9 +335,103 @@ WHERE rn <= 5
 ORDER BY source, sample_rank
 """
 
+
+
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment from the same
+    md5 id-bucket as hash_sample — split membership is a pure function
+    of the id (stable across re-runs, engines, and corpus growth:
+    adding documents never moves an existing one between splits), the
+    property random splits lack. Summarized per (split, lang)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = curation.hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+SPLIT_SQL = f"""
+SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: documents ntiled into 8 buckets by
+    token count (key tie-break → deterministic), with each bucket's
+    PADDING WASTE — the fraction of a max-length-padded batch that
+    would be pad tokens (1 − sum_len / (count·max_len)). The metric
+    length-grouped inference batching exists to minimize; bucketing by
+    ntile keeps batch sizes equal under any length distribution."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.when(
+        F.trim("text") == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+    staged = docs.select("doc_id", n_tok.alias("n_tokens"))
+    w = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    bucketed = staged.withColumn("bucket", F.ntile(8).over(w))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_len"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n_tokens")
+                / (F.count(F.lit(1)) * F.max("n_tokens")),
+                6,
+            ).alias("pad_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+LENGTH_BUCKETS_SQL = """
+WITH staged AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), bucketed AS (
+  SELECT *, CAST(ntile(8) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS bucket
+  FROM staged
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_tokens) AS min_len,
+       max(n_tokens) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (count(*) * max(n_tokens)), 6) AS pad_waste
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
 QUERIES = {
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_weighted_sample": QueryDef(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "docs_train_val_test_split": QueryDef(docs_train_val_test_split, SPLIT_SQL),
+    "docs_length_buckets": QueryDef(docs_length_buckets, LENGTH_BUCKETS_SQL),
     "docs_domain_mix": QueryDef(docs_domain_mix, DOMAIN_MIX_SQL),
     "docs_domain_cap": QueryDef(docs_domain_cap, DOMAIN_CAP_SQL),
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_SQL),
