@@ -414,9 +414,133 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
 """
 
 
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 15 most common 3-step event-type paths across
+    user timelines (two stacked leads over one (user, ts, event_id)
+    sort — a single Exchange, same window spec as the transition
+    matrix), ranked with a deterministic tie-break."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rw = Window.orderBy(F.desc("n"), "s1", "s2", "s3")
+    return (
+        paths.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 15)
+        .orderBy("rnk")
+    )
+
+
+TOP_PATHS_SQL = """
+WITH paths AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counted AS (
+  SELECT s1, s2, s3, count(*) AS n FROM paths WHERE s3 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT s1, s2, s3, n, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS rnk
+      FROM counted)
+WHERE rnk <= 15
+ORDER BY rnk
+"""
+
+
+def orders_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags on daily revenue: 28-day trailing
+    mean/std over exact BIGINT cent sums (population variance via the
+    integer-sum identity (Σx² − (Σx)²/n)/n — float enters only at the
+    final divisions, so both engines compute the identical statistic),
+    RANGE frame on the day so the window is calendar-true. Flags days
+    with |z| > 2; emits the most recent 60 days for compactness."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    day_sec = F.col("day").cast("timestamp").cast("long")
+    w = (
+        Window.orderBy(day_sec)
+        .rangeBetween(-28 * 86400, -86400)  # trailing 28 days, excl. today
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("cents").over(w).cast("double")
+    # squares overflow BIGINT at sf0.1 (Σ of ~8e17 values); decimal
+    # keeps the windowed sum EXACT (order-independent), double enters
+    # only at the final conversion — identical on both engines.
+    cents_dec = F.col("cents").cast("decimal(38,0)")
+    sxx = F.sum(cents_dec * cents_dec).over(w).cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / n
+    z = (F.col("cents") - mean) / F.sqrt(var)
+    flagged = daily.select(
+        "day",
+        "cents",
+        n.alias("n_window"),
+        F.round(mean, 4).alias("mean_cents"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2).alias("anomaly"),
+    ).filter(F.col("n_window") >= 14)
+    rw = Window.orderBy(F.desc("day"))
+    return (
+        flagged.withColumn("_rn", F.row_number().over(rw))
+        .filter(F.col("_rn") <= 60)
+        .drop("_rn")
+        .orderBy("day")
+    )
+
+
+DAILY_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), stats AS (
+  SELECT day, cents,
+         count(*) OVER w AS n_window,
+         CAST(sum(cents) OVER w AS DOUBLE) AS sx,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w AS DOUBLE) AS sxx
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 28 DAYS PRECEDING
+                                      AND INTERVAL 1 DAY PRECEDING)
+), scored AS (
+  SELECT day, cents, CAST(n_window AS BIGINT) AS n_window,
+         round(sx / n_window, 4) AS mean_cents,
+         round((cents - sx / n_window)
+               / sqrt((sxx - sx * sx / n_window) / n_window), 4) AS z,
+         abs((cents - sx / n_window)
+             / sqrt((sxx - sx * sx / n_window) / n_window)) > 2 AS anomaly
+  FROM stats WHERE n_window >= 14
+)
+SELECT day, cents, n_window, mean_cents, z, anomaly
+FROM (SELECT *, row_number() OVER (ORDER BY day DESC) AS rn FROM scored)
+WHERE rn <= 60
+ORDER BY day
+"""
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
+    "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),
+    "orders_daily_anomaly": QueryDef(orders_daily_anomaly, DAILY_ANOMALY_SQL),
     "events_pmi_cooccurrence": QueryDef(events_pmi_cooccurrence, PMI_SQL),
     "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
     "events_transition_matrix": QueryDef(events_transition_matrix, TRANSITION_SQL),
