@@ -17,6 +17,8 @@ from medical_examination_data_etl_system_spark.streaming import (
     read_events_stream,
     run_available_now,
     sessionize_stateful,
+    stream_session_counts,
+    stream_sliding_counts,
     stream_tumbling_counts,
 )
 
@@ -230,9 +232,67 @@ ORDER BY day, c_mktsegment
 """
 
 
+
+
+def stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_sliding_windows``: 1-hour windows
+    every 30 minutes, drained availableNow in complete mode — the
+    overlapping-window state the tumbling twin doesn't exercise."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(
+        stream_sliding_counts(stream), "q_stream_sliding", output_mode="complete"
+    )
+    return out.orderBy("window_start")
+
+
+STREAM_SLIDING_SQL = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+def stream_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` streaming per user (merging-window
+    state) — the built-in complement to the custom
+    applyInPandasWithState sessionizer; drained availableNow it equals
+    the batch session query, so the oracle is the same lag/cumsum
+    sessionization."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(
+        stream_session_counts(stream), "q_stream_session_builtin",
+        output_mode="complete",
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+STREAM_SESSION_BUILTIN_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
 QUERIES = {
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_static_enrich": QueryDef(stream_static_enrich, STREAM_STATIC_SQL),
+    "stream_sliding_halfhour": QueryDef(stream_sliding_halfhour, STREAM_SLIDING_SQL),
+    "stream_session_builtin": QueryDef(stream_session_builtin, STREAM_SESSION_BUILTIN_SQL),
     "stream_sessionize_stateful": QueryDef(stream_sessionize_stateful, STREAM_SESSIONS_SQL),
     "stream_click_attribution": QueryDef(stream_click_attribution, STREAM_ATTRIBUTION_SQL),
     "stream_dedup_exactly_once": QueryDef(stream_dedup_exactly_once, STREAM_DEDUP_SQL),
