@@ -536,11 +536,125 @@ WHERE rn <= 60
 ORDER BY day
 """
 
+
+
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event type independent of
+    day-of-week? Observed counts per (type, dow), expected =
+    row_total × col_total / N — every term an exact BIGINT ratio,
+    float only in the final (O−E)²/E fold, so the statistic is
+    engine-identical. One contingency aggregation + two marginal
+    aggregations broadcast back (the stats-on-aggregates shape: no
+    row ever leaves the first groupBy)."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.select(F.col("event_type").alias("t"), F.dayofweek("ts").alias("dow"))
+        .groupBy("t", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_tot = obs.groupBy("t").agg(F.sum("o").alias("rt"))
+    col_tot = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    cells = (
+        obs.join(F.broadcast(row_tot), "t")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t",
+            "dow",
+            "o",
+            F.round(e, 4).alias("expected"),
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("_term"),
+        )
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("_term"), 4).alias("chi_square"),
+    ).crossJoin(F.broadcast(n.select(F.col("n").alias("n_events"))))
+
+
+CHI_SQUARE_SQL = """
+WITH obs AS (
+  SELECT event_type AS t, dayofweek(ts) + 1 AS dow, count(*) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT t, sum(o) AS rt FROM obs GROUP BY t),
+ct AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY dow),
+n AS (SELECT sum(o) AS n FROM obs),
+cells AS (
+  SELECT o.t, o.dow, o.o,
+         CAST(rt AS DOUBLE) * ct / n AS e
+  FROM obs o JOIN rt USING (t) JOIN ct USING (dow) CROSS JOIN n
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((o - e) * (o - e) / e), 4) AS chi_square,
+       (SELECT CAST(n AS BIGINT) FROM n) AS n_events
+FROM cells
+"""
+
+
+def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between price (exact cents) and quantity
+    per return flag — computed from EXACT integer sums
+    (n·Σxy − Σx·Σy over decimal accumulators; BIGINT² overflows at
+    this volume), float entering only at the final ratio, so both
+    engines produce the identical r — the discipline the built-in
+    ``corr`` (order-dependent float sums) can't give across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    y = F.col("l_quantity").cast("decimal(38,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n_lines"),
+            F.round(num / den, 6).alias("price_qty_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+CORR_SQL = """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sx,
+         sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sy,
+         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(l_quantity AS BIGINT)) AS sxy,
+         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxx,
+         sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+             * CAST(l_quantity AS BIGINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS price_qty_corr
+FROM agg
+ORDER BY l_returnflag
+"""
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),
     "orders_daily_anomaly": QueryDef(orders_daily_anomaly, DAILY_ANOMALY_SQL),
+    "events_chi_square": QueryDef(events_chi_square, CHI_SQUARE_SQL),
+    "lineitem_price_qty_corr": QueryDef(lineitem_price_qty_corr, CORR_SQL),
     "events_pmi_cooccurrence": QueryDef(events_pmi_cooccurrence, PMI_SQL),
     "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
     "events_transition_matrix": QueryDef(events_transition_matrix, TRANSITION_SQL),
