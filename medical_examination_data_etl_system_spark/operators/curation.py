@@ -368,3 +368,74 @@ def weighted_sample_per_key(
         .filter(F.col(rn) <= k)
         .withColumnRenamed(rn, "sample_rank")
     )
+
+
+def bigram_coherence(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fluency signal from a corpus-trained bigram model:
+    for every bigram occurrence (w1, w2), the MLE conditional estimate
+    P(w2|w1) = C(w1 w2) / C(w1 ·) — C counting bigram INSTANCES corpus-
+    wide — scored in parts-per-million INTEGER arithmetic
+    (``(1e6·C_bg) div C_prefix``), so per-doc sums are exact BIGINTs
+    with no float-summation order anywhere (the discipline that keeps
+    the oracle hash-green). Output: (id, n_bigrams, score_sum,
+    coherence_ppm = score_sum div n_bigrams); docs with < 2 tokens emit
+    no row (undefined, same absence-composes stance as repetition_stats).
+
+    Plan: gram building is the shared map-only codegen construction
+    (hashed 8-byte grams — collision-exact); the two corpus-wide counts
+    are ``count(*) over (partition by hash)`` windows — each one
+    Exchange on a vocabulary-cardinality key, no join back (the count
+    rides the same partitioning the window created); then one per-doc
+    aggregation. Three shuffles total, all on high-cardinality keys; at
+    100 TB the gram stream is ~|tokens| rows of (long, long, long) —
+    the same volume the tf-idf and entropy kernels already move.
+    """
+    grams = _word_gram_rows2(docs, text_col, id_col)
+    w_bg = Window.partitionBy("_gram")
+    w_pre = Window.partitionBy("_prefix")
+    scored = (
+        grams.select(
+            "_id",
+            F.count(F.lit(1)).over(w_bg).alias("_c_bg"),
+            F.count(F.lit(1)).over(w_pre).alias("_c_pre"),
+        )
+        .select("_id", F.expr("(1000000 * _c_bg) div _c_pre").alias("score_ppm"))
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("score_ppm").alias("score_sum"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "score_sum",
+            F.expr("score_sum div n_bigrams").alias("coherence_ppm"),
+        )
+    )
+
+
+def _word_gram_rows2(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _gram, _prefix) — bigram occurrences with the leading
+    unigram alongside, both as xxhash64 longs (same construction and
+    collision stance as ``_word_gram_rows``)."""
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    count = F.greatest(F.size("_toks") - 1, F.lit(0))
+    positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return staged.select("_id", "_toks", F.explode(positions).alias("_pos")).select(
+        "_id",
+        F.xxhash64(F.array_join(F.slice(F.col("_toks"), F.col("_pos"), 2), " ")).alias("_gram"),
+        F.xxhash64(F.array_join(F.slice(F.col("_toks"), F.col("_pos"), 1), " ")).alias("_prefix"),
+    )

@@ -210,3 +210,43 @@ def resample_gap_fill(
         )
         .orderBy(key_col, "bucket_start")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.25,
+    lookback: int = 24,
+) -> Column:
+    """Bounded-lookback exponentially-weighted moving average of
+    ``value_col`` per ``key_col`` partition: a left fold of
+    ``acc·(1−α) + x·α`` over the last ``lookback``+1 values in
+    ``order_cols`` order, seeded at 0.0.
+
+    Expressed as ``collect_list`` over a ROWS window (frame order is
+    deterministic given a total order) + ``F.aggregate`` — the fold runs
+    JVM-side on the 25-element array; no Python, no self-join, one
+    Exchange on the key. The bounded frame is what makes the recurrence
+    expressible WITHOUT per-row state: weights beyond the lookback decay
+    below (1−α)^24 ≈ 1e-3 of a fresh observation and the truncation is
+    part of the operator's definition (both engines truncate
+    identically), so the result is bit-exact reproducible — every fold
+    step is an IEEE-correctly-rounded op applied in the same order with
+    exactly-representable α=0.25 coefficients, which is what lets a SQL
+    oracle (``list_reduce`` over the same frame) hash-match it.
+
+    Returns the EWMA Column; attach with ``withColumn``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, Window.currentRow)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    return F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )

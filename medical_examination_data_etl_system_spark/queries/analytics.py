@@ -8,10 +8,11 @@ driver value-hashes them end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark.operators.timeseries import (
+    ewma,
     funnel_stages,
     resample_gap_fill,
     retention_cohorts,
@@ -648,6 +649,131 @@ FROM agg
 ORDER BY l_returnflag
 """
 
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the first-occurrence trick.
+
+    ``count(distinct) over (order by day)`` is quadratic-state at scale;
+    the standard reformulation — each user counts only on their FIRST
+    active day, then a running sum over the tiny day-level frame — costs
+    one shuffle on user_id plus a window over ~2 400 day rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    ).orderBy("day")
+
+
+CUMULATIVE_DISTINCT_SQL = """
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), daily AS (
+  SELECT day, count(*) AS n_new_users FROM first_day GROUP BY day
+)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily ORDER BY day
+"""
+
+
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (alpha=0.25, 24-row lookback) — the
+    bit-exact bounded-fold form (operators/timeseries.ewma): one
+    Exchange on user_id, JVM-side fold, no Python, no self-join."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        ewma(ev, "user_id", ["ts", "event_id"], "value").alias("ewma_value"),
+    ).orderBy("event_id")
+
+
+# Mirrors the operator fold exactly: same frame, same seed, same
+# left-to-right a*0.75 + b*0.25 steps — every op IEEE-correctly-rounded
+# on identical inputs, so the doubles hash-match without tolerance.
+EWMA_SQL = """
+WITH framed AS (
+  SELECT event_id, user_id, ts, value,
+         list(CAST(value AS DOUBLE))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS l
+  FROM events
+)
+SELECT event_id, user_id, ts, value,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+                   (a, b) -> a * 0.75 + b * 0.25) AS ewma_value
+FROM framed ORDER BY event_id
+"""
+
+
+def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event value WITHOUT a global
+    sort: per-value tie-group counts first (the 2-decimal value domain
+    bounds distinct values at ~49k, so the offset window runs over a
+    BOUNDED frame, not over rows), then a distributed within-value
+    row_number gives every row its exact global rank; the ANSI ntile
+    assignment formula maps ranks to buckets. The only single-partition
+    window is over the distinct-value frame — at 100 TB the per-row
+    work stays in the value-partitioned shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    nb = 10
+    sizes = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "value", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("value").orderBy("event_id")
+    ranked = (
+        ev.join(offsets, "value")
+        .select(
+            "value",
+            "event_id",
+            (F.col("off") + F.row_number().over(w_in)).alias("rnk"),
+        )
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked.crossJoin(F.broadcast(total))
+    # ANSI ntile: q = n div nb, r = n mod nb; first r buckets get q+1 rows.
+    bucketed = ranked.select(
+        "value",
+        F.expr(
+            f"CASE WHEN rnk <= (n % {nb}) * (n div {nb} + 1) "
+            f"THEN (rnk - 1) div (n div {nb} + 1) + 1 "
+            f"ELSE (n % {nb}) + (rnk - (n % {nb}) * (n div {nb} + 1) - 1) div (n div {nb}) + 1 END"
+        ).cast("int").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_EQUIDEPTH_SQL = """
+WITH b AS (
+  SELECT value, CAST(ntile(10) OVER (ORDER BY value, event_id) AS INTEGER) AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS n_rows,
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
@@ -661,4 +787,7 @@ QUERIES = {
     "events_retention_cohorts": QueryDef(events_retention_cohorts, RETENTION_SQL),
     "events_gap_fill_hourly": QueryDef(events_gap_fill_hourly, GAP_FILL_SQL),
     "graph_pagerank_parts": QueryDef(graph_pagerank_parts, None),
+    "events_cumulative_distinct": QueryDef(events_cumulative_distinct, CUMULATIVE_DISTINCT_SQL),
+    "events_ewma_smoothing": QueryDef(events_ewma_smoothing, EWMA_SQL),
+    "events_histogram_equidepth": QueryDef(events_histogram_equidepth, HISTOGRAM_EQUIDEPTH_SQL),
 }

@@ -427,6 +427,49 @@ GROUP BY bucket
 ORDER BY bucket
 """
 
+def docs_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document
+    (operators/curation.bigram_coherence): integer ppm arithmetic end
+    to end, three vocabulary-keyed shuffles, zero Python."""
+    docs = load(spark, sf_dir, "documents")
+    return curation.bigram_coherence(docs).orderBy("doc_id")
+
+
+# Same tokenizer as every text oracle (lower+trim+split \s+); grams
+# compare as strings where the engine compares xxhash64 longs —
+# hash-collision-exact, the ngram_jaccard stance. All scoring is BIGINT
+# ppm division, so sums are order-free exact on both engines.
+BIGRAM_COHERENCE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 1, 0) + 1),
+           i -> array_to_string(tk[i:i+1], ' ')
+         )) AS g,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 1, 0) + 1),
+           i -> tk[i]
+         )) AS pre
+  FROM toks
+), scored AS (
+  SELECT doc_id,
+         (1000000 * count(*) OVER (PARTITION BY g))
+           // count(*) OVER (PARTITION BY pre) AS score_ppm
+  FROM grams
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(score_ppm) AS BIGINT) AS score_sum,
+       CAST(sum(score_ppm) // count(*) AS BIGINT) AS coherence_ppm
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_weighted_sample": QueryDef(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
@@ -439,4 +482,5 @@ QUERIES = {
     "docs_chunk_overlap": QueryDef(docs_chunk_overlap, CHUNK_SQL),
     "docs_decontaminate": QueryDef(docs_decontaminate, DECONTAMINATE_SQL),
     "docs_repetition_ratio": QueryDef(docs_repetition_ratio, REPETITION_SQL),
+    "docs_bigram_coherence": QueryDef(docs_bigram_coherence, BIGRAM_COHERENCE_SQL),
 }

@@ -754,6 +754,57 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact d×d Gram matrix of the embedding corpus (upper triangle)
+    in fixed-point int64 (operators/linalg.quantized_gram_matrix): one
+    Arrow sweep producing O(d²)-row partials per batch, one O(d²)-key
+    reduce — the covariance/PCA precursor whose shuffle never scales
+    with rows."""
+    from medical_examination_data_etl_system_spark.operators.linalg import quantized_gram_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantized_gram_matrix(emb, "embedding", scale=1_000_000).orderBy("i", "j")
+
+
+# Quantization tree mirrored exactly: CAST(float AS DOUBLE)*1e6 is
+# correctly rounded identically everywhere, round() is half-away-from-
+# zero in both engines, and all sums are integer — no float summation
+# order anywhere (the exact-cents discipline applied to vectors).
+GRAM_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+       CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS s
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to 4 components (fit = the Gram sweep above +
+    a d×d driver eigh; transform = map-only Arrow GEMM against the
+    broadcast components). Rows-only: eigenvectors aren't ANSI-SQL-
+    expressible; pytest pins variance ordering, centering, and
+    agreement with a local numpy PCA."""
+    from medical_examination_data_etl_system_spark.operators.linalg import pca_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, "embedding", "vec_id", k=4)
+    return proj.select(
+        "vec_id",
+        F.col("proj")[0].alias("pc1"),
+        F.col("proj")[1].alias("pc2"),
+        F.col("proj")[2].alias("pc3"),
+        F.col("proj")[3].alias("pc4"),
+    ).orderBy("vec_id")
+
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
@@ -781,4 +832,6 @@ QUERIES = {
     "multimodal_binary_features": QueryDef(multimodal_binary_features, MULTIMODAL_BINARY_SQL),
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAME_SAMPLE_SQL),
     "multimodal_resize": QueryDef(multimodal_resize, RESIZE_SQL),
+    "emb_gram_matrix": QueryDef(emb_gram_matrix, GRAM_SQL),
+    "emb_pca_project": QueryDef(emb_pca_project, None),
 }

@@ -202,6 +202,39 @@ ORDER BY event_type, bin
 """
 
 
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with the built-in parse_url (map-only
+    codegen) over URLs assembled from document metadata — the
+    normalize-before-dedup step of any web-crawl pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/d"), F.col("doc_id"),
+        F.lit("?ref="), F.col("source"), F.lit("&page="), F.col("doc_id") % 7,
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).cast("int").alias("page"),
+    ).orderBy("doc_id")
+
+
+# DuckDB has no parse_url; the oracle re-derives the components from the
+# same metadata the URL was assembled from — equivalent by construction.
+URL_PARSE_SQL = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/' || lang || '/d' || doc_id AS path,
+       source AS ref,
+       CAST(doc_id % 7 AS INTEGER) AS page
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "fn_value_histogram": QueryDef(fn_value_histogram, HISTOGRAM_SQL),
     "fn_datetime_extract": QueryDef(fn_datetime_extract, DATETIME_SQL),
@@ -209,4 +242,5 @@ QUERIES = {
     "fn_array_ops": QueryDef(fn_array_ops, ARRAY_SQL),
     "fn_conditional_case": QueryDef(fn_conditional_case, CASE_SQL),
     "fn_map_ops": QueryDef(fn_map_ops, MAP_SQL),
+    "fn_url_parse": QueryDef(fn_url_parse, URL_PARSE_SQL),
 }

@@ -947,6 +947,142 @@ FROM toks
 ORDER BY doc_id
 """
 
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    status×priority, each margin, and the grand total in ONE pass —
+    Catalyst expands to a single Expand + hash aggregate, so the fact
+    scans once however many sets are requested. Exact-cents sum keeps
+    the money column engine-exact.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of a customer's orders whose
+    14-day fulfillment windows overlap. The equi-key (o_custkey) makes
+    this a plain hash/sort-merge join with a range residual — per-key
+    pair work is bounded by orders-per-customer (TPC-H ~10), so the
+    theta condition never degenerates to a cartesian product; at 100 TB
+    the shuffle is the customer key, the same partitioning every other
+    per-customer query reuses.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("w_start"),
+        F.date_add(F.to_date("o_orderdate"), 14).alias("w_end"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.w_start") <= F.col("b.w_end"))
+            & (F.col("b.w_start") <= F.col("a.w_end")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("okey_a"),
+            F.col("b.o_orderkey").alias("okey_b"),
+            (
+                F.datediff(
+                    F.least("a.w_end", "b.w_end"),
+                    F.greatest("a.w_start", "b.w_start"),
+                )
+                + 1
+            ).cast("int").alias("overlap_days"),
+        )
+        .orderBy("custkey", "okey_a", "okey_b")
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS w_start,
+         CAST(o_orderdate AS DATE) + INTERVAL 14 DAY AS w_end
+  FROM orders
+)
+SELECT a.o_custkey AS custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+       CAST(datediff('day',
+                     greatest(a.w_start, b.w_start),
+                     CAST(least(a.w_end, b.w_end) AS DATE)) + 1 AS INTEGER)
+         AS overlap_days
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.w_start <= b.w_end AND b.w_start <= a.w_end
+ORDER BY custkey, okey_a, okey_b
+"""
+
+
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(status, priority) HLL sketches of
+    distinct customers, REUSED via hll_union_agg for the per-status and
+    global levels — the fact table scans once; coarser levels merge the
+    fine-grained sketches instead of re-shuffling raw keys. This is the
+    sketch-reuse pattern exact distinct-counts can't have (distinct keys
+    must re-shuffle per level; sketches are tiny and commutative).
+    Rows-only: estimates are sketch-implementation-specific (pytest pins
+    them within tolerance of exact).
+    """
+    o = load(spark, sf_dir, "orders")
+    fine = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    lvl0 = fine.select(
+        F.lit(0).alias("level"), "o_orderstatus", "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"), "n_orders",
+    )
+    by_status = fine.groupBy("o_orderstatus").agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_orders").alias("n_orders")
+    )
+    lvl1 = by_status.select(
+        F.lit(1).alias("level"), "o_orderstatus",
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"), "n_orders",
+    )
+    lvl2 = by_status.groupBy().agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_orders").alias("n_orders")
+    ).select(
+        F.lit(2).alias("level"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"), "n_orders",
+    )
+    return lvl0.unionByName(lvl1).unionByName(lvl2).orderBy(
+        "level", "o_orderstatus", "o_orderpriority"
+    )
+
+
 QUERIES = {
     "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
     "layout_partition_prune": QueryDef(layout_partition_prune, LAYOUT_PRUNE_SQL),
@@ -975,4 +1111,7 @@ QUERIES = {
     "set_intersect_nations": QueryDef(set_intersect_nations, SET_INTERSECT_SQL),
     "set_except_nations": QueryDef(set_except_nations, SET_EXCEPT_SQL),
     "dedup_first_lineitem_per_order": QueryDef(dedup_first_lineitem_per_order, DEDUP_FIRST_SQL),
+    "agg_grouping_sets": QueryDef(agg_grouping_sets, GROUPING_SETS_SQL),
+    "join_interval_overlap": QueryDef(join_interval_overlap, INTERVAL_OVERLAP_SQL),
+    "agg_hll_rollup": QueryDef(agg_hll_rollup, None),
 }
