@@ -1,0 +1,250 @@
+"""Round-7 family tests: exact linear algebra (Gram/PCA), HLL sketch
+rollup tolerance, the bit-exact EWMA fold, bigram-coherence bounds, and
+plan-shape guards for the new heavy operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators.linalg import (
+    pca_components,
+    pca_project,
+    quantized_gram_matrix,
+)
+from medical_examination_data_etl_system_spark.operators.timeseries import ewma
+from medical_examination_data_etl_system_spark.queries import all_queries, load
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _formatted_plan(df) -> str:
+    je = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix: exact agreement with local numpy on the same quantization
+# ---------------------------------------------------------------------------
+
+
+def test_gram_matrix_matches_numpy_exactly(spark):
+    rng = np.random.default_rng(7)
+    d, n = 5, 200
+    x = rng.normal(scale=0.5, size=(n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+    )
+    rows = quantized_gram_matrix(df, "embedding", scale=1_000_000).collect()
+    # Mirror the JVM quantization: double widen, *1e6, half-away round.
+    q = np.floor(np.abs(x.astype(np.float64)) * 1e6 + 0.5).astype(np.int64) * np.sign(
+        x
+    ).astype(np.int64)
+    expect = q.T @ q
+    got = {(r.i, r.j): r.s for r in rows}
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == expect[i, j], (i, j)
+
+
+def test_gram_matrix_col_sums_ride_along(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, -2.0]), Row(vec_id=1, embedding=[0.5, 0.25])]
+    )
+    rows = quantized_gram_matrix(df, "embedding", scale=100, with_col_sums=True).collect()
+    sums = {r.i: r.s for r in rows if r.j == -1}
+    assert sums == {0: 150, 1: -175}
+
+
+# ---------------------------------------------------------------------------
+# PCA: agreement with local numpy eigh, variance ordering, centering
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_local(spark):
+    pdf = load(spark, SF_DIR, "embeddings").toPandas()
+    return np.stack(pdf["embedding"].to_numpy()).astype(np.float64), pdf[
+        "vec_id"
+    ].to_numpy()
+
+
+def test_pca_components_match_local_eigh(spark, emb_local):
+    x, _ = emb_local
+    comp, mean, explained = pca_components(
+        load(spark, SF_DIR, "embeddings"), "embedding", k=4
+    )
+    # Local reference on the SAME quantization grid (1e-6 per component
+    # — covariance differences land well below the assert tolerance).
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-5)
+    c = np.cov(x, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(c)[::-1][:4]
+    assert np.allclose(np.sort(explained)[::-1], evals, rtol=1e-4)
+    # explained variance strictly ordered, components orthonormal
+    assert all(explained[i] >= explained[i + 1] for i in range(len(explained) - 1))
+    assert np.allclose(comp.T @ comp, np.eye(4), atol=1e-8)
+
+
+def test_pca_projection_variance_ordered_and_centered(spark, emb_local):
+    proj = pca_project(
+        load(spark, SF_DIR, "embeddings"), "embedding", "vec_id", k=4
+    ).toPandas()
+    p = np.stack(proj["proj"].to_numpy())
+    variances = p.var(axis=0)
+    assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(3))
+    # projections of mean-centered data are zero-mean
+    assert np.allclose(p.mean(axis=0), 0.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# HLL rollup: estimates within sketch tolerance of exact, levels consistent
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rollup_within_tolerance_of_exact(spark):
+    out = all_queries()["agg_hll_rollup"].fn(spark, SF_DIR).collect()
+    o = load(spark, SF_DIR, "orders")
+    exact_fine = {
+        (r.o_orderstatus, r.o_orderpriority): r.n
+        for r in o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact_status = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact_global = o.select("o_custkey").distinct().count()
+    for r in out:
+        if r.level == 0:
+            exact = exact_fine[(r.o_orderstatus, r.o_orderpriority)]
+        elif r.level == 1:
+            exact = exact_status[r.o_orderstatus]
+        else:
+            exact = exact_global
+        assert abs(r.approx_customers - exact) <= max(3, 0.05 * exact), (
+            r, exact,
+        )
+    # union of fine sketches must never estimate BELOW the max child
+    lvl1 = {r.o_orderstatus: r.approx_customers for r in out if r.level == 1}
+    for (status, _), _n in exact_fine.items():
+        child = max(
+            r.approx_customers
+            for r in out
+            if r.level == 0 and r.o_orderstatus == status
+        )
+        assert lvl1[status] >= child * 0.95
+
+
+# ---------------------------------------------------------------------------
+# EWMA: matches a pure-Python bounded fold
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_fold(spark):
+    rows = [
+        Row(k=1, t=i, v=float(v))
+        for i, v in enumerate([10, 0, 5, 5, 100, 2, 7, 1, 3, 9] * 5)
+    ] + [Row(k=2, t=i, v=float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.k, r.t): r.e
+        for r in df.select(
+            "k", "t", ewma(df, "k", ["t"], "v", alpha=0.25, lookback=24).alias("e")
+        ).collect()
+    }
+    by_k: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.k, r.t)):
+        by_k.setdefault(r.k, []).append(r)
+    for k, seq in by_k.items():
+        for idx, r in enumerate(seq):
+            acc = 0.0
+            for rr in seq[max(0, idx - 24) : idx + 1]:
+                acc = acc * 0.75 + rr.v * 0.25
+            assert got[(k, r.t)] == acc, (k, r.t)
+
+
+# ---------------------------------------------------------------------------
+# Bigram coherence: bounds and the all-repeated-text fixed point
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_coherence_bounds_and_fixed_point(spark):
+    from medical_examination_data_etl_system_spark.operators.curation import bigram_coherence
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b"),  # deterministic next-token
+            Row(doc_id=2, text="x y"),
+            Row(doc_id=3, text="solo"),  # < 2 tokens → no row
+        ]
+    )
+    out = {r.doc_id: r for r in bigram_coherence(docs).collect()}
+    assert set(out) == {1, 2}
+    # every 'a'→'b' and 'b'→'a' transition is the ONLY continuation
+    assert out[1].coherence_ppm == 1_000_000
+    assert out[2].coherence_ppm == 1_000_000
+    assert out[1].n_bigrams == 5
+
+
+def test_bigram_coherence_scores_in_ppm_range(spark):
+    df = all_queries()["docs_bigram_coherence"].fn(spark, SF_DIR)
+    bad = df.filter(
+        (F.col("coherence_ppm") < 0) | (F.col("coherence_ppm") > 1_000_000)
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes for the new operators
+# ---------------------------------------------------------------------------
+
+
+def test_gram_matrix_plan_single_exchange_after_arrow(spark):
+    """The Gram pipeline is scan → Arrow partials → ONE Exchange on
+    (i, j) → final agg. Any second Exchange or a per-row Python eval
+    would break the O(d²)-shuffle design."""
+    df = all_queries()["emb_gram_matrix"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    # tree nodes print as "Exchange (n)"; details repeat as "(n) Exchange"
+    assert plan.count("Exchange (") <= 2  # partial→final agg + output sort
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """The custkey equi-key must anchor a hash/sort-merge join; the
+    range residual rides as a join condition — never a cartesian or
+    broadcast-nested-loop."""
+    plan = _formatted_plan(all_queries()["join_interval_overlap"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_exchange(spark):
+    """One hash Exchange on user_id; the fold is JVM expression eval —
+    no Python boundary at all."""
+    plan = _formatted_plan(all_queries()["events_ewma_smoothing"].fn(spark, SF_DIR))
+    body = plan.split("AdaptiveSparkPlan")[0]
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_equidepth_histogram_no_global_row_sort(spark):
+    """The rank derivation must not single-partition the event rows: the
+    only allowed global window runs over the distinct-value frame."""
+    df = all_queries()["events_histogram_equidepth"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # per-row work is partitioned by value
+    assert "hashpartitioning(value" in plan
