@@ -774,6 +774,79 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs price) per return flag —
+    tie-corrected via INTEGER doubled average ranks, then the exact-sum
+    Pearson machinery over those ranks, so both engines produce the
+    identical rho with float entering only at the final ratio.
+
+    Doubled average rank without a tie-count window:
+    ``2·r_avg = rank_asc − rank_desc + n + 1`` (min+max position of the
+    tie group) — all four rank windows partition by flag only, so the
+    whole ranking costs ONE Exchange and sorts within it.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    flag = "l_returnflag"
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    w = lambda c, asc: (  # noqa: E731
+        Window.partitionBy(flag).orderBy(c.asc() if asc else c.desc())
+    )
+    qty = F.col("l_quantity")
+    n = F.count(F.lit(1)).over(Window.partitionBy(flag))
+    ranked = li.select(
+        flag,
+        (F.rank().over(w(qty, True)) - F.rank().over(w(qty, False)) + n + 1)
+        .cast("decimal(38,0)").alias("rx"),
+        (F.rank().over(w(cents, True)) - F.rank().over(w(cents, False)) + n + 1)
+        .cast("decimal(38,0)").alias("ry"),
+    )
+    agg = ranked.groupBy(flag).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return agg.select(
+        flag,
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    ).orderBy(flag)
+
+
+SPEARMAN_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
+              - rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+              + count(*) OVER (PARTITION BY l_returnflag) + 1 AS HUGEINT) AS rx,
+         CAST(rank() OVER (PARTITION BY l_returnflag
+                           ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) ASC)
+              - rank() OVER (PARTITION BY l_returnflag
+                             ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC)
+              + count(*) OVER (PARTITION BY l_returnflag) + 1 AS HUGEINT) AS ry
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+FROM agg
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
@@ -790,4 +863,5 @@ QUERIES = {
     "events_cumulative_distinct": QueryDef(events_cumulative_distinct, CUMULATIVE_DISTINCT_SQL),
     "events_ewma_smoothing": QueryDef(events_ewma_smoothing, EWMA_SQL),
     "events_histogram_equidepth": QueryDef(events_histogram_equidepth, HISTOGRAM_EQUIDEPTH_SQL),
+    "lineitem_spearman_corr": QueryDef(lineitem_spearman_corr, SPEARMAN_SQL),
 }

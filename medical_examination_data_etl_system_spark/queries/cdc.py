@@ -187,8 +187,50 @@ ORDER BY h.user_state
 """
 
 
+def incr_agg_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a pre-aggregated base
+    state (orders before 1999) is MERGED with a freshly-aggregated delta
+    (1999-onward) by re-aggregating the union of partial states — the
+    algebraic-merge property of (count, sum). At 100 TB the base state
+    is key-cardinality-sized (never rescanned); each refresh scans only
+    the delta — the pattern behind every incremental pipeline. The
+    oracle recomputes from scratch over the full table, pinning
+    merge == recompute.
+    """
+    o = load(spark, sf_dir, "orders")
+    cutoff = "1999-01-01"
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    base_state = state(o.filter(F.col("o_orderdate") < cutoff))
+    delta_state = state(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy(*keys)
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("sum_cents").alias("sum_cents"))
+        .orderBy(*keys)
+    )
+
+
+INCR_AGG_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES = {
     "cdc_merge_orders": QueryDef(cdc_merge_orders, CDC_MERGE_SQL),
     "scd2_user_event_history": QueryDef(scd2_user_event_history, SCD2_SQL),
     "pit_purchase_user_state": QueryDef(pit_purchase_user_state, PIT_SQL),
+    "incr_agg_merge_orders": QueryDef(incr_agg_merge_orders, INCR_AGG_SQL),
 }

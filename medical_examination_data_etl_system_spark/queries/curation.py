@@ -8,7 +8,7 @@ bit-for-bit (the driver value-hashes results — see test_oracle_parity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark.operators import curation
@@ -470,6 +470,69 @@ ORDER BY doc_id
 """
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum reproducible sampling: rare (lang, source) strata
+    (< 25 docs) keep 60%, common strata 20% — the oversample-the-tail
+    mixture move. Stratum sizes aggregate to a dim-sized frame that
+    BROADCASTS back; membership stays the md5 id-bucket (map-side,
+    deterministic, superset-consistent with the flat 20% sample for
+    common strata)."""
+    docs = load(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("_n"))
+    rate = F.when(F.col("_n") < 25, F.lit(60)).otherwise(F.lit(20))
+    return (
+        docs.join(F.broadcast(sizes), ["lang", "source"])
+        .filter(curation.hash_bucket(F.col("doc_id")) < rate)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH sizes AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN sizes s ON d.lang = s.lang AND d.source = s.source
+WHERE {_BUCKET_SQL.replace('doc_id', 'd.doc_id')}
+      < CASE WHEN s.n < 25 THEN 60 ELSE 20 END
+ORDER BY d.doc_id
+"""
+
+
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate collapse keeping the BEST copy (longest, then
+    smallest id) rather than the first-seen — the curation variant
+    where duplicates differ in truncation. One window over the
+    fingerprint partition; grouping compares xxhash64 longs where the
+    oracle compares normalized strings — hash-collision-exact."""
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.xxhash64(normalized_text(F.col("text")))).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+           ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang, n_chars FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_weighted_sample": QueryDef(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
@@ -483,4 +546,6 @@ QUERIES = {
     "docs_decontaminate": QueryDef(docs_decontaminate, DECONTAMINATE_SQL),
     "docs_repetition_ratio": QueryDef(docs_repetition_ratio, REPETITION_SQL),
     "docs_bigram_coherence": QueryDef(docs_bigram_coherence, BIGRAM_COHERENCE_SQL),
+    "docs_stratified_sample": QueryDef(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "docs_dedup_keep_best": QueryDef(docs_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
 }

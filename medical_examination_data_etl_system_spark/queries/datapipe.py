@@ -805,6 +805,69 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus —
+    the feature-scaling pass before clustering/regression. Stats come
+    from EXACT integer sums on the 1e-6 quantization grid (the Gram
+    discipline); floats enter only in the final mirrored expression
+    tree ``(q − Σq/n)/sqrt((Σq² − (Σq)²/n)/n)``, every op IEEE-rounded
+    identically in both engines. Long-form output (vec_id, i, z): one
+    explode + one 64-key aggregation whose result BROADCASTS back onto
+    the exploded stream — the per-row pass never shuffles.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.round(v.cast("double") * 1000000).cast("long"),
+            )
+        ).alias("i", "q"),
+    )
+    stats = q.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    mean = F.col("sq").cast("double") / F.col("n")
+    var = (
+        F.col("sqq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq").cast("double") / F.col("n")
+    ) / F.col("n")
+    return (
+        q.join(F.broadcast(stats), "i")
+        .select(
+            "vec_id",
+            "i",
+            F.round((F.col("q").cast("double") - mean) / F.sqrt(var), 6).alias("z"),
+        )
+        .orderBy("vec_id", "i")
+    )
+
+
+STANDARDIZE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+), stats AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS sqq
+  FROM q GROUP BY i
+)
+SELECT q.vec_id, CAST(q.i AS INTEGER) AS i,
+       round((CAST(q.q AS DOUBLE) - CAST(s.sq AS DOUBLE) / s.n)
+             / sqrt((CAST(s.sqq AS DOUBLE)
+                     - CAST(s.sq AS DOUBLE) * CAST(s.sq AS DOUBLE) / s.n) / s.n),
+             6) AS z
+FROM q JOIN stats s ON q.i = s.i
+ORDER BY q.vec_id, q.i
+"""
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
@@ -834,4 +897,5 @@ QUERIES = {
     "multimodal_resize": QueryDef(multimodal_resize, RESIZE_SQL),
     "emb_gram_matrix": QueryDef(emb_gram_matrix, GRAM_SQL),
     "emb_pca_project": QueryDef(emb_pca_project, None),
+    "emb_standardize": QueryDef(emb_standardize, STANDARDIZE_SQL),
 }

@@ -248,3 +248,77 @@ def test_equidepth_histogram_no_global_row_sort(spark):
     assert "CartesianProduct" not in plan
     # per-row work is partitioned by value
     assert "hashpartitioning(value" in plan
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: keep-best dedup, Spearman, standardization
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keep_best_prefers_longest_then_smallest_id(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, source="a", lang="en", n_chars=5, text="Hello  World"),
+            Row(doc_id=3, source="b", lang="en", n_chars=9, text="hello world"),
+            Row(doc_id=7, source="c", lang="en", n_chars=9, text="HELLO WORLD"),
+            Row(doc_id=1, source="d", lang="en", n_chars=2, text="unique"),
+        ]
+    )
+    docs.createOrReplaceTempView("_kb_docs")
+    from pyspark.sql import Window
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    w = Window.partitionBy(F.xxhash64(normalized_text(F.col("text")))).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    kept = sorted(
+        r.doc_id
+        for r in docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    )
+    # cluster {10,3,7} (same normalized text): longest is 9 chars, tie → id 3
+    assert kept == [1, 3]
+
+
+def test_spearman_matches_hand_computation(spark):
+    # y = x² is monotone on positives → Spearman exactly 1 even though
+    # Pearson < 1; with a tie pair the tie-corrected value still == 1.
+    rows = [Row(l_returnflag="Z", l_quantity=float(x), l_extendedprice=float(x * x))
+            for x in [1, 2, 3, 4, 5, 6]]
+    df = spark.createDataFrame(rows)
+    from medical_examination_data_etl_system_spark.queries.analytics import lineitem_spearman_corr
+
+    import unittest.mock as um
+    with um.patch(
+        "medical_examination_data_etl_system_spark.queries.analytics.load", lambda s, d, t: df
+    ):
+        out = lineitem_spearman_corr(spark, "ignored").collect()
+    assert len(out) == 1 and out[0].spearman_rho == 1.0
+
+
+def test_standardize_zero_mean_unit_var(spark):
+    df = all_queries()["emb_standardize"].fn(spark, SF_DIR)
+    stats = df.groupBy("i").agg(
+        F.avg("z").alias("m"), F.stddev_pop("z").alias("s")
+    ).collect()
+    for r in stats:
+        assert abs(r.m) < 1e-4
+        assert abs(r.s - 1.0) < 1e-4
+
+
+def test_incremental_merge_equals_recompute(spark):
+    merged = all_queries()["incr_agg_merge_orders"].fn(spark, SF_DIR).collect()
+    o = load(spark, SF_DIR, "orders")
+    full = {
+        (r.o_orderstatus, r.o_orderpriority): (r.n, r.s)
+        for r in o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert len(merged) == len(full)
+    for r in merged:
+        assert full[(r.o_orderstatus, r.o_orderpriority)] == (r.n_orders, r.sum_cents)
