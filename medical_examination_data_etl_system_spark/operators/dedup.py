@@ -701,3 +701,53 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 5,
+    bits: int = 60,
+    chunk_bits: int = 10,
+) -> DataFrame:
+    """Near-dup pairs among integer perceptual hashes by Hamming
+    distance ≤ ``max_hamming`` — the generic form of the SimHash
+    chunk-join (any ``bits``-wide hash column, e.g. a media pHash).
+
+    Pigeonhole: ``bits/chunk_bits`` chunks find every pair within
+    Hamming ``bits/chunk_bits − 1``; candidate generation shuffles only
+    (id, chunk_idx, chunk_val) longs, verification is bit_count(xor) —
+    pure JVM, no hash recomputation, no arrays."""
+    n_chunks = bits // chunk_bits
+    if max_hamming > n_chunks - 1:
+        raise ValueError(f"banding finds ≤ {n_chunks - 1}, asked {max_hamming}")
+    mask = (1 << chunk_bits) - 1
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col), chunk_bits * c).bitwiseAND(F.lit(mask))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_ci", "_cv"),
+    )
+    left = chunks.select(
+        F.col("_ci").alias("ci"), F.col("_cv").alias("cv"),
+        F.col("_id").alias("id_a"), F.col("_h").alias("h_a"),
+    )
+    right = chunks.select(
+        F.col("_ci").alias("ci"), F.col("_cv").alias("cv"),
+        F.col("_id").alias("id_b"), F.col("_h").alias("h_b"),
+    )
+    return (
+        left.join(right, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -9,7 +9,7 @@ the exact operators all carry DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark.operators import multimodal, similarity
@@ -868,6 +868,115 @@ ORDER BY q.vec_id, q.i
 """
 
 
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the media corpus
+    (base items + a deterministic 10% "re-upload" set sharing payload
+    bytes): 60-bit pHash from the payload digest, Hamming ≤ 5 pairs via
+    the generic chunk-banding self-join (operators/dedup.
+    hamming_near_duplicates) — the image-dedup shape (pHash banding)
+    running entirely on JVM hash/bit ops. The oracle brute-forces
+    bit_count(xor) over all pairs, pinning the banding's completeness
+    guarantee; the stub pHash is the payload digest (real codecs plug
+    into the multimodal featurizer), so re-uploads land at Hamming 0.
+    """
+    from medical_examination_data_etl_system_spark.operators.dedup import hamming_near_duplicates
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("media_id"), "text")
+    reups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("media_id"), "text"
+    )
+    media = base.unionByName(reups)
+    phash = F.conv(
+        F.substring(F.sha2(F.encode("text", "UTF-8"), 256), 1, 15), 16, 10
+    ).cast("long")
+    hashed = media.select("media_id", phash.alias("phash"))
+    return hamming_near_duplicates(
+        hashed, "media_id", "phash", max_hamming=5, bits=60, chunk_bits=10
+    ).orderBy("id_a", "id_b")
+
+
+PHASH_NEAR_DUP_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS media_id, text FROM documents WHERE doc_id % 10 = 0
+), hashed AS (
+  SELECT media_id,
+         ('0x' || substr(sha256(text), 1, 15))::BIGINT AS phash
+  FROM media
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 5
+ORDER BY id_a, id_b
+"""
+
+
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct tokens
+    after each 5% slice of the corpus (by doc id). The first-occurrence
+    trick again — each token counts only at its min doc id, so there is
+    ONE token-keyed shuffle and the cumulative window runs over the
+    FIXED 20-bucket frame, never over rows. Tokens travel as xxhash64
+    longs (collision-exact, the gram stance)."""
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.xxhash64("tok").alias("th"))
+    )
+    first = toks.groupBy("th").agg(F.min("doc_id").alias("first_doc"))
+    maxdoc = docs.agg(F.max("doc_id").alias("maxd"))
+    bucketed = first.crossJoin(F.broadcast(maxdoc)).select(
+        F.expr("CAST(20 * first_doc div (maxd + 1) AS INT)").alias("bucket")
+    )
+    per = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    # dense 20-bucket spine: a saturated corpus still yields the full
+    # monotone curve (zero-new buckets included), not a single row
+    spine = spark.range(20).select(F.col("id").cast("int").alias("bucket"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(per, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_new_tokens", F.lit(0)).alias("n_new_tokens"),
+            F.sum(F.coalesce("n_new_tokens", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+VOCAB_GROWTH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), first_seen AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks WHERE tok <> '' GROUP BY tok
+), bounds AS (SELECT max(doc_id) AS maxd FROM documents),
+bucketed AS (
+  SELECT CAST((20 * first_doc) // (maxd + 1) AS INTEGER) AS bucket
+  FROM first_seen CROSS JOIN bounds
+), per AS (
+  SELECT bucket, count(*) AS n_new_tokens FROM bucketed GROUP BY bucket
+), spine AS (
+  SELECT CAST(unnest(range(0, 20)) AS INTEGER) AS bucket
+)
+SELECT s.bucket,
+       coalesce(p.n_new_tokens, 0) AS n_new_tokens,
+       CAST(sum(coalesce(p.n_new_tokens, 0))
+            OVER (ORDER BY s.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM spine s LEFT JOIN per p ON s.bucket = p.bucket
+ORDER BY s.bucket
+"""
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
@@ -898,4 +1007,6 @@ QUERIES = {
     "emb_gram_matrix": QueryDef(emb_gram_matrix, GRAM_SQL),
     "emb_pca_project": QueryDef(emb_pca_project, None),
     "emb_standardize": QueryDef(emb_standardize, STANDARDIZE_SQL),
+    "multimodal_phash_near_dup": QueryDef(multimodal_phash_near_dup, PHASH_NEAR_DUP_SQL),
+    "docs_vocab_growth": QueryDef(docs_vocab_growth, VOCAB_GROWTH_SQL),
 }

@@ -322,3 +322,75 @@ def test_incremental_merge_equals_recompute(spark):
     assert len(merged) == len(full)
     for r in merged:
         assert full[(r.o_orderstatus, r.o_orderpriority)] == (r.n_orders, r.sum_cents)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: hamming banding completeness, phash re-uploads, vocab growth
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_banding_complete_vs_brute_force(spark):
+    from medical_examination_data_etl_system_spark.operators.dedup import hamming_near_duplicates
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 60, size=40, dtype=np.int64)
+    rows = [Row(i=int(k), h=int(v)) for k, v in enumerate(base)]
+    # planted near-pairs: flip 1..5 bits of existing hashes
+    nid = len(rows)
+    for flips in range(1, 6):
+        src = int(base[flips])
+        mutated = src
+        for b in rng.choice(60, size=flips, replace=False):
+            mutated ^= 1 << int(b)
+        rows.append(Row(i=nid, h=int(mutated)))
+        nid += 1
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_duplicates(df, "i", "h", max_hamming=5).collect()
+    }
+    brute = set()
+    hs = {r.i: r.h for r in rows}
+    for a in hs:
+        for b in hs:
+            if a < b:
+                d = bin(hs[a] ^ hs[b]).count("1")
+                if d <= 5:
+                    brute.add((a, b, d))
+    assert got == brute and len(brute) >= 5
+
+
+def test_hamming_banding_rejects_uncoverable_threshold(spark):
+    from medical_examination_data_etl_system_spark.operators.dedup import hamming_near_duplicates
+
+    df = spark.createDataFrame([Row(i=1, h=0)])
+    with pytest.raises(ValueError):
+        hamming_near_duplicates(df, "i", "h", max_hamming=6, bits=60, chunk_bits=10)
+
+
+def test_phash_near_dup_finds_every_reupload(spark):
+    out = all_queries()["multimodal_phash_near_dup"].fn(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    expected = docs.filter(F.col("doc_id") % 10 == 0).count()
+    zero = [r for r in out if r.hamming == 0]
+    assert len(zero) >= expected  # every re-upload pairs with its original
+    pair_ids = {(r.id_a, r.id_b) for r in out}
+    for r in docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 10_000_000) in pair_ids
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    out = all_queries()["docs_vocab_growth"].fn(spark, SF_DIR).collect()
+    assert len(out) == 20
+    assert all(out[i].cum_vocab <= out[i + 1].cum_vocab for i in range(19))
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    docs = load(spark, SF_DIR, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert out[-1].cum_vocab == vocab
