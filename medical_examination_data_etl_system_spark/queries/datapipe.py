@@ -871,13 +871,18 @@ ORDER BY q.vec_id, q.i
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection over the media corpus
     (base items + a deterministic 10% "re-upload" set sharing payload
-    bytes): 60-bit pHash from the payload digest, Hamming ≤ 5 pairs via
+    bytes): 60-bit pHash from the payload digest, Hamming ≤ 3 pairs via
     the generic chunk-banding self-join (operators/dedup.
-    hamming_near_duplicates) — the image-dedup shape (pHash banding)
-    running entirely on JVM hash/bit ops. The oracle brute-forces
-    bit_count(xor) over all pairs, pinning the banding's completeness
-    guarantee; the stub pHash is the payload digest (real codecs plug
-    into the multimodal featurizer), so re-uploads land at Hamming 0.
+    hamming_near_duplicates) — the image-dedup shape (pHash multi-
+    index) running entirely on JVM hash/bit ops. 4×15-bit chunks, the
+    standard coverage/density point: bucket population is n/2^15, so
+    candidate work Σ|bucket|² stays tractable as the corpus grows
+    (10-bit chunks would cover Hamming 5 but densify buckets 32×
+    — the SRP-style knob, chosen here for the 100 TB posture). The
+    oracle brute-forces bit_count(xor) over all pairs, pinning the
+    banding's completeness guarantee; the stub pHash is the payload
+    digest (real codecs plug into the multimodal featurizer), so
+    re-uploads land at Hamming 0.
     """
     from medical_examination_data_etl_system_spark.operators.dedup import hamming_near_duplicates
 
@@ -892,7 +897,7 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     hashed = media.select("media_id", phash.alias("phash"))
     return hamming_near_duplicates(
-        hashed, "media_id", "phash", max_hamming=5, bits=60, chunk_bits=10
+        hashed, "media_id", "phash", max_hamming=3, bits=60, chunk_bits=15
     ).orderBy("id_a", "id_b")
 
 
@@ -909,7 +914,7 @@ WITH media AS (
 SELECT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
 FROM hashed a JOIN hashed b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 5
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
 ORDER BY id_a, id_b
 """
 
