@@ -785,20 +785,43 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie group) — all four rank windows partition by flag only, so the
     whole ranking costs ONE Exchange and sorts within it.
     """
-    li = load(spark, sf_dir, "lineitem")
-    flag = "l_returnflag"
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    w = lambda c, asc: (  # noqa: E731
-        Window.partitionBy(flag).orderBy(c.asc() if asc else c.desc())
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    qty = F.col("l_quantity")
-    n = F.count(F.lit(1)).over(Window.partitionBy(flag))
-    ranked = li.select(
-        flag,
-        (F.rank().over(w(qty, True)) - F.rank().over(w(qty, False)) + n + 1)
-        .cast("decimal(38,0)").alias("rx"),
-        (F.rank().over(w(cents, True)) - F.rank().over(w(cents, False)) + n + 1)
-        .cast("decimal(38,0)").alias("ry"),
+    flag = "flag"
+
+    def doubled_rank(valcol: str) -> DataFrame:
+        """(flag, val, 2·avg_rank) from per-value tie-group counts:
+        2r = 2·offset + m + 1 (offset = rows strictly smaller, m =
+        ties). Ranking this way never sorts the FACT rows — the only
+        ordered pass is a cumulative count over the DISTINCT-value
+        frame (≤ |value domain| rows per flag), so rank assignment
+        stays a distributed (flag, value) join however few flags there
+        are. Four whole-partition rank() windows over 3 flag
+        partitions were measured parallelism-starved at the 100× scale
+        check (×73); this shape is the equi-depth-histogram trick
+        applied to ranking.
+        """
+        sizes = li.groupBy(flag, valcol).agg(F.count(F.lit(1)).alias("_m"))
+        w_off = (
+            Window.partitionBy(flag)
+            .orderBy(valcol)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return sizes.select(
+            flag,
+            valcol,
+            (2 * F.coalesce(F.sum("_m").over(w_off), F.lit(0)) + F.col("_m") + 1)
+            .cast("decimal(38,0)")
+            .alias(f"r_{valcol}"),
+        )
+
+    ranked = (
+        li.join(F.broadcast(doubled_rank("qty")), [flag, "qty"])
+        .join(doubled_rank("cents"), [flag, "cents"])
+        .select(flag, F.col("r_qty").alias("rx"), F.col("r_cents").alias("ry"))
     )
     agg = ranked.groupBy(flag).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -813,10 +836,10 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
     return agg.select(
-        flag,
+        F.col(flag).alias("l_returnflag"),
         F.col("n").cast("long").alias("n_lines"),
         F.round(num / den, 6).alias("spearman_rho"),
-    ).orderBy(flag)
+    ).orderBy("l_returnflag")
 
 
 SPEARMAN_SQL = """

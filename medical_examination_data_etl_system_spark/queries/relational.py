@@ -999,11 +999,34 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("w_start"),
         F.date_add(F.to_date("o_orderdate"), 14).alias("w_end"),
     )
-    a, b = o.alias("a"), o.alias("b")
+    # Time-bucket blocking: a 15-day interval covers ≤ 2 buckets of the
+    # 28-day grid, and any OVERLAPPING pair shares the bucket of a
+    # common day — so equi-joining on (custkey, bucket) finds every
+    # pair while bounding per-task work by per-(customer, month)
+    # density instead of per-customer history. Without the bucket key a
+    # customer with k orders costs k² per task regardless of time
+    # spread (measured ×198 at the 100× density-adversarial scale
+    # check); with it, the same k orders spread over m months cost
+    # Σ(k/m)²·m. Each pair is emitted ONLY from its canonical bucket —
+    # the bucket containing the overlap's first day — a map-side filter,
+    # so no distinct/dedup shuffle ever touches the (large) pair output.
+    bucketed = o.select(
+        "*",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.datediff("w_start", F.lit("1990-01-01")) / 28).cast("int"),
+                    (F.datediff("w_end", F.lit("1990-01-01")) / 28).cast("int"),
+                )
+            )
+        ).alias("tb"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
             b,
             (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.tb") == F.col("b.tb"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
             & (F.col("a.w_start") <= F.col("b.w_end"))
             & (F.col("b.w_start") <= F.col("a.w_end")),
@@ -1019,6 +1042,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + 1
             ).cast("int").alias("overlap_days"),
+        )
+        .filter(
+            F.col("a.tb")
+            == (
+                F.datediff(
+                    F.greatest("a.w_start", "b.w_start"), F.lit("1990-01-01")
+                )
+                / 28
+            ).cast("int")
         )
         .orderBy("custkey", "okey_a", "okey_b")
     )
