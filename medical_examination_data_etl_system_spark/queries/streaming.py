@@ -16,6 +16,7 @@ from medical_examination_data_etl_system_spark.streaming import (
     dedup_within_watermark,
     read_events_stream,
     run_available_now,
+    running_ewma_stateful,
     sessionize_stateful,
     stream_session_counts,
     stream_sliding_counts,
@@ -288,6 +289,32 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """
 
+def stream_running_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running EWMA as a custom stateful streaming operator
+    (streaming/events.running_ewma_stateful) drained availableNow; the
+    oracle replays the identical fold per user over the batch table, so
+    the doubles hash-match without tolerance — bit-exact batch/stream
+    consistency for a numeric accumulator."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(running_ewma_stateful(stream, alpha=0.25), "q_stream_ewma")
+    return out.orderBy("event_id")
+
+
+STREAM_EWMA_SQL = """
+WITH framed AS (
+  SELECT user_id, event_id,
+         list(CAST(value AS DOUBLE))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS l
+  FROM events
+)
+SELECT user_id, event_id,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+                   (a, b) -> a * 0.75 + b * 0.25) AS ewma
+FROM framed ORDER BY event_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_static_enrich": QueryDef(stream_static_enrich, STREAM_STATIC_SQL),
@@ -297,4 +324,5 @@ QUERIES = {
     "stream_click_attribution": QueryDef(stream_click_attribution, STREAM_ATTRIBUTION_SQL),
     "stream_dedup_exactly_once": QueryDef(stream_dedup_exactly_once, STREAM_DEDUP_SQL),
     "stream_upsert_latest_state": QueryDef(stream_upsert_latest_state, STREAM_UPSERT_SQL),
+    "stream_running_ewma": QueryDef(stream_running_ewma, STREAM_EWMA_SQL),
 }

@@ -16,6 +16,7 @@ from medical_examination_data_etl_system_spark.streaming.events import (
     dedup_within_watermark,
     read_events_stream,
     run_available_now,
+    running_ewma_stateful,
     sessionize_stateful,
     stream_session_counts,
     stream_sliding_counts,

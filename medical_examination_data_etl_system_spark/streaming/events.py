@@ -322,6 +322,70 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom stateful operator: per-key running EWMA via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ewma", T.DoubleType(), True),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType([T.StructField("acc", T.DoubleType(), True)])
+
+
+def _make_ewma_folder(alpha: float):
+    decay = 1.0 - alpha
+
+    def fold(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        acc = state.get[0] if state.exists else 0.0
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"]) if frames else None
+        ids: list[int] = []
+        vals: list[float] = []
+        if pdf is not None:
+            for eid, v in zip(pdf["event_id"].to_numpy(), pdf["value"].to_numpy()):
+                acc = acc * decay + float(v) * alpha
+                ids.append(int(eid))
+                vals.append(acc)
+        state.update((acc,))
+        if ids:
+            yield pd.DataFrame(
+                {"user_id": [user_id] * len(ids), "event_id": ids, "ewma": vals}
+            )
+
+    return fold
+
+
+def running_ewma_stateful(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Per-user running EWMA over the UNBOUNDED stream — the numeric
+    companion to the sessionizer: O(1) state (one double) per key,
+    Arrow-batched, append-mode per-event emission.
+
+    The fold is the identical correctly-rounded ``acc·(1−α) + x·α``
+    sequence the batch oracle replays (α = 0.25, exactly representable),
+    so drained output hash-matches an unbounded list_reduce per user —
+    the batch/stream consistency the engine pins for every streaming
+    operator. Events fold in (ts, event_id) order within and across
+    micro-batches (state carries the accumulator forward).
+    """
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _make_ewma_folder(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------
 
