@@ -72,7 +72,11 @@ def quantized_gram_matrix(
     > 9·10⁶ × #batches rows globally; the final sums for a 100 TB corpus
     (10¹¹ rows) fit by switching scale to 1e4. Callers own that knob.
     """
-    quantized = df.select(_quantize(vec_col, scale).alias("q"))
+    # null vectors contribute nothing (np.stack would reject ragged
+    # input); dropping them JVM-side keeps the kernel total.
+    quantized = df.filter(F.col(vec_col).isNotNull()).select(
+        _quantize(vec_col, scale).alias("q")
+    )
     emit_sums = with_col_sums
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -168,7 +172,9 @@ def pca_project(
         ]
     )
 
-    src = df.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v"))
+    src = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
