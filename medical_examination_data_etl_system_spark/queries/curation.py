@@ -533,6 +533,54 @@ ORDER BY doc_id
 """
 
 
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffling: each epoch's order is
+    ``md5('epoch{e}:' || doc_id)`` — a pure function of (epoch, id), so
+    re-runs, resumed jobs, and the oracle produce the IDENTICAL
+    permutation (the reproducibility property ``rand()`` ordering
+    lacks), and different epochs decorrelate. The full permutation is a
+    distributed range sort (``orderBy`` on the key — no global window);
+    here each epoch surfaces its first 100 positions, which Catalyst
+    plans as TakeOrderedAndProject — top-k without sorting the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    parts = []
+    for epoch in (1, 2, 3):
+        key = F.md5(F.concat(F.lit(f"epoch{epoch}:"), F.col("doc_id").cast("string")))
+        head = (
+            docs.select(F.lit(epoch).alias("epoch"), key.alias("_k"), "doc_id")
+            .orderBy("_k", "doc_id")
+            .limit(100)
+        )
+        w = Window.partitionBy("epoch").orderBy("_k", "doc_id")
+        parts.append(
+            head.select(
+                "epoch", F.row_number().over(w).alias("position"), "doc_id"
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("epoch", "position")
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH e AS (
+  SELECT 1 AS epoch, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k, doc_id FROM documents
+  UNION ALL
+  SELECT 2, md5('epoch2:' || CAST(doc_id AS VARCHAR)), doc_id FROM documents
+  UNION ALL
+  SELECT 3, md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id FROM documents
+), ranked AS (
+  SELECT epoch, row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS position, doc_id
+  FROM e
+)
+SELECT epoch, CAST(position AS INTEGER) AS position, doc_id
+FROM ranked WHERE position <= 100
+ORDER BY epoch, position
+"""
+
+
 QUERIES = {
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_weighted_sample": QueryDef(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
@@ -548,4 +596,5 @@ QUERIES = {
     "docs_bigram_coherence": QueryDef(docs_bigram_coherence, BIGRAM_COHERENCE_SQL),
     "docs_stratified_sample": QueryDef(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "docs_dedup_keep_best": QueryDef(docs_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
+    "docs_epoch_shuffle": QueryDef(docs_epoch_shuffle, EPOCH_SHUFFLE_SQL),
 }
