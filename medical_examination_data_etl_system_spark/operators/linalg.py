@@ -123,7 +123,8 @@ def pca_components(
     """
     import numpy as np
 
-    n = df.count()
+    # count the rows the Gram actually saw (null vectors are dropped)
+    n = df.filter(F.col(vec_col).isNotNull()).count()
     if n < 2:
         raise ValueError("pca needs at least 2 rows")
     rows = quantized_gram_matrix(df, vec_col, scale, with_col_sums=True).collect()
