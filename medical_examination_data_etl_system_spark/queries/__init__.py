@@ -87,8 +87,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # compact_small_files, full_outer, window_distribution, kmeans/pagerank
 # rows-only, triangle, top_paths, daily_anomaly, chi_square,
 # price_qty_corr, train_val_test_split, length_buckets, weighted_sample,
-# p90_outlier, domain_mix, and customer_rfm_segments — displaced by the
-# late-round docs_epoch_shuffle addition) wait for the r06 rotation — a query with
+# p90_outlier, domain_mix, customer_rfm_segments and
+# events_pmi_cooccurrence — displaced by the late-round epoch-shuffle and
+# linear-attribution additions) wait for the r06 rotation — a query with
 # ZERO driver rows outranks one green 1-2 rounds ago, but within the
 # zero-row set the novel/changed surfaces outrank the pytest-pinned
 # trivia. Every name is asserted against the registry (ADVICE r4).
@@ -112,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_vocab_growth",
     "stream_running_ewma",
     "docs_epoch_shuffle",
+    "events_linear_attribution",
     "stream_tumbling_hourly",
     "stream_sessionize_stateful",
     "stream_click_attribution",
@@ -142,7 +144,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_quantize_int8",
     "sql_recursive_hierarchy",
     "emb_label_centroids",
-    "events_pmi_cooccurrence",
 ]
 
 

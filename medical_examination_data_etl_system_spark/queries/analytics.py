@@ -870,6 +870,79 @@ ORDER BY l_returnflag
 """
 
 
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution (the companion to the as-of
+    last-touch query): every view/click in the hour before a purchase
+    shares that purchase's value equally. Credits are integer
+    ppm-cents (``(cents·10⁶) div n_touches`` summed as BIGINTs), so the
+    per-channel totals are order-free exact — no float summation.
+    Plan: one user-keyed join (per-user touch density bounds the pair
+    work), one window count per purchase, one channel aggregation.
+    """
+    ev = load(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("ts_t"),
+        F.col("event_id").alias("touch_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_p"),
+        F.col("event_id").alias("purchase_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    paired = purchases.join(touches, "user_id").filter(
+        (F.col("ts_t") <= F.col("ts_p"))
+        & (F.col("ts_t") > F.col("ts_p") - F.expr("INTERVAL 1 HOUR"))
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = paired.select(
+        "channel",
+        "purchase_id",
+        F.expr("(cents * 1000000) div (count(1) over (partition by purchase_id))")
+        .alias("credit_ppm"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.sum("credit_ppm").alias("credited_ppm_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH touches AS (
+  SELECT user_id, event_type AS channel, ts AS ts_t, event_id AS touch_id
+  FROM events WHERE event_type IN ('view', 'click')
+), purchases AS (
+  SELECT user_id, ts AS ts_p, event_id AS purchase_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), paired AS (
+  SELECT t.channel, p.purchase_id, p.cents
+  FROM purchases p JOIN touches t USING (user_id)
+  WHERE t.ts_t <= p.ts_p AND t.ts_t > p.ts_p - INTERVAL 1 HOUR
+), credited AS (
+  SELECT channel, purchase_id,
+         (cents * 1000000) // count(*) OVER (PARTITION BY purchase_id)
+           AS credit_ppm
+  FROM paired
+)
+SELECT channel,
+       count(*) AS n_touches,
+       count(DISTINCT purchase_id) AS n_purchases,
+       CAST(sum(credit_ppm) AS BIGINT) AS credited_ppm_cents
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
@@ -887,4 +960,5 @@ QUERIES = {
     "events_ewma_smoothing": QueryDef(events_ewma_smoothing, EWMA_SQL),
     "events_histogram_equidepth": QueryDef(events_histogram_equidepth, HISTOGRAM_EQUIDEPTH_SQL),
     "lineitem_spearman_corr": QueryDef(lineitem_spearman_corr, SPEARMAN_SQL),
+    "events_linear_attribution": QueryDef(events_linear_attribution, LINEAR_ATTRIBUTION_SQL),
 }

@@ -394,3 +394,54 @@ def test_vocab_growth_monotone_and_totals(spark):
         .count()
     )
     assert out[-1].cum_vocab == vocab
+
+
+def test_interval_overlap_matches_brute_force_across_buckets(spark):
+    """Random intervals straddling 28-day bucket boundaries: the
+    canonical-bucket join must emit exactly the brute-force pair set,
+    once each."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(13)
+    base = dt.date(1995, 1, 1)
+    rows = []
+    okey = 0
+    for cust in range(1, 6):
+        for _ in range(30):
+            okey += 1
+            # cluster dates so overlaps and boundary-straddles are common
+            d = base + dt.timedelta(days=rng.randrange(0, 120))
+            rows.append(
+                Row(
+                    o_custkey=cust,
+                    o_orderkey=okey,
+                    o_orderstatus="O",
+                    o_totalprice=1.0,
+                    o_orderdate=dt.datetime.combine(d, dt.time()),
+                    o_orderpriority="1-URGENT",
+                )
+            )
+    df = spark.createDataFrame(rows)
+    from medical_examination_data_etl_system_spark.queries import relational
+
+    import unittest.mock as um
+    with um.patch.object(relational, "load", lambda s, d, t: df):
+        got = {
+            (r.custkey, r.okey_a, r.okey_b, r.overlap_days)
+            for r in relational.join_interval_overlap(spark, "ignored").collect()
+        }
+    brute = set()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, os_ in by_cust.items():
+        for a in os_:
+            for b in os_:
+                if a.o_orderkey < b.o_orderkey:
+                    sa, sb = a.o_orderdate.date(), b.o_orderdate.date()
+                    ea, eb = sa + dt.timedelta(days=14), sb + dt.timedelta(days=14)
+                    if sa <= eb and sb <= ea:
+                        ov = (min(ea, eb) - max(sa, sb)).days + 1
+                        brute.add((cust, a.o_orderkey, b.o_orderkey, ov))
+    assert got == brute and len(brute) > 100
