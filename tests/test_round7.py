@@ -445,3 +445,95 @@ def test_interval_overlap_matches_brute_force_across_buckets(spark):
                         ov = (min(ea, eb) - max(sa, sb)).days + 1
                         brute.add((cust, a.o_orderkey, b.o_orderkey, ov))
     assert got == brute and len(brute) > 100
+
+
+def test_equidepth_matches_native_ntile_on_tie_heavy_data(spark):
+    """The distributed rank→bucket formula must reproduce Spark's own
+    ntile() on adversarial tie patterns (few distinct values, uneven
+    tie-group sizes, n not divisible by the bucket count)."""
+    import random
+
+    from pyspark.sql import Window
+    from medical_examination_data_etl_system_spark.queries import analytics
+
+    rng = random.Random(41)
+    rows = [
+        Row(event_id=i, value=float(rng.choice([1, 1, 2, 5, 5, 5, 9])))
+        for i in range(1, 1000 + 7)  # 1007 % 10 != 0
+    ]
+    df = spark.createDataFrame(rows)
+
+    import unittest.mock as um
+    with um.patch.object(analytics, "load", lambda s, d, t: df):
+        got = {
+            r.bucket: (r.n_rows, r.min_value, r.max_value)
+            for r in analytics.events_histogram_equidepth(spark, "ignored").collect()
+        }
+    w = Window.orderBy("value", "event_id")
+    expect_rows = (
+        df.select("value", "event_id", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    )
+    expect = {r.bucket: (r.n_rows, r.min_value, r.max_value) for r in expect_rows}
+    assert got == expect
+
+
+def test_spearman_matches_pure_python_ranks(spark):
+    """Tie-corrected doubled-rank Spearman vs a pure-Python average-rank
+    reference on tie-heavy data."""
+    import random
+
+    from medical_examination_data_etl_system_spark.queries import analytics
+
+    rng = random.Random(17)
+    rows = [
+        Row(
+            l_returnflag=f,
+            l_quantity=float(rng.randint(1, 8)),
+            l_extendedprice=float(rng.randint(1, 20)),
+        )
+        for f in ("A", "B")
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+
+    import unittest.mock as um
+    with um.patch.object(analytics, "load", lambda s, d, t: df):
+        got = {
+            r.l_returnflag: r.spearman_rho
+            for r in analytics.lineitem_spearman_corr(spark, "ignored").collect()
+        }
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    for f in ("A", "B"):
+        xs = [int(round(r.l_extendedprice * 100)) for r in rows if r.l_returnflag == f]
+        ys = [r.l_quantity for r in rows if r.l_returnflag == f]
+        rx, ry = avg_ranks(ys), avg_ranks(xs)  # qty is x in the query
+        n = len(rx)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        rho = (n * sxy - sx * sy) / (
+            (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+        )
+        assert abs(got[f] - round(rho, 6)) <= 1e-6, (f, got[f], rho)
