@@ -943,6 +943,114 @@ ORDER BY channel
 """
 
 
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: per user, seconds from first
+    view to first STRICTLY-LATER purchase; exact interpolated p50/p90
+    over those latencies computed WITHOUT ranking rows — per-value
+    counts + a cumulative window over the BOUNDED latency domain
+    (seconds within the corpus time range), then the two neighboring
+    rank values are picked by conditional aggregation. This is the
+    global-percentile shape that scales: agg_percentiles_by_flag's
+    row_number ranking is right per GROUP KEY, but a global percentile
+    at 10¹¹ rows must rank the value DOMAIN, not the rows. Formula
+    tree mirrored expression-for-expression (PERCENTILES_SQL
+    discipline).
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    lat = (
+        purchases.join(per_user, "user_id")
+        .filter(F.col("tp") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(
+            # integer floor-division on BOTH engines: a double divide +
+            # cast would round in DuckDB but truncate in Spark for
+            # fractional-second latencies
+            F.expr("(min(unix_micros(tp)) - max(unix_micros(fv))) div 1000000")
+            .alias("lat_s")
+        )
+    )
+    counts = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "lat_s",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("prev_cum"),
+    )
+    total = lat.agg(F.count(F.lit(1)).alias("n"))
+    c = cum.crossJoin(F.broadcast(total))
+
+    def _q(p: float) -> F.Column:
+        h = (F.col("n") - 1) * F.lit(p) + 1
+        fh = F.floor(h)
+        lo = F.max(
+            F.when((F.col("prev_cum") < fh) & (F.col("cum") >= fh), F.col("lat_s"))
+        )
+        hi = F.max(
+            F.when(
+                (F.col("prev_cum") < fh + 1) & (F.col("cum") >= fh + 1), F.col("lat_s")
+            )
+        )
+        frac = F.max(h - fh)
+        return F.round(lo + frac * (F.coalesce(hi, lo) - lo), 3)
+
+    return c.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        _q(0.5).alias("p50_latency_s"),
+        _q(0.9).alias("p90_latency_s"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH per_user AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS fv
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT p.user_id,
+         CAST((min(epoch_us(p.ts)) - max(epoch_us(u.fv))) // 1000000 AS BIGINT) AS lat_s
+  FROM events p JOIN per_user u USING (user_id)
+  WHERE p.event_type = 'purchase' AND p.ts > u.fv
+  GROUP BY p.user_id
+), counts AS (
+  SELECT lat_s, count(*) AS cnt FROM lat GROUP BY lat_s
+), cum AS (
+  SELECT lat_s,
+         sum(cnt) OVER (ORDER BY lat_s ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (ORDER BY lat_s ROWS UNBOUNDED PRECEDING) - cnt AS prev_cum
+  FROM counts
+), total AS (SELECT count(*) AS n FROM lat)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       round(
+         max(CASE WHEN prev_cum < floor((n - 1) * CAST(0.5 AS DOUBLE) + 1)
+                   AND cum >= floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) THEN lat_s END)
+         + max((n - 1) * CAST(0.5 AS DOUBLE) + 1 - floor((n - 1) * CAST(0.5 AS DOUBLE) + 1)) *
+           (coalesce(max(CASE WHEN prev_cum < floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) + 1
+                          AND cum >= floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) + 1 THEN lat_s END),
+                     max(CASE WHEN prev_cum < floor((n - 1) * CAST(0.5 AS DOUBLE) + 1)
+                          AND cum >= floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) THEN lat_s END))
+            - max(CASE WHEN prev_cum < floor((n - 1) * CAST(0.5 AS DOUBLE) + 1)
+                   AND cum >= floor((n - 1) * CAST(0.5 AS DOUBLE) + 1) THEN lat_s END)), 3)
+         AS p50_latency_s,
+       round(
+         max(CASE WHEN prev_cum < floor((n - 1) * CAST(0.9 AS DOUBLE) + 1)
+                   AND cum >= floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN lat_s END)
+         + max((n - 1) * CAST(0.9 AS DOUBLE) + 1 - floor((n - 1) * CAST(0.9 AS DOUBLE) + 1)) *
+           (coalesce(max(CASE WHEN prev_cum < floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) + 1
+                          AND cum >= floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) + 1 THEN lat_s END),
+                     max(CASE WHEN prev_cum < floor((n - 1) * CAST(0.9 AS DOUBLE) + 1)
+                          AND cum >= floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN lat_s END))
+            - max(CASE WHEN prev_cum < floor((n - 1) * CAST(0.9 AS DOUBLE) + 1)
+                   AND cum >= floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN lat_s END)), 3)
+         AS p90_latency_s
+FROM cum CROSS JOIN total
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
@@ -961,4 +1069,5 @@ QUERIES = {
     "events_histogram_equidepth": QueryDef(events_histogram_equidepth, HISTOGRAM_EQUIDEPTH_SQL),
     "lineitem_spearman_corr": QueryDef(lineitem_spearman_corr, SPEARMAN_SQL),
     "events_linear_attribution": QueryDef(events_linear_attribution, LINEAR_ATTRIBUTION_SQL),
+    "events_conversion_latency": QueryDef(events_conversion_latency, CONVERSION_LATENCY_SQL),
 }
