@@ -88,8 +88,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # rows-only, triangle, top_paths, daily_anomaly, chi_square,
 # price_qty_corr, train_val_test_split, length_buckets, weighted_sample,
 # p90_outlier, domain_mix, customer_rfm_segments and
-# events_pmi_cooccurrence, emb_label_centroids — displaced by the
-# late-round epoch-shuffle/attribution/latency additions) wait for the r06 rotation — a query with
+# events_pmi_cooccurrence, emb_label_centroids, emb_quantize_int8 —
+# displaced by the late-round epoch-shuffle/attribution/latency/KMV
+# additions) wait for the r06 rotation — a query with
 # ZERO driver rows outranks one green 1-2 rounds ago, but within the
 # zero-row set the novel/changed surfaces outrank the pytest-pinned
 # trivia. Every name is asserted against the registry (ADVICE r4).
@@ -115,6 +116,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_epoch_shuffle",
     "events_linear_attribution",
     "events_conversion_latency",
+    "agg_kmv_overlap",
     "stream_tumbling_hourly",
     "stream_sessionize_stateful",
     "stream_click_attribution",
@@ -142,7 +144,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_fuzzy_levenshtein",
     "sql_interface_revenue",
     "stream_static_enrich",
-    "emb_quantize_int8",
     "sql_recursive_hierarchy",
 ]
 

@@ -1115,6 +1115,24 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-audience overlap between order-priority segments via
+    KMV sketches (operators/sketch.kmv_overlap_estimates): distinct
+    counts, union, Jaccard, and intersection estimated from k=256
+    minimum hashes per segment — the set ALGEBRA HLL sketches cannot do
+    (HLL unions but never intersects). Sketch build = one distinct
+    shuffle + one rank; all pairwise math runs on ≤ k-row frames.
+    Rows-only (estimates); pytest pins each estimate within tolerance
+    of exact and Jaccard/intersection consistency.
+    """
+    from medical_examination_data_etl_system_spark.operators.sketch import kmv_overlap_estimates
+
+    o = load(spark, sf_dir, "orders")
+    return kmv_overlap_estimates(o, "o_orderpriority", "o_custkey", k=256).orderBy(
+        "grp_a", "grp_b"
+    )
+
+
 QUERIES = {
     "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
     "layout_partition_prune": QueryDef(layout_partition_prune, LAYOUT_PRUNE_SQL),
@@ -1146,4 +1164,5 @@ QUERIES = {
     "agg_grouping_sets": QueryDef(agg_grouping_sets, GROUPING_SETS_SQL),
     "join_interval_overlap": QueryDef(join_interval_overlap, INTERVAL_OVERLAP_SQL),
     "agg_hll_rollup": QueryDef(agg_hll_rollup, None),
+    "agg_kmv_overlap": QueryDef(agg_kmv_overlap, None),
 }

@@ -537,3 +537,25 @@ def test_spearman_matches_pure_python_ranks(spark):
             (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
         )
         assert abs(got[f] - round(rho, 6)) <= 1e-6, (f, got[f], rho)
+
+
+def test_kmv_overlap_estimates_within_tolerance(spark):
+    out = all_queries()["agg_kmv_overlap"].fn(spark, SF_DIR).collect()
+    o = load(spark, SF_DIR, "orders").select("o_orderpriority", "o_custkey").distinct()
+    members: dict[str, set] = {}
+    for r in o.collect():
+        members.setdefault(r.o_orderpriority, set()).add(r.o_custkey)
+    assert len(out) == len(members) * (len(members) - 1) // 2
+    for r in out:
+        a, b = members[r.grp_a], members[r.grp_b]
+        exact_a, exact_b = len(a), len(b)
+        exact_u, exact_i = len(a | b), len(a & b)
+        # k=256 → ~6% relative std; 20% is a >3σ acceptance band
+        assert abs(r.est_a - exact_a) <= 0.2 * exact_a, (r.grp_a, r.est_a, exact_a)
+        assert abs(r.est_b - exact_b) <= 0.2 * exact_b
+        assert abs(r.est_union - exact_u) <= 0.2 * exact_u
+        assert abs(r.est_jaccard - exact_i / exact_u) <= 0.15
+        assert abs(r.est_intersection - exact_i) <= 0.25 * exact_u
+        # internal consistency: jaccard in range, union >= both sides' floors
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.est_intersection <= r.est_union + 1e-9
