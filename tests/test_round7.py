@@ -559,3 +559,20 @@ def test_kmv_overlap_estimates_within_tolerance(spark):
         # internal consistency: jaccard in range, union >= both sides' floors
         assert 0.0 <= r.est_jaccard <= 1.0
         assert r.est_intersection <= r.est_union + 1e-9
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three join-strategy hints must reach the physical plan: at
+    deployment scale the engine picks strategies per query (broadcast
+    for dims, shuffle-hash for medium skewless sides, sort-merge for
+    the rest), and a silently-ignored hint would undo that choice."""
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer")
+    cases = {
+        "BROADCAST": "BroadcastHashJoin",
+        "MERGE": "SortMergeJoin",
+        "SHUFFLE_HASH": "ShuffledHashJoin",
+    }
+    for hint, node in cases.items():
+        plan = _formatted_plan(o.join(c.hint(hint), o.o_custkey == c.c_custkey))
+        assert node in plan, f"{hint} hint did not produce {node}"
