@@ -80,6 +80,21 @@ HEAVY_EXTENSION = [
     "docs_weighted_sample",
     "docs_fuzzy_levenshtein",
     "graph_pagerank_parts",
+    # round-7 additions: linalg / sketch / rank / interval / stream-state
+    "emb_gram_matrix",
+    "emb_pca_project",
+    "emb_standardize",
+    "lineitem_spearman_corr",
+    "join_interval_overlap",
+    "events_ewma_smoothing",
+    "events_histogram_equidepth",
+    "docs_bigram_coherence",
+    "docs_vocab_growth",
+    "multimodal_phash_near_dup",
+    "events_linear_attribution",
+    "events_conversion_latency",
+    "agg_kmv_overlap",
+    "stream_running_ewma",
 ]
 
 
