@@ -982,6 +982,96 @@ ORDER BY s.bucket
 """
 
 
+def emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based negative sampling for contrastive
+    training: each anchor draws 8 candidate ids via md5(anchor, j) mod
+    N (engine-independent, resume-safe — ``rand()`` would re-deal on
+    every retry), then candidates sharing the anchor's label (false
+    negatives) and self-draws are filtered by ONE co-partitioned join
+    against the (id, label) frame. Map-only 8× fan-out + one join —
+    linear at any corpus size. Output: per-anchor valid-negative count
+    and the smallest valid negative id (compact, order-free).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    n_total = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    anchors = emb.select("vec_id", "label").crossJoin(F.broadcast(n_total))
+    cands = anchors.select(
+        "vec_id",
+        F.col("label").alias("anchor_label"),
+        F.explode(F.array(*[F.lit(j) for j in range(8)])).alias("j"),
+        "n_corpus",
+    ).select(
+        "vec_id",
+        "anchor_label",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("vec_id").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_corpus")
+        ).alias("cand"),
+    )
+    labels = emb.select(F.col("vec_id").alias("cand"), F.col("label").alias("cand_label"))
+    valid = cands.join(labels, "cand").filter(
+        (F.col("cand") != F.col("vec_id"))
+        & (F.col("cand_label") != F.col("anchor_label"))
+    )
+    return (
+        cands.select("vec_id").distinct()
+        .join(
+            valid.groupBy("vec_id").agg(
+                F.count(F.lit(1)).alias("n_valid_negatives"),
+                F.min("cand").alias("min_negative_id"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("n_valid_negatives", F.lit(0)).alias("n_valid_negatives"),
+            "min_negative_id",
+        )
+        .orderBy("vec_id")
+    )
+
+
+NEGATIVE_SAMPLING_SQL = """
+WITH bounds AS (SELECT count(*) AS n_corpus FROM embeddings),
+cands AS (
+  SELECT e.vec_id, e.label AS anchor_label,
+         ('0x' || substr(md5('neg:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+           % b.n_corpus AS cand
+  FROM embeddings e CROSS JOIN bounds b
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+), valid AS (
+  SELECT c.vec_id, c.cand
+  FROM cands c JOIN embeddings t ON c.cand = t.vec_id
+  WHERE c.cand <> c.vec_id AND t.label <> c.anchor_label
+)
+SELECT e.vec_id,
+       coalesce(v.n, 0) AS n_valid_negatives,
+       v.m AS min_negative_id
+FROM (SELECT DISTINCT vec_id FROM embeddings) e
+LEFT JOIN (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n, min(cand) AS m
+  FROM valid GROUP BY vec_id
+) v USING (vec_id)
+ORDER BY e.vec_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
@@ -1014,4 +1104,5 @@ QUERIES = {
     "emb_standardize": QueryDef(emb_standardize, STANDARDIZE_SQL),
     "multimodal_phash_near_dup": QueryDef(multimodal_phash_near_dup, PHASH_NEAR_DUP_SQL),
     "docs_vocab_growth": QueryDef(docs_vocab_growth, VOCAB_GROWTH_SQL),
+    "emb_negative_sampling": QueryDef(emb_negative_sampling, NEGATIVE_SAMPLING_SQL),
 }
