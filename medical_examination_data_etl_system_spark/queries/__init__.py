@@ -89,8 +89,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # price_qty_corr, train_val_test_split, length_buckets, weighted_sample,
 # p90_outlier, domain_mix, customer_rfm_segments and
 # events_pmi_cooccurrence, emb_label_centroids, emb_quantize_int8,
-# window_range_30d_sum — displaced by the late-round epoch-shuffle/
-# attribution/latency/KMV/negative-sampling additions) wait for the r06 rotation — a query with
+# window_range_30d_sum, events_variant_extract — displaced by the
+# late-round epoch-shuffle/attribution/latency/KMV/negative-sampling/
+# bloom additions) wait for the r06 rotation — a query with
 # ZERO driver rows outranks one green 1-2 rounds ago, but within the
 # zero-row set the novel/changed surfaces outrank the pytest-pinned
 # trivia. Every name is asserted against the registry (ADVICE r4).
@@ -118,6 +119,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_conversion_latency",
     "agg_kmv_overlap",
     "emb_negative_sampling",
+    "join_bloom_prefilter",
     "stream_tumbling_hourly",
     "stream_sessionize_stateful",
     "stream_click_attribution",
@@ -129,7 +131,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "pit_purchase_user_state",
     "stream_upsert_latest_state",
     "layout_partition_prune",
-    "events_variant_extract",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_gap_fill_hourly",

@@ -1133,6 +1133,72 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built DataFrame-native Bloom semi-join reduction (Catalyst's
+    ``bloom_filter_agg`` is not user-callable in PySpark 4.1 —
+    SURVEY §2b; this closes the gap with stock operators): urgent-order
+    keys are folded into a bit-packed Bloom — ``(word, bits)`` rows via
+    ``bit_or(1 << bit)``, m=2¹⁷ bits → 2 048 words, BROADCASTABLE
+    however many keys built it — and the lineitem fact is pre-filtered
+    map-side by two hash probes before the EXACT verify semi-join, so
+    only bloom-surviving rows (true matches + ~1% false positives)
+    enter the shuffle. The oracle is the plain semi-join: the verify
+    step makes the bloom invisible to the RESULT, visible only to the
+    shuffle volume — exactly the semantics of the engine-internal rule.
+    """
+    m_bits, m_words = 1 << 17, (1 << 17) // 64
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+
+    def positions(col, seed):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
+
+    def bloom_rows(seed):
+        return keys.select(positions(F.col("k"), seed).alias("_pos")).selectExpr(
+            "CAST(_pos div 64 AS INT) AS word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT)) AS b",
+        )
+
+    bloom = (
+        bloom_rows(1)
+        .unionByName(bloom_rows(2))
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    probe = li.select("l_orderkey", "l_extendedprice")
+    for seed in (1, 2):
+        b = bloom.select(
+            F.col("word").alias(f"w{seed}"), F.col("bits").alias(f"bits{seed}")
+        )
+        probe = (
+            probe.withColumn(f"_pos{seed}", positions(F.col("l_orderkey"), seed))
+            .withColumn(f"w{seed}", F.expr(f"CAST(_pos{seed} div 64 AS INT)"))
+            .withColumn(
+                f"m{seed}",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_pos{seed} % 64 AS INT))"),
+            )
+            .join(F.broadcast(b), f"w{seed}", "left")
+            .filter(F.col(f"bits{seed}").isNotNull() & (F.col(f"bits{seed}").bitwiseAND(F.col(f"m{seed}")) != 0))
+        )
+    survivors = probe.select("l_orderkey", "l_extendedprice")
+    exact = survivors.join(keys, survivors.l_orderkey == keys.k, "left_semi")
+    return exact.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("revenue_cents"),
+    )
+
+
+BLOOM_PREFILTER_SQL = """
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 QUERIES = {
     "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
     "layout_partition_prune": QueryDef(layout_partition_prune, LAYOUT_PRUNE_SQL),
@@ -1165,4 +1231,5 @@ QUERIES = {
     "join_interval_overlap": QueryDef(join_interval_overlap, INTERVAL_OVERLAP_SQL),
     "agg_hll_rollup": QueryDef(agg_hll_rollup, None),
     "agg_kmv_overlap": QueryDef(agg_kmv_overlap, None),
+    "join_bloom_prefilter": QueryDef(join_bloom_prefilter, BLOOM_PREFILTER_SQL),
 }

@@ -576,3 +576,22 @@ def test_join_strategy_hints_are_honored(spark):
     for hint, node in cases.items():
         plan = _formatted_plan(o.join(c.hint(hint), o.o_custkey == c.c_custkey))
         assert node in plan, f"{hint} hint did not produce {node}"
+
+
+def test_bloom_prefilter_reduces_before_exact_verify(spark):
+    """The bloom must actually prune: survivors ≈ true matches (+ small
+    false-positive tail), far below the full fact row count."""
+    from pyspark.sql import functions as F
+    from medical_examination_data_etl_system_spark.queries import relational
+
+    o = load(spark, SF_DIR, "orders")
+    li = load(spark, SF_DIR, "lineitem")
+    true_keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    n_true = li.join(true_keys, li.l_orderkey == true_keys.o_orderkey, "left_semi").count()
+    n_total = li.count()
+    out = relational.join_bloom_prefilter(spark, SF_DIR).collect()[0]
+    assert out.n_lines == n_true  # exact despite the bloom (verify step)
+    # and the bloom itself is selective: with ~3k keys in 2^17 bits the
+    # false-positive rate is ≈ (keys*2/2^17)^2 ≈ 0.2% — the pre-filter
+    # output can't be anywhere near the full fact
+    assert n_true < n_total * 0.5
