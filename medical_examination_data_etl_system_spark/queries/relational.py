@@ -1146,12 +1146,19 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     step makes the bloom invisible to the RESULT, visible only to the
     shuffle volume — exactly the semantics of the engine-internal rule.
     """
-    m_bits, m_words = 1 << 17, (1 << 17) // 64
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_orderkey").alias("k")
     )
+    # Size the filter to the key count (~10 bits/key, two probes →
+    # FP ≈ 3%), as the engine-internal rule does: a FIXED m saturates
+    # once |keys| ≈ m/10 and stops pruning (measured at the 100× scale
+    # check with m=2¹⁷: 4.6 bits/slot ⇒ ~98% FP). The one count()
+    # action is the bloom BUILD's driver scalar — cap 2²⁴ bits keeps
+    # the word table ≤ 2 MB, broadcastable at any key count.
+    n_keys = keys.count()
+    m_bits = 1 << max(17, min(24, (10 * max(n_keys, 1)).bit_length()))
 
     def positions(col, seed):
         return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
