@@ -44,7 +44,7 @@ _GRAM_SCHEMA = T.StructType(
 )
 
 
-def _quantize(vec_col: str, scale: int):
+def quantize_fixed_point(vec_col: str, scale: int):
     # Mirrors the oracle's CAST(v AS DOUBLE) * scale → round → BIGINT:
     # float→double widening is exact, the product is correctly rounded
     # (identical in any IEEE engine), and round() is half-away-from-zero
@@ -64,8 +64,9 @@ def quantized_gram_matrix(
     """Upper-triangle Gram matrix rows ``(i, j, s)`` with
     ``s = Σ_rows q_i·q_j`` over quantized components ``q = round(v·scale)``
     (0-based ``i ≤ j``). With ``with_col_sums``, per-column sums ride
-    along as ``(i, -1, Σ q_i)`` rows so mean-centering needs no second
-    sweep.
+    along as ``(i, -1, Σ q_i)`` rows plus a single ``(-1, -1, n_rows)``
+    sentinel, so mean-centering AND the row count need no second sweep
+    (review finding: a separate count() was a second full corpus scan).
 
     int64 safety: |q| ≤ scale·|v|; at |v| ≤ 1, a pairwise product is
     ≤ scale² = 1e12 — overflow needs > 9·10⁶ rows per PARTIAL and
@@ -75,7 +76,7 @@ def quantized_gram_matrix(
     # null vectors contribute nothing (np.stack would reject ragged
     # input); dropping them JVM-side keeps the kernel total.
     quantized = df.filter(F.col(vec_col).isNotNull()).select(
-        _quantize(vec_col, scale).alias("q")
+        quantize_fixed_point(vec_col, scale).alias("q")
     )
     emit_sums = with_col_sums
 
@@ -98,7 +99,8 @@ def quantized_gram_matrix(
                         "s": x.sum(axis=0),
                     }
                 )
-                part = pd.concat([part, sums], ignore_index=True)
+                sentinel = pd.DataFrame({"i": [-1], "j": [-1], "s": [x.shape[0]]})
+                part = pd.concat([part, sums, sentinel], ignore_index=True)
             yield part
 
     return (
@@ -123,15 +125,18 @@ def pca_components(
     """
     import numpy as np
 
-    # count the rows the Gram actually saw (null vectors are dropped)
-    n = df.filter(F.col(vec_col).isNotNull()).count()
+    rows = quantized_gram_matrix(df, vec_col, scale, with_col_sums=True).collect()
+    # the (-1, -1) sentinel carries the non-null row count through the
+    # SAME sweep — no separate count() scan
+    n = next(r.s for r in rows if r.i == -1 and r.j == -1)
     if n < 2:
         raise ValueError("pca needs at least 2 rows")
-    rows = quantized_gram_matrix(df, vec_col, scale, with_col_sums=True).collect()
     d = max(r.i for r in rows) + 1
     gram = np.zeros((d, d), dtype=np.float64)
     sums = np.zeros(d, dtype=np.float64)
     for r in rows:
+        if r.i == -1:
+            continue
         if r.j == -1:
             sums[r.i] = r.s
         else:

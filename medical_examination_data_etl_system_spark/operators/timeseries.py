@@ -213,7 +213,6 @@ def resample_gap_fill(
 
 
 def ewma(
-    df: DataFrame,
     key_col: str,
     order_cols: Sequence[str],
     value_col: str,
@@ -237,6 +236,11 @@ def ewma(
     exactly-representable α=0.25 coefficients, which is what lets a SQL
     oracle (``list_reduce`` over the same frame) hash-match it.
 
+    NULL semantics match the SQL oracle's list fold exactly: a NULL
+    anywhere in the frame poisons the whole fold to NULL (collect_list
+    would silently DROP nulls and shift the window — diverging from
+    ``list()`` — so a frame-has-null flag restores the poisoning).
+
     Returns the EWMA Column; attach with ``withColumn``.
     """
     w = (
@@ -245,8 +249,10 @@ def ewma(
         .rowsBetween(-lookback, Window.currentRow)
     )
     vals = F.collect_list(F.col(value_col).cast("double")).over(w)
-    return F.aggregate(
+    frame_has_null = F.max(F.col(value_col).isNull().cast("int")).over(w)
+    fold = F.aggregate(
         vals,
         F.lit(0.0),
         lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
     )
+    return F.when(frame_has_null == 1, F.lit(None).cast("double")).otherwise(fold)

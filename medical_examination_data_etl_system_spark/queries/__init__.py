@@ -72,8 +72,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1). Round 7 (driver r05): 69 of 149 registered queries have no
-# driver row yet (rounds r01∪r03∪r04 cover 80); the window holds
+# r3 #1). Round 7 (driver r05), counted at rotation time: 69 of 149 then-
+# registered queries had no driver row (rounds r01∪r03∪r04 cover 80);
+# the 6 late-round additions below grew the registry to 155 (all 6 took
+# window slots — see the displacement notes). The window holds
 # (1) the 18 queries ADDED OR REWRITTEN this round — the two scale
 # rewrites (join_interval_overlap's canonical-bucket blocking,
 # lineitem_spearman_corr's distributed ranks) happened after their only

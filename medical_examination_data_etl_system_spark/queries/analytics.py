@@ -691,7 +691,7 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "value",
-        ewma(ev, "user_id", ["ts", "event_id"], "value").alias("ewma_value"),
+        ewma("user_id", ["ts", "event_id"], "value").alias("ewma_value"),
     ).orderBy("event_id")
 
 
@@ -723,7 +723,11 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is over the distinct-value frame — at 100 TB the per-row
     work stays in the value-partitioned shuffle.
     """
-    ev = load(spark, sf_dir, "events")
+    # histogram over NON-NULL values, stated explicitly on both sides:
+    # without the filter, Spark's inner join on "value" drops null rows
+    # while still counting them in n — a silent boundary skew (review
+    # finding); DuckDB's ntile would order them last instead.
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     nb = 10
     sizes = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
@@ -765,7 +769,7 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 HISTOGRAM_EQUIDEPTH_SQL = """
 WITH b AS (
   SELECT value, CAST(ntile(10) OVER (ORDER BY value, event_id) AS INTEGER) AS bucket
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT bucket, count(*) AS n_rows,
        min(value) AS min_value, max(value) AS max_value,
@@ -884,7 +888,6 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_type").alias("channel"),
         F.col("ts").alias("ts_t"),
-        F.col("event_id").alias("touch_id"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -896,13 +899,11 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_t") <= F.col("ts_p"))
         & (F.col("ts_t") > F.col("ts_p") - F.expr("INTERVAL 1 HOUR"))
     )
-    w = Window.partitionBy("purchase_id")
     credited = paired.select(
         "channel",
         "purchase_id",
         F.expr("(cents * 1000000) div (count(1) over (partition by purchase_id))")
         .alias("credit_ppm"),
-        F.count(F.lit(1)).over(w).alias("_n"),
     )
     return (
         credited.groupBy("channel")

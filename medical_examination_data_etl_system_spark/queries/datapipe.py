@@ -815,15 +815,12 @@ def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one 64-key aggregation whose result BROADCASTS back onto
     the exploded stream — the per-row pass never shuffles.
     """
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
-        F.posexplode(
-            F.transform(
-                F.col("embedding"),
-                lambda v: F.round(v.cast("double") * 1000000).cast("long"),
-            )
-        ).alias("i", "q"),
+        F.posexplode(quantize_fixed_point("embedding", 1_000_000)).alias("i", "q"),
     )
     stats = q.groupBy("i").agg(
         F.count(F.lit(1)).alias("n"),

@@ -59,8 +59,10 @@ def test_gram_matrix_col_sums_ride_along(spark):
         [Row(vec_id=0, embedding=[1.0, -2.0]), Row(vec_id=1, embedding=[0.5, 0.25])]
     )
     rows = quantized_gram_matrix(df, "embedding", scale=100, with_col_sums=True).collect()
-    sums = {r.i: r.s for r in rows if r.j == -1}
+    sums = {r.i: r.s for r in rows if r.j == -1 and r.i != -1}
     assert sums == {0: 150, 1: -175}
+    # the (-1, -1) sentinel carries the row count through the same sweep
+    assert next(r.s for r in rows if r.i == -1 and r.j == -1) == 2
 
 
 # ---------------------------------------------------------------------------
@@ -159,7 +161,7 @@ def test_ewma_matches_python_fold(spark):
     got = {
         (r.k, r.t): r.e
         for r in df.select(
-            "k", "t", ewma(df, "k", ["t"], "v", alpha=0.25, lookback=24).alias("e")
+            "k", "t", ewma("k", ["t"], "v", alpha=0.25, lookback=24).alias("e")
         ).collect()
     }
     by_k: dict[int, list] = {}
