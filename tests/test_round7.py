@@ -597,3 +597,59 @@ def test_bloom_prefilter_reduces_before_exact_verify(spark):
     # false-positive rate is ≈ (keys*2/2^17)^2 ≈ 0.2% — the pre-filter
     # output can't be anywhere near the full fact
     assert n_true < n_total * 0.5
+
+
+def test_bigram_coherence_matches_python_reference_on_random_corpus(spark):
+    """Integer ppm scoring vs an independent Counter-based reference on
+    a random small-vocab corpus (heavy bigram collisions)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(29)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    from medical_examination_data_etl_system_spark.operators.curation import bigram_coherence
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {r.doc_id: (r.n_bigrams, r.score_sum, r.coherence_ppm)
+           for r in bigram_coherence(df).collect()}
+
+    bg, pre = Counter(), Counter()
+    per_doc: dict[int, list] = {}
+    for i, t in docs:
+        toks = t.split()
+        grams = list(zip(toks, toks[1:]))
+        per_doc[i] = grams
+        for g in grams:
+            bg[g] += 1
+            pre[g[0]] += 1
+    expect = {}
+    for i, grams in per_doc.items():
+        if not grams:
+            continue
+        scores = [(1_000_000 * bg[g]) // pre[g[0]] for g in grams]
+        expect[i] = (len(scores), sum(scores), sum(scores) // len(scores))
+    assert got == expect
+
+
+def test_ewma_null_frame_poisons_to_null_like_oracle(spark):
+    """A NULL in the lookback frame yields NULL (matching the SQL
+    oracle's list fold); rows whose frame has slid past the NULL
+    recover. collect_list would silently drop the NULL instead."""
+    rows = [Row(k=1, t=0, v=1.0), Row(k=1, t=1, v=None), Row(k=1, t=2, v=2.0),
+            Row(k=1, t=3, v=3.0), Row(k=1, t=4, v=4.0)]
+    schema = "k int, t int, v double"
+    df = spark.createDataFrame(rows, schema)
+    got = {r.t: r.e for r in df.select(
+        "t", ewma("k", ["t"], "v", alpha=0.25, lookback=2).alias("e")
+    ).collect()}
+    assert got[0] == 0.25
+    assert got[1] is None and got[2] is None and got[3] is None
+    # t=4's frame is rows t=2..4 — past the NULL — plain fold resumes
+    acc = 0.0
+    for v in (2.0, 3.0, 4.0):
+        acc = acc * 0.75 + v * 0.25
+    assert got[4] == acc
