@@ -256,3 +256,52 @@ def ewma(
         lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
     )
     return F.when(frame_has_null == 1, F.lit(None).cast("double")).otherwise(fold)
+
+
+def holt(
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    lookback: int = 24,
+) -> Column:
+    """Holt linear (level+trend) exponential smoothing — EWMA's
+    two-accumulator sibling: a bounded left fold over
+    ``struct(level, trend)`` with
+    ``l' = α·x + (1−α)(l + b)``, ``b' = β(l' − l) + (1−β)·b``,
+    returning the one-step-ahead forecast ``l + b`` per row.
+
+    Same bit-exactness contract as ``ewma``: exactly-binary α/β, frame
+    order pinned by ``order_cols``, every op IEEE-correctly-rounded in
+    the same sequence. The trend update uses the EXPANDED form
+    ``b' = βα·x − βα·l + (β(1−α)+1−β)·b`` (algebraically equal to the
+    textbook ``β(l'−l)+(1−β)b``; all coefficients exactly binary for
+    dyadic α/β) so NO subexpression repeats across the two state
+    fields — DuckDB 1.0's lambda engine mis-evaluates a first-field
+    reference inside the second struct field (probed: a.l resolves to
+    the NEW l there), and a 2-element LIST accumulator with
+    single-reference fields sidesteps it on the oracle side; the Spark
+    fold uses the identical expanded tree so the doubles hash-match.
+    NULL frames poison to NULL, matching the oracle's fold.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, Window.currentRow)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    frame_has_null = F.max(F.col(value_col).isNull().cast("int")).over(w)
+    a, b1 = F.lit(alpha), F.lit(1.0 - alpha)
+    ba = F.lit(beta * alpha)
+    bb = F.lit(beta * (1.0 - alpha) + (1.0 - beta))
+    fold = F.aggregate(
+        vals,
+        F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b")),
+        lambda acc, x: F.struct(
+            (a * x + b1 * (acc["l"] + acc["b"])).alias("l"),
+            (ba * x - ba * acc["l"] + bb * acc["b"]).alias("b"),
+        ),
+        lambda acc: acc["l"] + acc["b"],
+    )
+    return F.when(frame_has_null == 1, F.lit(None).cast("double")).otherwise(fold)

@@ -91,9 +91,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # price_qty_corr, train_val_test_split, length_buckets, weighted_sample,
 # p90_outlier, domain_mix, customer_rfm_segments and
 # events_pmi_cooccurrence, emb_label_centroids, emb_quantize_int8,
-# window_range_30d_sum, events_variant_extract — displaced by the
-# late-round epoch-shuffle/attribution/latency/KMV/negative-sampling/
-# bloom additions) wait for the r06 rotation — a query with
+# window_range_30d_sum, events_variant_extract, layout_partition_prune,
+# layout_schema_evolution — displaced by the 8 late-round additions
+# (epoch-shuffle/attribution/latency/KMV/negative-sampling/bloom/
+# Holt/trend); the layout family keeps zorder as its window
+# representative, both displaced layouts carry plan guards in pytest) wait for the r06 rotation — a query with
 # ZERO driver rows outranks one green 1-2 rounds ago, but within the
 # zero-row set the novel/changed surfaces outrank the pytest-pinned
 # trivia. Every name is asserted against the registry (ADVICE r4).
@@ -122,6 +124,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_kmv_overlap",
     "emb_negative_sampling",
     "join_bloom_prefilter",
+    "events_holt_forecast",
+    "customer_spend_trend",
     "stream_tumbling_hourly",
     "stream_sessionize_stateful",
     "stream_click_attribution",
@@ -132,7 +136,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_dedup_exactly_once",
     "pit_purchase_user_state",
     "stream_upsert_latest_state",
-    "layout_partition_prune",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_gap_fill_hourly",
@@ -143,7 +146,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_heavy_hitter_terms",
     "events_transition_matrix",
     "dq_check_orders",
-    "layout_schema_evolution",
     "docs_fuzzy_levenshtein",
     "sql_interface_revenue",
     "stream_static_enrich",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark.operators.timeseries import (
     ewma,
+    holt,
     funnel_stages,
     resample_gap_fill,
     retention_cohorts,
@@ -1052,6 +1053,107 @@ FROM cum CROSS JOIN total
 """
 
 
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt level+trend smoothing (operators/timeseries.holt):
+    one-step-ahead forecast per event, bit-exact vs the oracle's
+    struct-accumulator list fold — trend-aware smoothing with the same
+    one-Exchange plan as the EWMA."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        holt("user_id", ["ts", "event_id"], "value").alias("forecast"),
+    ).orderBy("event_id")
+
+
+# Mirrors the operator fold exactly: same frame, same init, the same
+# EXPANDED trend update (see operators/timeseries.holt — a 2-element
+# LIST accumulator with single-reference fields sidesteps DuckDB 1.0's
+# struct-field lambda aliasing bug), so the forecasts hash-match with
+# no tolerance.
+HOLT_SQL = """
+WITH framed AS (
+  SELECT event_id, user_id, ts, value,
+         list(CAST(value AS DOUBLE))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS lst
+  FROM events
+), folded AS (
+  SELECT event_id, user_id, ts, value,
+         list_reduce(
+           list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                        [[CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)] for x in lst]),
+           (a, v) -> [CAST(0.25 AS DOUBLE) * v[1] + CAST(0.75 AS DOUBLE) * (a[1] + a[2]),
+                      CAST(0.0625 AS DOUBLE) * v[1] - CAST(0.0625 AS DOUBLE) * a[1]
+                        + CAST(0.9375 AS DOUBLE) * a[2]]
+         ) AS s
+  FROM framed
+)
+SELECT event_id, user_id, ts, value, s[1] + s[2] AS forecast
+FROM folded ORDER BY event_id
+"""
+
+
+def customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend TREND: exact least-squares slope/intercept of
+    order value (cents) over order date (day index) from integer sums —
+    the Pearson machinery's regression sibling; float enters only at
+    the two final divisions, mirrored expression-for-expression.
+    Customers whose orders all land on one day are excluded (slope
+    undefined — zero denominator) on both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).cast("decimal(38,0)")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(day).alias("sx"),
+        F.sum(cents).alias("sy"),
+        F.sum(day * cents).alias("sxy"),
+        F.sum(day * day).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / den.cast("double")
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n").cast("double")
+    return (
+        agg.filter(den != 0)
+        .select(
+            "o_custkey",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(slope, 4).alias("slope_cents_per_day"),
+            F.round(intercept, 2).alias("intercept_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+SPEND_TREND_SQL = """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS HUGEINT)) AS sx,
+         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+         sum(CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxy,
+         sum(CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS HUGEINT)
+             * datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS sxx
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(n AS BIGINT) AS n_orders,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+         AS slope_cents_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 2) AS intercept_cents
+FROM agg
+WHERE n * sxx - sx * sx <> 0
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
@@ -1071,4 +1173,6 @@ QUERIES = {
     "lineitem_spearman_corr": QueryDef(lineitem_spearman_corr, SPEARMAN_SQL),
     "events_linear_attribution": QueryDef(events_linear_attribution, LINEAR_ATTRIBUTION_SQL),
     "events_conversion_latency": QueryDef(events_conversion_latency, CONVERSION_LATENCY_SQL),
+    "events_holt_forecast": QueryDef(events_holt_forecast, HOLT_SQL),
+    "customer_spend_trend": QueryDef(customer_spend_trend, SPEND_TREND_SQL),
 }

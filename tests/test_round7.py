@@ -653,3 +653,21 @@ def test_ewma_null_frame_poisons_to_null_like_oracle(spark):
     for v in (2.0, 3.0, 4.0):
         acc = acc * 0.75 + v * 0.25
     assert got[4] == acc
+
+
+def test_holt_matches_python_expanded_fold(spark):
+    from medical_examination_data_etl_system_spark.operators.timeseries import holt
+
+    rows = [Row(k=1, t=i, v=float(v)) for i, v in enumerate([10, 12, 14, 9, 20, 22, 3])]
+    df = spark.createDataFrame(rows)
+    got = {r.t: r.f for r in df.select(
+        "t", holt("k", ["t"], "v", alpha=0.25, beta=0.25, lookback=24).alias("f")
+    ).collect()}
+    l_hist = []
+    for idx in range(len(rows)):
+        l, b = 0.0, 0.0
+        for r in rows[max(0, idx - 24): idx + 1]:
+            l2 = 0.25 * r.v + 0.75 * (l + b)
+            b2 = 0.0625 * r.v - 0.0625 * l + 0.9375 * b
+            l, b = l2, b2
+        assert got[idx] == l + b, idx
