@@ -95,7 +95,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # layout_schema_evolution — displaced by the 8 late-round additions
 # (epoch-shuffle/attribution/latency/KMV/negative-sampling/bloom/
 # Holt/trend); the layout family keeps zorder as its window
-# representative, both displaced layouts carry plan guards in pytest) wait for the r06 rotation — a query with
+# representative, both displaced layouts carry plan guards in pytest; tfidf/entropy
+# yield to the final seasonality/cluster-size additions — both were
+# 100×-swept this round and carry pytest parity) wait for the r06 rotation — a query with
 # ZERO driver rows outranks one green 1-2 rounds ago, but within the
 # zero-row set the novel/changed surfaces outrank the pytest-pinned
 # trivia. Every name is asserted against the registry (ADVICE r4).
@@ -126,6 +128,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_bloom_prefilter",
     "events_holt_forecast",
     "customer_spend_trend",
+    "orders_seasonality_index",
+    "docs_dedup_cluster_sizes",
     "stream_tumbling_hourly",
     "stream_sessionize_stateful",
     "stream_click_attribution",
@@ -140,8 +144,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_retention_cohorts",
     "events_gap_fill_hourly",
     "docs_ngram_containment",
-    "docs_tfidf_top_terms",
-    "docs_token_entropy",
     "layout_zorder_cluster",
     "docs_heavy_hitter_terms",
     "events_transition_matrix",

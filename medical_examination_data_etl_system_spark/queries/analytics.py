@@ -1154,6 +1154,56 @@ ORDER BY o_custkey
 """
 
 
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: each month's average order
+    value (exact cents) relative to the global average — the seasonal
+    baseline every demand forecast starts from. Two tiny aggregations
+    (12-row month frame, 1-row global), index = mirrored double
+    division of integer sums — engine-identical to the last bit.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = o.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    total = o.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum(cents).alias("cents_all")
+    )
+    idx = (
+        F.col("sum_cents").cast("double") / F.col("n_orders")
+    ) / (F.col("cents_all").cast("double") / F.col("n_all"))
+    return (
+        monthly.crossJoin(F.broadcast(total))
+        .select(
+            "month",
+            "n_orders",
+            "sum_cents",
+            F.round(idx, 6).alias("seasonal_index"),
+        )
+        .orderBy("month")
+    )
+
+
+SEASONALITY_SQL = """
+WITH monthly AS (
+  SELECT CAST(month(o_orderdate) AS INTEGER) AS month,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM orders GROUP BY 1
+), total AS (
+  SELECT count(*) AS n_all,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_all
+  FROM orders
+)
+SELECT month, n_orders, sum_cents,
+       round((CAST(sum_cents AS DOUBLE) / n_orders)
+             / (CAST(cents_all AS DOUBLE) / n_all), 6) AS seasonal_index
+FROM monthly CROSS JOIN total
+ORDER BY month
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
@@ -1175,4 +1225,5 @@ QUERIES = {
     "events_conversion_latency": QueryDef(events_conversion_latency, CONVERSION_LATENCY_SQL),
     "events_holt_forecast": QueryDef(events_holt_forecast, HOLT_SQL),
     "customer_spend_trend": QueryDef(customer_spend_trend, SPEND_TREND_SQL),
+    "orders_seasonality_index": QueryDef(orders_seasonality_index, SEASONALITY_SQL),
 }

@@ -581,6 +581,44 @@ ORDER BY epoch, position
 """
 
 
+def docs_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate CLUSTER-SIZE distribution — the dedup
+    diagnostic run before choosing a strategy (how much of the corpus
+    is singletons vs mega-clusters): fingerprint → cluster sizes →
+    size histogram, each a key-local aggregation. On the mostly-unique
+    test corpus this pins the all-singleton baseline; on a crawl it is
+    the duplication profile. Grouping compares xxhash64 longs where
+    the oracle compares normalized strings — collision-exact."""
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    clusters = docs.groupBy(
+        F.xxhash64(normalized_text(F.col("text"))).alias("_fp")
+    ).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = """
+WITH clusters AS (
+  SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS fp,
+         count(*) AS cluster_size
+  FROM documents GROUP BY 1
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM clusters GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 QUERIES = {
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_weighted_sample": QueryDef(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
@@ -597,4 +635,5 @@ QUERIES = {
     "docs_stratified_sample": QueryDef(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "docs_dedup_keep_best": QueryDef(docs_dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "docs_epoch_shuffle": QueryDef(docs_epoch_shuffle, EPOCH_SHUFFLE_SQL),
+    "docs_dedup_cluster_sizes": QueryDef(docs_dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL),
 }
