@@ -710,6 +710,7 @@ def hamming_near_duplicates(
     max_hamming: int = 5,
     bits: int = 60,
     chunk_bits: int = 10,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs among integer perceptual hashes by Hamming
     distance ≤ ``max_hamming`` — the generic form of the SimHash
@@ -718,7 +719,64 @@ def hamming_near_duplicates(
     Pigeonhole: ``bits/chunk_bits`` chunks find every pair within
     Hamming ``bits/chunk_bits − 1``; candidate generation shuffles only
     (id, chunk_idx, chunk_val) longs, verification is bit_count(xor) —
-    pure JVM, no hash recomputation, no arrays."""
+    pure JVM, no hash recomputation, no arrays.
+
+    ``collapse_exact`` ("auto" default): on a duplicate-heavy media
+    corpus (re-uploads, mirror crawls) identical hashes first collapse
+    to a min-id representative, banding runs on DISTINCT hash values
+    only, and pairs expand back afterward — identical output (equal
+    hashes ⇒ Hamming 0 intra-pairs; cross-pairs inherit their
+    representatives' distance, xor being value- not id-dependent), but
+    every candidate/banding stage scales with unique hashes instead of
+    members². Same discipline as the text near-dups' exact-content
+    pre-collapse; the probe is one approx_count_distinct (HLL partials)
+    so the unique-heavy path pays a single cheap agg. The member-pair
+    expansion joins are output-bound — on a 100-copy-clique corpus the
+    OUTPUT is inherently quadratic in copies, but no banding/shuffle
+    stage is."""
+    if collapse_exact == "auto":
+        probe = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.col(hash_col)).alias("d"),
+        ).collect()[0]
+        collapse_exact = probe["d"] < 0.8 * max(probe["n"], 1)
+    if collapse_exact:
+        windowed = persist_tracked(
+            # null hashes can never pair (join keys / bit_count(xor) drop
+            # them in the direct path) — exclude them so the Hamming-0
+            # intra expansion stays byte-identical to the direct twin.
+            df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+            .filter(F.col("_h").isNotNull())
+            .withColumn("_rep", F.min("_id").over(W.partitionBy("_h")))
+        )
+        members = windowed.select("_id", "_rep")
+        reps = windowed.filter(F.col("_id") == F.col("_rep")).select(
+            F.col("_id").alias(id_col), F.col("_h").alias(hash_col)
+        )
+        rep_pairs = hamming_near_duplicates(
+            reps, id_col, hash_col, max_hamming, bits, chunk_bits, collapse_exact=False
+        )
+        ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+        mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "hamming",
+            )
+        )
+        x, y = members.alias("x"), members.alias("y")
+        intra = (
+            x.join(y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id")))
+            .select(
+                F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        return cross.unionByName(intra)
     n_chunks = bits // chunk_bits
     if max_hamming > n_chunks - 1:
         raise ValueError(f"banding finds ≤ {n_chunks - 1}, asked {max_hamming}")

@@ -122,6 +122,7 @@ def with_rolling_fingerprint(
     out_col: str = "roll_fp",
     hash_fn: str = "xxhash64",
     id_col: str | None = "doc_id",
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Winnowing-style document fingerprint: min hash over character
     ``window``-grams of the normalized text.
@@ -138,9 +139,42 @@ def with_rolling_fingerprint(
     co-partitioned shuffle join at scale). A ``transform`` lambda is
     CodegenFallback: ~1M interpreted md5 calls cost ~4 s at sf0.1 where
     the exploded form is sub-second. With ``id_col=None`` (no usable
-    key) the per-row higher-order form is used instead."""
+    key) the per-row higher-order form is used instead.
+
+    ``collapse_exact`` ("auto" default): on a duplicate-heavy corpus
+    the fingerprint is computed once per DISTINCT normalized text and
+    joined back on the content fingerprint — the gram-hashing volume
+    (the dominant cost: |norm| hash calls per text) scales with unique
+    texts, not members. Output-invariant: the fingerprint is a pure
+    function of the normalized text, and the md5 join key equates
+    exactly the texts whose fingerprints are equal. Probe is one
+    approx_count_distinct (HLL partials), same discipline as the
+    near-dup operators' pre-collapse; mostly-unique corpora skip
+    straight to the per-id path."""
     hasher = {"md5": F.md5, "xxhash64": F.xxhash64}[hash_fn]
     if id_col is not None and id_col in df.columns:
+        if collapse_exact == "auto":
+            probe = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(F.xxhash64(normalized_text(F.col(text_col)))).alias("d"),
+            ).collect()[0]
+            collapse_exact = probe["d"] < 0.8 * max(probe["n"], 1)
+        if collapse_exact:
+            staged = df.withColumn("_rfp_key", content_fingerprint(F.col(text_col)))
+            uniq = staged.select(
+                "_rfp_key", normalized_text(F.col(text_col)).alias("_rfp_norm")
+            ).dropDuplicates(["_rfp_key"])
+            n = F.greatest(F.length("_rfp_norm") - (window - 1), F.lit(1))
+            fps = (
+                uniq.select("_rfp_key", "_rfp_norm", F.explode(F.sequence(F.lit(1), n)).alias("_pos"))
+                .select(
+                    "_rfp_key",
+                    hasher(F.col("_rfp_norm").substr(F.col("_pos"), F.lit(window))).alias("_g"),
+                )
+                .groupBy("_rfp_key")
+                .agg(F.min("_g").alias(out_col))
+            )
+            return staged.join(fps, "_rfp_key", "left").drop("_rfp_key")
         n = F.greatest(F.length("_rfp_norm") - (window - 1), F.lit(1))
         fps = (
             df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("_rfp_norm"))

@@ -197,10 +197,14 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks = pagerank(edges, n_iter=10)
+    # Top-20 via orderBy().limit() → TakeOrderedAndProject (per-partition
+    # heap + driver merge), NOT an unpartitioned row_number window that
+    # would funnel every node's rank through one task. The row_number
+    # that derives ``rnk`` runs AFTER the limit, over 20 rows.
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     return (
-        ranks.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(F.col("node").alias("l_partkey"), F.round("rank", 6).alias("rank"), "rnk")
         .orderBy("rnk")
     )
