@@ -71,7 +71,12 @@ def quantized_gram_matrix(
     int64 safety: |q| ≤ scale·|v|; at |v| ≤ 1, a pairwise product is
     ≤ scale² = 1e12 — overflow needs > 9·10⁶ rows per PARTIAL and
     > 9·10⁶ × #batches rows globally; the final sums for a 100 TB corpus
-    (10¹¹ rows) fit by switching scale to 1e4. Callers own that knob.
+    (10¹¹ rows) fit by switching scale to 1e4. Callers own that knob —
+    and the code now ENFORCES it (ADVICE r5): each Arrow batch asserts
+    rows·max|q|² < 2⁶³ before the int64 matmul, and the cross-batch
+    reduce sums in decimal(38,0) and raise_error()s if the total leaves
+    int64 range, instead of wrapping silently. The decimal agg touches
+    only the d(d+1)/2-per-batch partial rows, never the corpus.
     """
     # null vectors contribute nothing (np.stack would reject ragged
     # input); dropping them JVM-side keeps the kernel total.
@@ -87,7 +92,16 @@ def quantized_gram_matrix(
             if pdf.empty:
                 continue
             x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-            g = x.T @ x  # int64-exact
+            # int64-exactness precondition for the matmul below: the
+            # worst-case accumulator is rows·max|q|² (Python ints — the
+            # check itself cannot wrap).
+            max_abs = int(np.abs(x).max()) if x.size else 0
+            if x.shape[0] * max_abs * max_abs >= 2**63:
+                raise OverflowError(
+                    f"gram partial would overflow int64: rows={x.shape[0]} "
+                    f"max|q|={max_abs}; lower `scale`"
+                )
+            g = x.T @ x  # int64-exact (guarded above)
             iu, ju = np.triu_indices(g.shape[1])
             out = {"i": iu.astype(np.int32), "j": ju.astype(np.int32), "s": g[iu, ju]}
             part = pd.DataFrame(out)
@@ -103,10 +117,21 @@ def quantized_gram_matrix(
                 part = pd.concat([part, sums, sentinel], ignore_index=True)
             yield part
 
+    # Cross-batch reduce in decimal(38,0): a too-large corpus/scale now
+    # fails loudly at execution time instead of wrapping (ADVICE r5).
+    # Only O(d² × batches) partial rows pay the decimal cost.
+    dec_sum = F.sum(F.col("s").cast("decimal(38,0)"))
+    int64_max = F.lit(str(2**63 - 1)).cast("decimal(38,0)")
+    guarded = F.when(
+        F.abs(dec_sum) > int64_max,
+        F.raise_error(
+            F.lit("gram sum overflows int64 — lower `scale` (see quantized_gram_matrix docstring)")
+        ).cast("decimal(38,0)"),
+    ).otherwise(dec_sum)
     return (
         quantized.mapInPandas(partials, schema=_GRAM_SCHEMA)
         .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
+        .agg(guarded.cast("long").alias("s"))
     )
 
 
@@ -127,8 +152,10 @@ def pca_components(
 
     rows = quantized_gram_matrix(df, vec_col, scale, with_col_sums=True).collect()
     # the (-1, -1) sentinel carries the non-null row count through the
-    # SAME sweep — no separate count() scan
-    n = next(r.s for r in rows if r.i == -1 and r.j == -1)
+    # SAME sweep — no separate count() scan. On an empty/all-null input
+    # the sentinel is absent: fall through to the n-too-small error
+    # rather than leaking StopIteration (ADVICE r5).
+    n = next((r.s for r in rows if r.i == -1 and r.j == -1), 0)
     if n < 2:
         raise ValueError("pca needs at least 2 rows")
     d = max(r.i for r in rows) + 1

@@ -1146,17 +1146,24 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     step makes the bloom invisible to the RESULT, visible only to the
     shuffle volume — exactly the semantics of the engine-internal rule.
     """
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_orderkey").alias("k")
+    keys = persist_tracked(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_orderkey").alias("k")
+        )
     )
     # Size the filter to the key count (~10 bits/key, two probes →
     # FP ≈ 3%), as the engine-internal rule does: a FIXED m saturates
     # once |keys| ≈ m/10 and stops pruning (measured at the 100× scale
     # check with m=2¹⁷: 4.6 bits/slot ⇒ ~98% FP). The one count()
-    # action is the bloom BUILD's driver scalar — cap 2²⁴ bits keeps
-    # the word table ≤ 2 MB, broadcastable at any key count.
+    # action is the bloom BUILD's driver scalar; keys is PERSISTED
+    # first (ADVICE r5) so the sizing scan materializes the frame the
+    # bloom build, probe join, and exact verify all reuse — one orders
+    # scan total instead of one per consumer. Cap 2²⁴ bits keeps the
+    # word table ≤ 2 MB, broadcastable at any key count.
     n_keys = keys.count()
     m_bits = 1 << max(17, min(24, (10 * max(n_keys, 1)).bit_length()))
 

@@ -343,14 +343,23 @@ def _make_ewma_folder(alpha: float):
         key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        # acc is None once a NULL value has entered the user's stream:
+        # the batch oracle's list_reduce folds the NULL in, so every
+        # subsequent prefix fold is NULL — mirror that poisoning
+        # EXPLICITLY (None stays None) instead of letting float(None)
+        # become NaN, which would diverge from the oracle's NULL and
+        # hash-mismatch (ADVICE r5).
         acc = state.get[0] if state.exists else 0.0
         frames = [pdf for pdf in pdfs]
         pdf = pd.concat(frames).sort_values(["ts", "event_id"]) if frames else None
         ids: list[int] = []
-        vals: list[float] = []
+        vals: list[float | None] = []
         if pdf is not None:
             for eid, v in zip(pdf["event_id"].to_numpy(), pdf["value"].to_numpy()):
-                acc = acc * decay + float(v) * alpha
+                if acc is None or pd.isna(v):
+                    acc = None
+                else:
+                    acc = acc * decay + float(v) * alpha
                 ids.append(int(eid))
                 vals.append(acc)
         state.update((acc,))
@@ -373,6 +382,18 @@ def running_ewma_stateful(events: DataFrame, alpha: float = 0.25) -> DataFrame:
     the batch/stream consistency the engine pins for every streaming
     operator. Events fold in (ts, event_id) order within and across
     micro-batches (state carries the accumulator forward).
+
+    ORDER PRECONDITION (ADVICE r5): the sort is per MICRO-BATCH — the
+    fold is bit-exact against the batch oracle only when events arrive
+    in global (ts, event_id) order across batches, i.e. a single
+    availableNow batch (this repo's drain path) or a source whose
+    files/offsets are time-ordered. Do NOT set maxFilesPerTrigger over
+    an unordered file directory for this operator: a later file folding
+    before an earlier one reorders the recurrence. (Exact out-of-order
+    folding needs event-time buffering + watermark eviction — a
+    different operator contract.) NULL values poison the user's
+    accumulator to NULL from that event onward, exactly matching the
+    oracle's list_reduce-over-NULL semantics.
     """
     return events.select("user_id", "ts", "event_id", "value").groupBy(
         "user_id"

@@ -145,3 +145,97 @@ def test_pagerank_topk_plan_take_ordered(spark):
     rows = df.collect()
     assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
     assert all(rows[i].rank >= rows[i + 1].rank for i in range(len(rows) - 1))
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 guards: gram overflow, pca empty input
+# ---------------------------------------------------------------------------
+
+
+def test_gram_overflow_raises_not_wraps(spark):
+    from medical_examination_data_etl_system_spark.operators.linalg import quantized_gram_matrix
+
+    # 1-dim vectors of 1.0 at scale 3e9: q = 3e9, q*q = 9e18 ~ 2^63 —
+    # a single batch of 2 rows already exceeds the int64 accumulator.
+    df = spark.createDataFrame([Row(embedding=[1.0]) for _ in range(4)])
+    with pytest.raises(Exception, match="(?i)overflow"):
+        quantized_gram_matrix(df, scale=3_000_000_000).collect()
+
+
+def test_gram_values_unchanged_under_decimal_reduce(spark):
+    import numpy as np
+    from medical_examination_data_etl_system_spark.operators.linalg import quantized_gram_matrix
+
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-1, 1, size=(50, 4))
+    df = spark.createDataFrame([Row(embedding=[float(v) for v in row]) for row in vecs])
+    got = {(r.i, r.j): r.s for r in quantized_gram_matrix(df, scale=1000).collect()}
+    q = np.round(vecs * 1000).astype(np.int64)
+    g = q.T @ q
+    for i in range(4):
+        for j in range(i, 4):
+            assert got[(i, j)] == g[i, j]
+
+
+def test_pca_empty_input_clean_error(spark):
+    from medical_examination_data_etl_system_spark.operators.linalg import pca_components
+
+    empty = spark.createDataFrame([], "embedding array<float>")
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        pca_components(empty)
+    allnull = spark.createDataFrame([Row(embedding=None)], "embedding array<float>")
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        pca_components(allnull)
+
+# ---------------------------------------------------------------------------
+# ADVICE r5: stateful EWMA null poisoning matches the batch oracle
+# ---------------------------------------------------------------------------
+
+
+def test_stream_ewma_null_poisons_like_oracle(spark, tmp_path):
+    import duckdb
+    from medical_examination_data_etl_system_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        running_ewma_stateful,
+    )
+
+    src = str(tmp_path / "ev.parquet")
+    rows = [
+        Row(event_id=1, user_id=1, ts="2024-01-01 00:00:00", value=2.0),
+        Row(event_id=2, user_id=1, ts="2024-01-01 00:01:00", value=None),
+        Row(event_id=3, user_id=1, ts="2024-01-01 00:02:00", value=4.0),
+        Row(event_id=4, user_id=2, ts="2024-01-01 00:00:30", value=8.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src)
+    out = {
+        r.event_id: r.ewma
+        for r in run_available_now(running_ewma_stateful(stream, alpha=0.25), "q_ewma_null").collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""
+            WITH framed AS (
+              SELECT user_id, event_id,
+                     list(CAST(value AS DOUBLE))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS l
+              FROM read_parquet('{src}/*.parquet')
+            )
+            SELECT event_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+                               (a, b) -> a * 0.75 + b * 0.25) AS ewma
+            FROM framed
+            """
+        ).fetchall()
+    }
+    assert out.keys() == want.keys()
+    for k in want:
+        if want[k] is None:
+            assert out[k] is None
+        else:
+            assert out[k] == want[k]
+    assert out[2] is None and out[3] is None  # poisoned from the null on
+    assert out[1] == 0.5 and out[4] == 2.0
