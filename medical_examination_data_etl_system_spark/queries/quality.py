@@ -403,8 +403,154 @@ FROM walk WHERE anc = 1
 GROUP BY depth ORDER BY depth
 """
 
+def pipeline_render_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medical pipeline's PURE-SQL renderer (pipeline/render.
+    render_reports_sql — windows + aggregation + higher-order functions,
+    zero Python in the render path) driven at warehouse scale: every
+    lineitem row becomes a renderer input row (record = order, group =
+    return flag, item = part bucket, comment = supplier-derived mode tag, summary =
+    a part-derived note with every third line falling to the per-language
+    default), and each order's indented report is assembled exactly per
+    the reference grammar (text_processing.py:66-126 — group at col 0,
+    items at 4, comments at 8, rewritten summary at 12 + trailing
+    newline, first-seen block regrouping). The mock-LLM rewrite table
+    joins in by (lang, summary) broadcast, as in the pipeline. The
+    oracle replays the identical window/list algebra in DuckDB, so the
+    whole renderer path — not just its golden parity on reference
+    samples — carries a driver hash row (VERDICT r5 #5).
+    """
+    from medical_examination_data_etl_system_spark.pipeline.render import render_reports_sql
+    from medical_examination_data_etl_system_spark.schemas import LANGU_MAP
+
+    default = LANGU_MAP["1"]
+    li = load(spark, sf_dir, "lineitem")
+    # The generated lineitem can repeat l_linenumber within an order, so
+    # encounter order must come from a composite key — encoded
+    # arithmetically (no row_number window, no extra shuffle). A residual
+    # collision needs identical (linenumber, partkey, suppkey%100),
+    # which pins every renderer-relevant derived field, so tied rows are
+    # content-identical and the tie is harmless.
+    ord_col = (
+        F.col("l_linenumber").cast("long") * 10_000_000_000
+        + F.col("l_partkey") * 100
+        + F.col("l_suppkey") % 100
+    )
+    item_code = (F.col("l_partkey") % 25).cast("string")
+    summary = F.when(F.col("l_linenumber") % 3 == 0, F.lit(default)).otherwise(
+        F.concat(F.lit("NOTE_"), (F.col("l_partkey") % 6).cast("string"))
+    )
+    blank = {
+        c: F.lit("")
+        for c in (
+            "ENNAME_GROUP", "JPNAME_GROUP", "SCNAME_GROUP",
+            "ENNAME_ITEM", "JPNAME_ITEM", "SCNAME_ITEM",
+            "ENNAME_COMMENT", "JPNAME_COMMENT", "SCNAME_COMMENT",
+            "ENNAME_SUMMARY", "JPNAME_SUMMARY", "SCNAME_SUMMARY",
+        )
+    }
+    cleaned = li.select(
+        F.col("l_orderkey").cast("string").alias("RECORD_ID"),
+        F.lit("1").alias("LANG_NO"),
+        ord_col.alias("ord"),
+        F.col("l_orderkey").cast("long").alias("rec_ord"),
+        F.lit("").alias("request"),
+        F.col("l_returnflag").alias("TCNAME_GROUP"),
+        item_code.alias("ITEM_CODE"),
+        F.concat(F.lit("P"), item_code).alias("TCNAME_ITEM"),
+        F.concat(F.lit("MODE_"), (F.col("l_suppkey") % 4).cast("string")).alias("COMMENT"),
+        summary.alias("TCNAME_SUMMARY"),
+        *[c.alias(n) for n, c in blank.items()],
+    )
+    rewrites = (
+        cleaned.select(F.trim(F.col("TCNAME_SUMMARY")).alias("SUMMARY"))
+        .filter(F.col("SUMMARY") != default)
+        .distinct()
+        .select(
+            F.lit("1").alias("LANG_NO"),
+            "SUMMARY",
+            F.concat(F.lit("[LLM_OUTPUT]"), F.col("SUMMARY")).alias("SUMMARY_REWRITTEN"),
+        )
+    )
+    return (
+        render_reports_sql(cleaned, rewrites)
+        .select(F.col("record_id").cast("long").alias("record_id"), "report")
+        .orderBy("record_id")
+    )
+
+
+RENDER_REPORTS_SQL = """
+WITH src AS (
+  SELECT l_orderkey AS record_id,
+         CAST(l_linenumber AS BIGINT) * 10000000000
+           + l_partkey * 100 + l_suppkey % 100 AS ord,
+         l_returnflag AS grp,
+         CAST(l_partkey % 25 AS VARCHAR) AS item_code,
+         'P' || CAST(l_partkey % 25 AS VARCHAR) AS item_name,
+         'MODE_' || CAST(l_suppkey % 4 AS VARCHAR) AS comment_g,
+         CASE WHEN l_linenumber % 3 = 0 THEN '本項無補充說明'
+              ELSE 'NOTE_' || CAST(l_partkey % 6 AS VARCHAR) END AS summary
+  FROM lineitem
+), rows0 AS (
+  SELECT *,
+         summary = '本項無補充說明' AS is_default,
+         CASE WHEN trim(summary) = '本項無補充說明' THEN trim(summary)
+              ELSE '[LLM_OUTPUT]' || trim(summary) END AS rewritten,
+         CASE WHEN summary = '本項無補充說明' THEN comment_g END AS blk_com
+  FROM src
+), rows1 AS (
+  SELECT *,
+    min(ord) OVER (PARTITION BY record_id, grp) AS grp_ord,
+    min(ord) OVER (PARTITION BY record_id, grp, summary) AS sum_ord,
+    min(ord) OVER (PARTITION BY record_id, grp, summary, blk_com) AS com_ord,
+    row_number() OVER (PARTITION BY record_id, grp, summary, blk_com, trim(item_code)
+                       ORDER BY ord) = 1 AS fi,
+    row_number() OVER (PARTITION BY record_id, grp, summary, blk_com, trim(comment_g)
+                       ORDER BY ord) = 1 AS fc
+  FROM rows0
+), blocks0 AS (
+  SELECT record_id, grp, grp_ord, summary, trim(summary) AS summary_t,
+         trim(max(rewritten)) AS rewritten_t,
+         is_default, sum_ord, blk_com, com_ord,
+         list(trim(item_name) ORDER BY ord) FILTER (WHERE fi) AS items,
+         list(trim(comment_g) ORDER BY ord) FILTER (WHERE fc) AS fc_comments
+  FROM rows1
+  GROUP BY record_id, grp, grp_ord, summary, is_default, sum_ord, blk_com, com_ord
+), blocks1 AS (
+  SELECT *,
+         CASE WHEN is_default THEN [trim(blk_com)] ELSE fc_comments END AS comments,
+         row_number() OVER (PARTITION BY record_id, grp
+                            ORDER BY sum_ord, com_ord) AS orig_idx
+  FROM blocks0
+), blocks2 AS (
+  SELECT *, min(orig_idx) OVER (PARTITION BY record_id, grp, items) AS first_idx
+  FROM blocks1
+), blocks3 AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY record_id, grp
+                       ORDER BY first_idx, orig_idx) = 1 AS emit_group,
+    items IS DISTINCT FROM lag(items) OVER (PARTITION BY record_id, grp
+                                            ORDER BY first_idx, orig_idx) AS emit_items
+  FROM blocks2
+), texted AS (
+  SELECT record_id, grp_ord, first_idx, orig_idx,
+    concat_ws(chr(10),
+      CASE WHEN emit_group THEN trim(grp) END,
+      CASE WHEN emit_items THEN '    ' || array_to_string(items, '、') END,
+      '        ' || array_to_string(comments, '、'),
+      CASE WHEN trim(summary) <> ''
+           THEN '            ' || rewritten_t || chr(10) END
+    ) AS txt
+  FROM blocks3
+)
+SELECT record_id,
+       array_to_string(list(txt ORDER BY grp_ord, first_idx, orig_idx), chr(10)) AS report
+FROM texted GROUP BY record_id ORDER BY record_id
+"""
+
+
 QUERIES = {
     "dq_check_orders": QueryDef(dq_check_orders, DQ_CHECK_SQL),
+    "pipeline_render_reports": QueryDef(pipeline_render_reports, RENDER_REPORTS_SQL),
     "sql_interface_revenue": QueryDef(sql_interface_revenue, SQL_INTERFACE_SQL),
     "layout_format_roundtrip": QueryDef(layout_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "events_corrupt_json_audit": QueryDef(events_corrupt_json_audit, CORRUPT_JSON_SQL),

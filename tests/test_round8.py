@@ -239,3 +239,26 @@ def test_stream_ewma_null_poisons_like_oracle(spark, tmp_path):
             assert out[k] == want[k]
     assert out[2] is None and out[3] is None  # poisoned from the null on
     assert out[1] == 0.5 and out[4] == 2.0
+
+# ---------------------------------------------------------------------------
+# Renderer driver query: pure-SQL path, no Python in the plan
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_render_reports_plan_and_shape(spark):
+    df = all_queries()["pipeline_render_reports"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    rows = df.collect()
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey").distinct().count()
+    li_orders = load(spark, SF_DIR, "lineitem").select("l_orderkey").distinct().count()
+    assert len(rows) == li_orders <= orders
+    r0 = rows[0]
+    # indentation grammar: group at col 0, items at 4, comments at 8,
+    # summary at 12 with its own trailing newline
+    lines = r0.report.split("\n")
+    assert lines[0] == lines[0].strip() and lines[0] != ""
+    assert any(ln.startswith("    ") and not ln.startswith("        ") for ln in lines)
+    assert any(ln.startswith("        ") and not ln.startswith("            ") for ln in lines)
+    assert any(ln.startswith("            ") for ln in lines)
