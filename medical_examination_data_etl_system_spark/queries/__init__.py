@@ -72,86 +72,78 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1). Round 7 (driver r05), counted at rotation time: 69 of 149 then-
-# registered queries had no driver row (rounds r01∪r03∪r04 cover 80);
-# the 6 late-round additions below grew the registry to 155 (all 6 took
-# window slots — see the displacement notes). The window holds
-# (1) the 18 queries ADDED OR REWRITTEN this round — the two scale
-# rewrites (join_interval_overlap's canonical-bucket blocking,
-# lineitem_spearman_corr's distributed ranks) happened after their only
-# local parity runs, so they lead; then (2) the 3 streaming queries
-# whose code changed (events ts-normalization, internal round 5) AFTER
-# their last driver row (r03) and which r04's window could not hold;
-# then (3) the never-checked round-5/6 additions. 19 never-checked
-# queries with the strongest alternative evidence (pytest oracle parity
-# green + plan guards; simplest shapes: fn_value_histogram,
-# explode_outer, mom_growth, format_roundtrip, corrupt_json_audit,
-# compact_small_files, full_outer, window_distribution, kmeans/pagerank
-# rows-only, triangle, top_paths, daily_anomaly, chi_square,
-# price_qty_corr, train_val_test_split, length_buckets, weighted_sample,
-# p90_outlier, domain_mix, customer_rfm_segments and
-# events_pmi_cooccurrence, emb_label_centroids, emb_quantize_int8,
-# window_range_30d_sum, events_variant_extract, layout_partition_prune,
-# layout_schema_evolution — displaced by the 8 late-round additions
-# (epoch-shuffle/attribution/latency/KMV/negative-sampling/bloom/
-# Holt/trend); the layout family keeps zorder as its window
-# representative, both displaced layouts carry plan guards in pytest; tfidf/entropy
-# yield to the final seasonality/cluster-size additions — both were
-# 100×-swept this round and carry pytest parity) wait for the r06 rotation — a query with
-# ZERO driver rows outranks one green 1-2 rounds ago, but within the
-# zero-row set the novel/changed surfaces outrank the pytest-pinned
-# trivia. Every name is asserted against the registry (ADVICE r4).
+# r3 #1). Round 8 (driver r06) rotation — VERDICT r5 #1 verbatim: "rotate
+# the driver window to the never-driver-checked queries". Computed at
+# rotation time against CORRECTNESS_r{01,03,04,05}.json: 127 of the 160
+# registered queries have at least one driver row; the window now holds
+# (1) all 33 with ZERO driver rows ever — the 32 'local' rows in
+# VERDICT r5's coverage table (all hash-green in pytest's oracle-parity
+# replica for ≥1 round) plus the round-8 renderer query
+# pipeline_render_reports; graph_pagerank_parts doubles as a
+# changed-this-round entry (top-k rewritten to TakeOrderedAndProject);
+# then (2) the 6 queries whose CODE changed this round after their last
+# driver row: the two collapse-pre-step rewrites
+# (multimodal_phash_near_dup, text_rolling_fingerprint), the
+# overflow-guarded linalg pair (emb_gram_matrix, emb_pca_project), the
+# persist-fixed join_bloom_prefilter, and the null-poisoning-fixed
+# stream_running_ewma; then (3) 11 stale-evidence rows last checked in
+# r03 — the full multimodal family, both CC variants, both approximate
+# ANN paths, and three TPC-H representatives. Every name is asserted
+# against the registry below (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
-    "events_cumulative_distinct",
-    "events_ewma_smoothing",
-    "events_histogram_equidepth",
-    "agg_grouping_sets",
-    "join_interval_overlap",
-    "agg_hll_rollup",
+    # (1) never driver-checked — 33
+    "pipeline_render_reports",
+    "graph_pagerank_parts",
+    "graph_triangle_stats",
+    "layout_partition_prune",
+    "layout_schema_evolution",
+    "layout_format_roundtrip",
+    "layout_compact_small_files",
+    "emb_kmeans_clusters",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "docs_tfidf_top_terms",
+    "docs_token_entropy",
+    "docs_weighted_sample",
+    "docs_train_val_test_split",
+    "docs_length_buckets",
+    "docs_domain_mix",
+    "stream_sliding_halfhour",
+    "stream_session_builtin",
+    "events_top_paths",
+    "events_chi_square",
+    "events_pmi_cooccurrence",
+    "events_variant_extract",
+    "events_corrupt_json_audit",
+    "orders_daily_anomaly",
+    "orders_mom_growth",
+    "customer_rfm_segments",
+    "lineitem_price_qty_corr",
+    "agg_p90_outlier_orders",
+    "window_range_30d_sum",
+    "window_distribution_stats",
+    "join_full_outer_reconcile",
+    "fn_explode_outer_arrays",
+    "fn_value_histogram",
+    # (2) code changed this round after last driver row — 6
+    "multimodal_phash_near_dup",
+    "text_rolling_fingerprint",
     "emb_gram_matrix",
     "emb_pca_project",
-    "fn_url_parse",
-    "docs_bigram_coherence",
-    "incr_agg_merge_orders",
-    "lineitem_spearman_corr",
-    "emb_standardize",
-    "docs_stratified_sample",
-    "docs_dedup_keep_best",
-    "multimodal_phash_near_dup",
-    "docs_vocab_growth",
-    "stream_running_ewma",
-    "docs_epoch_shuffle",
-    "events_linear_attribution",
-    "events_conversion_latency",
-    "agg_kmv_overlap",
-    "emb_negative_sampling",
     "join_bloom_prefilter",
-    "events_holt_forecast",
-    "customer_spend_trend",
-    "orders_seasonality_index",
-    "docs_dedup_cluster_sizes",
-    "stream_tumbling_hourly",
-    "stream_sessionize_stateful",
-    "stream_click_attribution",
-    "docs_decontaminate",
-    "docs_repetition_ratio",
-    "cdc_merge_orders",
-    "scd2_user_event_history",
-    "stream_dedup_exactly_once",
-    "pit_purchase_user_state",
-    "stream_upsert_latest_state",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_gap_fill_hourly",
-    "docs_ngram_containment",
-    "layout_zorder_cluster",
-    "docs_heavy_hitter_terms",
-    "events_transition_matrix",
-    "dq_check_orders",
-    "docs_fuzzy_levenshtein",
-    "sql_interface_revenue",
-    "stream_static_enrich",
-    "sql_recursive_hierarchy",
+    "stream_running_ewma",
+    # (3) stalest evidence (last row r03) — 11
+    "multimodal_doc_embedding_join",
+    "multimodal_binary_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "docs_near_dup_components",
+    "docs_near_dup_components_alt",
+    "emb_ivf_topk",
+    "emb_lsh_topk",
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "q11_important_parts",
 ]
 
 
