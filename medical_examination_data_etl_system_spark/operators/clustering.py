@@ -295,3 +295,56 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bfs_depths(
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, depth) — minimum hop count from ``source`` for every node
+    within ``max_depth`` hops, by frontier-expansion BFS.
+
+    The third iterative-graph template next to ``connected_components``
+    (data-dependent convergence) and ``pagerank`` (fixed rounds, zero
+    driver actions): BFS rounds are bounded by ``max_depth``, but the
+    frontier can DRAIN early, so each round's frontier is an EAGER
+    localCheckpoint probed with one cheap ``isEmpty`` — a driver action
+    per round on an already-materialized bounded frame, not a recompute.
+    Per round: one frontier⋈edges equi-join (the |frontier|-proportional
+    shuffle BFS owes) + one anti-join against the visited set; both
+    sides are checkpointed so no round re-derives the upstream graph
+    build. At web scale the visited frame is node-bounded and the
+    frontier peaks at one BFS level — the classic level-synchronous
+    plan (Pregel's BFS shape) in plain DataFrame ops.
+
+    Exact-oracle-expressible (unlike pagerank): min-depth semantics are
+    a recursive CTE with UNION dedup, so the driver hash gate covers
+    the whole iterative loop.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(source), 0)], "node bigint, depth int"
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -439,3 +439,15 @@ def _word_gram_rows2(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.xxhash64(F.array_join(F.slice(F.col("_toks"), F.col("_pos"), 2), " ")).alias("_gram"),
         F.xxhash64(F.array_join(F.slice(F.col("_toks"), F.col("_pos"), 1), " ")).alias("_prefix"),
     )
+
+
+def blocklist_matches(text: Column, terms: list[str]) -> Column:
+    """Sorted array of blocklist terms present in ``text`` (distinct
+    whitespace tokens, case-folded) — the safety/blocklist filter every
+    LLM-corpus curation pass runs before training. Map-only codegen
+    (split → array_distinct → array_intersect against a literal array);
+    the term list is a plan literal, so at 100 TB this is a pure scan
+    stage with zero shuffle and the filter predicate pushes into the
+    same stage as the read."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    return F.sort_array(F.array_intersect(toks, F.array(*[F.lit(t) for t in terms])))

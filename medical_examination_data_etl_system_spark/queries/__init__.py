@@ -86,10 +86,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (multimodal_phash_near_dup, text_rolling_fingerprint), the
 # overflow-guarded linalg pair (emb_gram_matrix, emb_pca_project), the
 # persist-fixed join_bloom_prefilter, and the null-poisoning-fixed
-# stream_running_ewma; then (3) 11 stale-evidence rows last checked in
-# r03 — the full multimodal family, both CC variants, both approximate
-# ANN paths, and three TPC-H representatives. Every name is asserted
-# against the registry below (ADVICE r4).
+# stream_running_ewma, plus the 2 queries ADDED this round
+# (graph_bfs_depths — the exact-oracle iterative BFS —
+# and docs_blocklist_filter), which outrank stale-green rows; then
+# (3) 9 stale-evidence rows last checked in r03 — the full multimodal
+# family, both CC variants, both approximate ANN paths, and one TPC-H
+# representative. Every name is asserted against the registry below
+# (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
     # (1) never driver-checked — 33
     "pipeline_render_reports",
@@ -125,14 +128,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_full_outer_reconcile",
     "fn_explode_outer_arrays",
     "fn_value_histogram",
-    # (2) code changed this round after last driver row — 6
+    # (2) code changed or added this round — 8
     "multimodal_phash_near_dup",
     "text_rolling_fingerprint",
     "emb_gram_matrix",
     "emb_pca_project",
     "join_bloom_prefilter",
     "stream_running_ewma",
-    # (3) stalest evidence (last row r03) — 11
+    "graph_bfs_depths",
+    "docs_blocklist_filter",
+    # (3) stalest evidence (last row r03) — 9
     "multimodal_doc_embedding_join",
     "multimodal_binary_features",
     "multimodal_resize",
@@ -142,8 +147,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ivf_topk",
     "emb_lsh_topk",
     "q1_pricing_summary",
-    "q10_returned_items",
-    "q11_important_parts",
 ]
 
 

@@ -1208,7 +1208,55 @@ ORDER BY month
 """
 
 
+def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS over the co-purchase part graph
+    (operators/clustering.bfs_depths): minimum hop count from the
+    global minimum part key, depth ≤ 4; per-depth node counts. The one
+    iterative-graph operator whose loop the driver hash gate covers
+    END-TO-END — min-depth semantics are exactly a recursive CTE with
+    UNION dedup, so unlike pagerank (float folding, rows-only) every
+    frontier expansion must agree with the oracle bit-for-bit.
+    The source node is a 1-row driver scalar (bounded, like the
+    k-means centroid pulls)."""
+    from medical_examination_data_etl_system_spark.operators.clustering import bfs_depths
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    source = li.agg(F.min("l_partkey")).collect()[0][0]
+    depths = bfs_depths(edges, source, max_depth=4)
+    return (
+        depths.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.min("node").alias("min_partkey"))
+        .orderBy("depth")
+    )
+
+
+BFS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), walk(node, depth) AS (
+  SELECT min(l_partkey), CAST(0 AS INTEGER) FROM lineitem
+  UNION
+  SELECT e.dst, CAST(w.depth + 1 AS INTEGER)
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.depth < 4
+), mind AS (
+  SELECT node, min(depth) AS depth FROM walk GROUP BY node
+)
+SELECT depth, count(*) AS n_parts, min(node) AS min_partkey
+FROM mind GROUP BY depth ORDER BY depth
+"""
+
+
 QUERIES = {
+    "graph_bfs_depths": QueryDef(graph_bfs_depths, BFS_SQL),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),

@@ -619,7 +619,46 @@ ORDER BY cluster_size
 """
 
 
+_BLOCKLIST = ["slow", "big", "hash", "merge"]
+
+
+def docs_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/blocklist screening (operators/curation.blocklist_matches):
+    per-doc matched blocklist terms (distinct, sorted), hit count, and
+    the keep/drop verdict — the pre-training content filter. Map-only:
+    the term list is a plan literal, the whole query is one scan stage
+    (plan-asserted zero Exchange up to the final sort)."""
+    docs = load(spark, sf_dir, "documents")
+    matched = curation.blocklist_matches(F.col("text"), _BLOCKLIST)
+    return (
+        docs.select(
+            "doc_id",
+            F.array_join(matched, ",").alias("matched"),
+            F.size(matched).cast("int").alias("n_hits"),
+            (F.size(matched) == 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BLOCKLIST_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         list_sort(list_intersect(
+           list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+           ['slow', 'big', 'hash', 'merge'])) AS matched
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(matched, ','), '') AS matched,
+       CAST(len(matched) AS INTEGER) AS n_hits,
+       len(matched) = 0 AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "docs_blocklist_filter": QueryDef(docs_blocklist_filter, BLOCKLIST_SQL),
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_weighted_sample": QueryDef(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "docs_train_val_test_split": QueryDef(docs_train_val_test_split, SPLIT_SQL),

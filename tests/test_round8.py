@@ -262,3 +262,30 @@ def test_pipeline_render_reports_plan_and_shape(spark):
     assert any(ln.startswith("    ") and not ln.startswith("        ") for ln in lines)
     assert any(ln.startswith("        ") and not ln.startswith("            ") for ln in lines)
     assert any(ln.startswith("            ") for ln in lines)
+
+# ---------------------------------------------------------------------------
+# New queries: BFS depths (exact iterative oracle), blocklist filter
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_depths_small_graph(spark):
+    from medical_examination_data_etl_system_spark.operators.clustering import bfs_depths
+
+    # path graph 1-2-3-4-5 plus isolated 9
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4), (9, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.depth for r in bfs_depths(df, 1, max_depth=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # early drain: depth cap above the eccentricity stops at the last frontier
+    got_all = {r.node: r.depth for r in bfs_depths(df, 1, max_depth=10).collect()}
+    assert got_all == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_blocklist_matches_basic(spark):
+    from medical_examination_data_etl_system_spark.operators.curation import blocklist_matches
+
+    df = spark.createDataFrame(
+        [Row(i=1, t="Key agg SLOW big slow"), Row(i=2, t="clean text only")]
+    )
+    out = {r.i: r.m for r in df.select("i", blocklist_matches(F.col("t"), ["slow", "big", "hash"]).alias("m")).collect()}
+    assert out[1] == ["big", "slow"] and out[2] == []
