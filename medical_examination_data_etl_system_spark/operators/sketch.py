@@ -214,3 +214,93 @@ def kmv_overlap_estimates(
             "est_intersection", F.round(F.col("est_jaccard") * F.col("est_union"), 1)
         )
     )
+
+
+def _cms_bucket(col, seed: int, width: int) -> "F.Column":
+    """Deterministic cross-engine CMS bucket: first 8 hex chars of
+    md5(seed || ':' || key) as an integer, mod ``width``. md5, not
+    xxhash64, so a SQL oracle reproduces the identical table."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % width
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch counter table ``(seed, bucket, cnt)`` —
+    depth × width mergeable counters (Cormode–Muthukrishnan).
+
+    One pass, one aggregation: each row explodes into ``depth``
+    (seed, bucket) coordinates map-side and the groupBy's partial
+    aggregation compacts them to ≤ depth·width rows per partition
+    before the shuffle — so the shuffle volume is O(partitions ×
+    depth × width) COUNTERS regardless of row count or key
+    cardinality, the whole point of a sketch at 100 TB (contrast the
+    per-distinct-key partials of an exact count). Counter tables from
+    disjoint corpora merge by coordinate-wise SUM (linear sketch), the
+    same algebra incr_agg_merge_orders pins for agg states.
+
+    Every hash is md5-derived (``_cms_bucket``), so the construction
+    is DETERMINISTIC and engine-independent: unlike classic
+    randomly-seeded sketches, the driver's DuckDB oracle rebuilds the
+    byte-identical counter table — the estimate column is exact-hash
+    checkable, while the ESTIMATE still carries the standard CMS
+    guarantee (estimate ≥ true; error ≤ 2N/width with prob. 1−2^−depth).
+    """
+    key = F.col(key_col)
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("int").alias("seed"),
+                    _cms_bucket(key, s, width).alias("bucket"),
+                )
+                for s in range(depth)
+            ]
+        )
+    ).alias("c")
+    return (
+        df.select(coords)
+        .select("c.seed", "c.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates for ``keys`` from a ``cms_counters`` table:
+    min over the depth counters each key hashes into. The counter
+    table is ≤ depth·width rows — broadcast — so estimation is
+    map-only however many keys are probed."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("seed"),
+                        _cms_bucket(key, s, width).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.seed", "c.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

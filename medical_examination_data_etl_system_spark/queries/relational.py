@@ -1133,6 +1133,65 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketch.
+    cms_counters/cms_estimate): 4×1024 md5-derived counters over the
+    event stream, point estimates for the 10 exact-heaviest users next
+    to their true counts. The sketch's shuffle is O(partitions × 4096)
+    counters whatever the row count — the mergeable-frequency
+    primitive HLL (distinct) and KMV (set algebra) don't provide.
+    Deterministic md5 construction ⇒ the oracle rebuilds the identical
+    counter table, so this sketch row is EXACT-hash checked (estimates
+    included), while pytest pins the CMS guarantee (estimate ≥ exact,
+    bounded overcount)."""
+    from medical_examination_data_etl_system_spark.operators.sketch import cms_counters, cms_estimate
+
+    ev = load(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id", depth=4, width=1024)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
+    est = cms_estimate(counters, top.select("user_id"), "user_id")
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
+CMS_USER_COUNTS_SQL = """
+WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+coords AS (
+  SELECT s.seed,
+         ('0x' || substr(md5(s.seed::VARCHAR || ':' || e.user_id::VARCHAR), 1, 8))::BIGINT
+           % 1024 AS bucket
+  FROM events e CROSS JOIN seeds s
+), counters AS (
+  SELECT seed, bucket, count(*) AS cnt FROM coords GROUP BY seed, bucket
+), exact AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+), top AS (
+  SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT 10
+), probes AS (
+  SELECT t.user_id, s.seed,
+         ('0x' || substr(md5(s.seed::VARCHAR || ':' || t.user_id::VARCHAR), 1, 8))::BIGINT
+           % 1024 AS bucket
+  FROM top t CROSS JOIN seeds s
+), est AS (
+  SELECT p.user_id, min(c.cnt) AS cms_estimate
+  FROM probes p JOIN counters c USING (seed, bucket) GROUP BY p.user_id
+)
+SELECT t.user_id, t.exact_n, CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(e.cms_estimate - t.exact_n AS BIGINT) AS overcount
+FROM top t JOIN est e USING (user_id)
+ORDER BY exact_n DESC, user_id
+"""
+
+
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-built DataFrame-native Bloom semi-join reduction (Catalyst's
     ``bloom_filter_agg`` is not user-callable in PySpark 4.1 —
@@ -1246,4 +1305,5 @@ QUERIES = {
     "agg_hll_rollup": QueryDef(agg_hll_rollup, None),
     "agg_kmv_overlap": QueryDef(agg_kmv_overlap, None),
     "join_bloom_prefilter": QueryDef(join_bloom_prefilter, BLOOM_PREFILTER_SQL),
+    "agg_cms_user_counts": QueryDef(agg_cms_user_counts, CMS_USER_COUNTS_SQL),
 }

@@ -289,3 +289,39 @@ def test_blocklist_matches_basic(spark):
     )
     out = {r.i: r.m for r in df.select("i", blocklist_matches(F.col("t"), ["slow", "big", "hash"]).alias("m")).collect()}
     assert out[1] == ["big", "slow"] and out[2] == []
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: guarantee pinning + merge algebra
+# ---------------------------------------------------------------------------
+
+
+def test_cms_guarantee_and_merge(spark):
+    from medical_examination_data_etl_system_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    counters = cms_counters(ev, "user_id", depth=4, width=1024)
+    exact = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = ev.select("user_id").distinct()
+    est = {r.user_id: r.cms_estimate for r in cms_estimate(counters, keys, "user_id").collect()}
+    n_total = sum(exact.values())
+    bound = 2 * n_total / 1024  # CMS epsilon = 2/width
+    assert est.keys() == exact.keys()
+    over = [est[k] - exact[k] for k in exact]
+    assert all(o >= 0 for o in over)  # never underestimates
+    # standard guarantee holds with prob 1-2^-4 per key; allow a tiny tail
+    n_violate = sum(1 for o in over if o > bound)
+    assert n_violate <= max(1, len(over) // 16)
+    # linear-sketch merge: counters(A) + counters(B) == counters(A∪B)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_counters(a, "user_id").unionByName(cms_counters(b, "user_id"))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.seed, r.bucket): r.cnt for r in counters.collect()}
+    got = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
+    assert got == full
