@@ -325,3 +325,76 @@ def test_cms_guarantee_and_merge(spark):
     full = {(r.seed, r.bucket): r.cnt for r in counters.collect()}
     got = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
     assert got == full
+
+# ---------------------------------------------------------------------------
+# Watermark LATE-DROP semantics across micro-batches (multi-file source)
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """The one watermark behavior the single-batch drains can't show:
+    with maxFilesPerTrigger=1 the watermark advances BETWEEN
+    micro-batches, and a late row whose window has ALREADY been
+    finalized+evicted is dropped — the batch aggregation over the
+    union would count it.
+
+    Probed semantics on Spark 4.1 (pinned here because the docs leave
+    it loose): the late-data filter uses the PREVIOUS batch's
+    watermark, i.e. a late row dies only once its window was evicted
+    at an earlier batch boundary; a late row arriving in the same
+    batch that first passes its window still merges (bounded-state
+    guarantee, not an exactness guarantee). Hence three files: b1
+    establishes the watermark, b2 advances it past the window's
+    eviction, b3 delivers the late row."""
+    import os
+    import pandas as pd
+    from medical_examination_data_etl_system_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stream_tumbling_counts,
+    )
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]) for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        p = str(d / name)
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: window 09-10 holds 2 on-time events; max ts 12:00 puts the
+    # next watermark at 11:00, so 09-10 is finalized+evicted at batch 1's end
+    write_batch(
+        "b1.parquet",
+        [(1, "2024-01-01 09:10:00"), (2, "2024-01-01 09:20:00"), (3, "2024-01-01 12:00:00")],
+        1_700_000_000,
+    )
+    # batch 2: advances the watermark to 11:20
+    write_batch("b2.parquet", [(5, "2024-01-01 12:20:00")], 1_700_000_100)
+    # batch 3: the LATE 09:30 row (window evicted two batches ago -> DROPPED)
+    # plus an on-time row
+    write_batch(
+        "b3.parquet",
+        [(6, "2024-01-01 09:30:00"), (7, "2024-01-01 12:40:00")],
+        1_700_000_200,
+    )
+    stream = read_events_stream(spark, f"{d}/*.parquet", max_files_per_trigger=1)
+    out = run_available_now(
+        stream_tumbling_counts(stream, watermark="1 hour"),
+        "q_late_drop",
+        output_mode="append",
+    )
+    counts = {r.window_start.strftime("%H"): r.n_events for r in out.collect()}
+    # 09-10 emitted with ONLY the 2 on-time events — the late row neither
+    # re-opened nor double-emitted the window; 12-13 still open (unemitted)
+    assert counts == {"09": 2}, counts
