@@ -398,3 +398,48 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # 09-10 emitted with ONLY the 2 on-time events — the late row neither
     # re-opened nor double-emitted the window; 12-13 still open (unemitted)
     assert counts == {"09": 2}, counts
+
+# ---------------------------------------------------------------------------
+# Property: hamming collapse/direct equivalence on random duplicated multisets
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamming_collapse_equivalence_property(spark, seed):
+    """Random hash multisets (mixed duplication, random bit flips):
+    collapsed output == direct output == brute force, always."""
+    from medical_examination_data_etl_system_spark.operators.dedup import hamming_near_duplicates
+
+    rng = np.random.default_rng(seed)
+    uniq = [int(v) for v in rng.integers(0, 1 << 60, size=6, dtype=np.int64)]
+    # derive near-neighbors by flipping 1-5 bits, then replicate randomly
+    pool = list(uniq)
+    for flips in range(1, 5):
+        h = uniq[flips % len(uniq)]
+        for b in rng.choice(60, size=flips, replace=False):
+            h ^= 1 << int(b)
+        pool.append(h)
+    rows = []
+    nid = 0
+    for h in pool:
+        for _ in range(int(rng.integers(1, 4))):
+            rows.append((nid, h))
+            nid += 1
+    df = spark.createDataFrame(rows, "i long, h long")
+    hs = dict(rows)
+    brute = {
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 5
+    }
+    for mode in (False, True):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_duplicates(df, "i", "h", max_hamming=5, collapse_exact=mode).collect()
+        }
+        assert got == brute, (mode, seed)
