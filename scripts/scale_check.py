@@ -95,6 +95,11 @@ HEAVY_EXTENSION = [
     "events_conversion_latency",
     "agg_kmv_overlap",
     "stream_running_ewma",
+    # round-8 additions: renderer at scale, exact-oracle BFS, CMS, blocklist
+    "pipeline_render_reports",
+    "graph_bfs_depths",
+    "agg_cms_user_counts",
+    "docs_blocklist_filter",
 ]
 
 
