@@ -89,10 +89,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # stream_running_ewma, plus the 2 queries ADDED this round
 # (graph_bfs_depths — the exact-oracle iterative BFS —
 # and docs_blocklist_filter), which outrank stale-green rows; then
-# (3) 9 stale-evidence rows last checked in r03 — the full multimodal
-# family, both CC variants, both approximate ANN paths, and one TPC-H
-# representative. Every name is asserted against the registry below
-# (ADVICE r4).
+# (3) 8 stale-evidence rows last checked in r03 — the full multimodal
+# family, both CC variants, and both approximate ANN paths. Every name
+# is asserted against the registry below (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
     # (1) never driver-checked — 33
     "pipeline_render_reports",
@@ -128,7 +127,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_full_outer_reconcile",
     "fn_explode_outer_arrays",
     "fn_value_histogram",
-    # (2) code changed or added this round — 8
+    # (2) code changed or added this round — 9
     "multimodal_phash_near_dup",
     "text_rolling_fingerprint",
     "emb_gram_matrix",
@@ -137,7 +136,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_running_ewma",
     "graph_bfs_depths",
     "docs_blocklist_filter",
-    # (3) stalest evidence (last row r03) — 9
+    "agg_cms_user_counts",
+    # (3) stalest evidence (last row r03) — 8
     "multimodal_doc_embedding_join",
     "multimodal_binary_features",
     "multimodal_resize",
@@ -146,7 +146,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_near_dup_components_alt",
     "emb_ivf_topk",
     "emb_lsh_topk",
-    "q1_pricing_summary",
 ]
 
 
