@@ -127,7 +127,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_full_outer_reconcile",
     "fn_explode_outer_arrays",
     "fn_value_histogram",
-    # (2) code changed or added this round — 9
+    # (2) code changed or added this round — 10 (incl. the
+    # value-domain agg_percentiles_by_flag rewrite)
     "multimodal_phash_near_dup",
     "text_rolling_fingerprint",
     "emb_gram_matrix",
@@ -137,7 +138,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "graph_bfs_depths",
     "docs_blocklist_filter",
     "agg_cms_user_counts",
-    # (3) stalest evidence (last row r03) — 8
+    "agg_percentiles_by_flag",
+    # (3) stalest evidence (last row r03) — 7
     "multimodal_doc_embedding_join",
     "multimodal_binary_features",
     "multimodal_resize",
@@ -145,7 +147,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_near_dup_components",
     "docs_near_dup_components_alt",
     "emb_ivf_topk",
-    "emb_lsh_topk",
 ]
 
 

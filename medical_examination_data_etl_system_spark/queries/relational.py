@@ -408,34 +408,54 @@ def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOT ``F.percentile``: that aggregate is a TypedImperativeAggregate
     (per-partition serialized value maps, no codegen) and measured ~6 s
-    at sf0.1 — 10× the whole sort. Instead one partition-sort ranks the
-    rows (codegen SortExec, map-side-combinable agg on top) and the
-    interpolated quantile is picked arithmetically from the two
-    neighboring ranks: h = (n-1)·p + 1, v = v_lo + frac·(v_hi − v_lo) —
-    the same formula both engines implement."""
+    at sf0.1 — 10× the whole sort. And NOT a per-row ``row_number``
+    window either (the original form): ranking every row funnels each
+    flag's full row set through one task — measured 48 s at the 100×
+    sweep, the Spearman parallelism-starvation class. Instead the
+    VALUE-DOMAIN plan the latency/histogram queries use: per-(flag,
+    value) counts (a proper map-side-combinable shuffle), a cumulative
+    window over the DISTINCT-value frame (invariant to row
+    replication), and rank→value lookup via the [offset, cum] span:
+    the row at rank r carries value v iff offset(v) < r ≤ cum(v).
+    Interpolation stays h = (n−1)·p + 1, v = v_lo + frac·(v_hi − v_lo)
+    — identical arithmetic tree to the oracle. The mean comes from
+    exact integer cents (Σ round(v·100)·c), divided once — no float
+    summation order anywhere."""
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     wo = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
     wp = W.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = counts.select(
         "l_returnflag",
         "l_extendedprice",
-        F.row_number().over(wo).alias("_rn"),
-        F.count(F.lit(1)).over(wp).alias("_n"),
-    )
+        "_c",
+        F.sum("_c").over(wo).alias("_cum"),
+        F.sum("_c").over(wp).alias("_n"),
+    ).withColumn("_off", F.col("_cum") - F.col("_c"))
 
     def _q(p: float) -> F.Column:
         h = (F.col("_n") - 1) * F.lit(p) + 1
-        lo = F.max(F.when(F.col("_rn") == F.floor(h), F.col("l_extendedprice")))
-        hi = F.max(F.when(F.col("_rn") == F.floor(h) + 1, F.col("l_extendedprice")))
+        lo_r, hi_r = F.floor(h), F.floor(h) + 1
+        lo = F.max(
+            F.when((F.col("_off") < lo_r) & (lo_r <= F.col("_cum")), F.col("l_extendedprice"))
+        )
+        hi = F.max(
+            F.when((F.col("_off") < hi_r) & (hi_r <= F.col("_cum")), F.col("l_extendedprice"))
+        )
         frac = F.max(h - F.floor(h))
         return F.round(lo + frac * (F.coalesce(hi, lo) - lo), 2)
 
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         ranked.groupBy("l_returnflag")
         .agg(
             _q(0.5).alias("median_price"),
             _q(0.9).alias("p90_price"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(
+                (F.sum(cents * F.col("_c")).cast("double") / 100.0) / F.max("_n"), 2
+            ).alias("avg_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -466,7 +486,8 @@ SELECT l_returnflag,
            (coalesce(max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) + 1 THEN l_extendedprice END),
                      max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN l_extendedprice END))
             - max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE) + 1) THEN l_extendedprice END)), 2) AS p90_price,
-       round(avg(l_extendedprice), 2) AS avg_price
+       round((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             / count(*), 2) AS avg_price
 FROM ranked
 GROUP BY l_returnflag
 ORDER BY l_returnflag
