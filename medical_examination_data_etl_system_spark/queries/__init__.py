@@ -139,13 +139,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_blocklist_filter",
     "agg_cms_user_counts",
     "agg_percentiles_by_flag",
-    # (3) stalest evidence (last row r03) — 7
+    "docs_semantic_dedup",
+    "customer_abc_classes",
+    # (3) stalest evidence (last row r03) — 5 (the CC variants
+    # yielded their slots to docs_semantic_dedup, which drives the SAME
+    # connected-components kernel under an EXACT recursive-CTE oracle)
     "multimodal_doc_embedding_join",
     "multimodal_binary_features",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "docs_near_dup_components",
-    "docs_near_dup_components_alt",
     "emb_ivf_topk",
 ]
 

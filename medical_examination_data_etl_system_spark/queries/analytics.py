@@ -1255,8 +1255,68 @@ FROM mind GROUP BY depth ORDER BY depth
 """
 
 
+def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification: customers ranked by exact
+    total cents, cumulative share cut at 80% (A) and 95% (B) — the
+    inventory-analytics standard. Class boundaries are INTEGER
+    comparisons (cum·100 ≤ total·80), so no float enters until the
+    final reported share. The cumulative window runs over the
+    per-customer aggregate frame — customer-count-bounded (dim scale,
+    the RFM ntile class), never row-bounded; ties are broken by
+    customer key so the ranking is engine-deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_cust.agg(F.sum("rev_cents").alias("_total"))
+    cum = per_cust.withColumn("_cum", F.sum("rev_cents").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    cls = (
+        F.when(F.col("_cum") * 100 <= F.col("_total") * 80, "A")
+        .when(F.col("_cum") * 100 <= F.col("_total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "rev_cents", "_total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_cents").alias("class_cents"),
+            F.round(F.sum("rev_cents").cast("double") / F.max("_total"), 4).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), cum AS (
+  SELECT o_custkey, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS c,
+         sum(rev_cents) OVER () AS t
+  FROM per_cust
+)
+SELECT CASE WHEN c * 100 <= t * 80 THEN 'A'
+            WHEN c * 100 <= t * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*) AS n_customers,
+       CAST(sum(rev_cents) AS BIGINT) AS class_cents,
+       round(CAST(sum(rev_cents) AS DOUBLE) / max(t), 4) AS rev_share
+FROM cum
+GROUP BY 1 ORDER BY abc_class
+"""
+
+
 QUERIES = {
     "graph_bfs_depths": QueryDef(graph_bfs_depths, BFS_SQL),
+    "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),

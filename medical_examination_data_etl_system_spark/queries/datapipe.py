@@ -1069,7 +1069,85 @@ ORDER BY e.vec_id
 """
 
 
+def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end — the marquee LLM-corpus pass that
+    composes three existing kernels: exact cosine near-dup pairs
+    (blocked GEMM, the emb_near_dup_cosine plan) → connected components
+    (min-label propagation) → keep the min-id representative per
+    cluster; per-label removal summary. Everything upstream of the
+    summary is the SAME code the individual driver rows already pin;
+    the composition itself is pinned here by a full-precision oracle:
+    the pair set hash-matches the mirrored-formula SQL (r4-green), and
+    the transitive closure is a recursive CTE with min-label
+    propagation (pruned to labels < destination — the component min
+    always floods), so even the ITERATIVE stage is exact-hash covered,
+    like graph_bfs_depths. At 100 TB the swap-in is
+    embedding_near_duplicates_srp for the pair stage — identical
+    downstream."""
+    from medical_examination_data_etl_system_spark.operators.clustering import (
+        connected_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates(emb, threshold=0.4).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    labels = (
+        emb.select("vec_id", "label")
+        .join(comp, emb.vec_id == comp.node, "left")
+        .select(
+            "vec_id", "label", F.coalesce("comp", F.col("vec_id")).alias("rep")
+        )
+    )
+    removed = F.sum(F.when(F.col("vec_id") != F.col("rep"), 1).otherwise(0))
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            removed.cast("long").alias("n_removed"),
+            (F.count(F.lit(1)) - removed).cast("long").alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm), 4) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT edges.dst, walk.lbl
+  FROM walk JOIN edges ON edges.src = walk.node
+  WHERE walk.lbl < edges.dst
+),
+comp AS (SELECT node AS vec_id, min(lbl) AS rep FROM walk GROUP BY node)
+SELECT emb.label,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN c.rep <> c.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(count(*) - sum(CASE WHEN c.rep <> c.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM comp c JOIN embeddings emb USING (vec_id)
+GROUP BY emb.label ORDER BY emb.label
+"""
+
+
 QUERIES = {
+    "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
     "emb_label_centroids": QueryDef(emb_label_centroids, LABEL_CENTROIDS_SQL),
