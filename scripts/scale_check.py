@@ -95,11 +95,15 @@ HEAVY_EXTENSION = [
     "events_conversion_latency",
     "agg_kmv_overlap",
     "stream_running_ewma",
-    # round-8 additions: renderer at scale, exact-oracle BFS, CMS, blocklist
+    # round-8 additions: renderer at scale, exact-oracle BFS, CMS, blocklist,
+    # semantic dedup (exact pair stage — the quadratic oracle twin by design),
+    # ABC classification
     "pipeline_render_reports",
     "graph_bfs_depths",
     "agg_cms_user_counts",
     "docs_blocklist_filter",
+    "docs_semantic_dedup",
+    "customer_abc_classes",
 ]
 
 
