@@ -1314,9 +1314,109 @@ GROUP BY 1 ORDER BY abc_class
 """
 
 
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per return flag — the weighted
+    quantile the plain percentile battery doesn't have (a shipment of
+    40 units should pull the 'typical price' 40× harder than a
+    single-unit line). Same value-domain plan as the percentile
+    rewrite: per-(flag, price) INTEGER weight sums, cumulative window
+    over the distinct-price frame, median = smallest price whose
+    doubled cumulative weight reaches the total (2·cumw ≥ W — pure
+    integer comparison, no halves, no floats until the output)."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_quantity")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(F.sum(qty).alias("_w"))
+    wo = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = counts.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "_w",
+        F.sum("_w").over(wo).alias("_cumw"),
+        F.sum("_w").over(wp).alias("_tw"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(2 * F.col("_cumw") >= F.col("_tw"), F.col("l_extendedprice"))
+            ).alias("weighted_median_price"),
+            F.max("_tw").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), ranked AS (
+  SELECT l_returnflag, l_extendedprice, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM counts
+)
+SELECT l_returnflag,
+       min(CASE WHEN 2 * cumw >= tw THEN l_extendedprice END) AS weighted_median_price,
+       CAST(max(tw) AS BIGINT) AS total_qty
+FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality
+    statistic for concentration monitoring (how much of the book one
+    whale owns). Exact: cents are BIGINTs, ranks come from one window
+    over the customer-count-bounded aggregate frame (the ABC class),
+    and the classic Σ(2i−n−1)·xᵢ numerator is summed in integers —
+    equal values make the within-tie rank order irrelevant (the
+    coefficient sum over a tie block factors out), so the statistic is
+    engine-deterministic without a tie-break column. One double
+    division at the end, mirrored."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("_x"))
+    w = Window.orderBy("_x", "o_custkey")
+    ranked = per_cust.select("_x", F.row_number().over(w).alias("_i")).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("_x").alias("total_cents"),
+        F.round(
+            F.sum((2 * F.col("_i") - F.col("_n") - 1) * F.col("_x")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("_x")),
+            6,
+        ).alias("gini"),
+    )
+
+
+GINI_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x,
+         row_number() OVER (ORDER BY x, o_custkey) AS i,
+         count(*) OVER () AS n
+  FROM per_cust
+)
+SELECT count(*) AS n_customers,
+       CAST(sum(x) AS BIGINT) AS total_cents,
+       round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE) / (count(*) * sum(x)), 6) AS gini
+FROM ranked
+"""
+
+
 QUERIES = {
     "graph_bfs_depths": QueryDef(graph_bfs_depths, BFS_SQL),
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
+    "lineitem_weighted_median": QueryDef(lineitem_weighted_median, WEIGHTED_MEDIAN_SQL),
+    "customer_gini_revenue": QueryDef(customer_gini_revenue, GINI_SQL),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),
