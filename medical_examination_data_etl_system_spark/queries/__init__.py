@@ -141,13 +141,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_percentiles_by_flag",
     "docs_semantic_dedup",
     "customer_abc_classes",
-    # (3) stalest evidence (last row r03) — 5 (the CC variants
+    "lineitem_weighted_median",
+    "customer_gini_revenue",
+    # (3) stalest evidence (last row r03) — 3 (resize/frame_sample
+    # yielded to the weighted-median/Gini additions — both carry pytest
+    # byte-oracles and the family keeps two window rows; the CC variants
     # yielded their slots to docs_semantic_dedup, which drives the SAME
     # connected-components kernel under an EXACT recursive-CTE oracle)
     "multimodal_doc_embedding_join",
     "multimodal_binary_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
     "emb_ivf_topk",
 ]
 
