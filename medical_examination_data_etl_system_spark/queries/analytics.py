@@ -1412,11 +1412,93 @@ FROM ranked
 """
 
 
+def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel at SESSION grain: view → click → purchase must
+    complete within one 15-minute-gap session, the product-analytics
+    question the user-grain funnel can't answer (a purchase tomorrow
+    should not convert today's view). Composition of two existing
+    kernels: the lag/cumsum sessionizer (stream_session_builtin's batch
+    twin) derives a per-session key, and operators/timeseries.
+    funnel_stages runs UNCHANGED with that key as its partition column
+    — same single-Exchange window cascade, now keyed by (user,
+    session)."""
+    from medical_examination_data_etl_system_spark.operators.timeseries import funnel_stages
+
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(wu)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) >= 15 * 60 * 1_000_000)
+    ).cast("int")
+    sess_idx = F.sum(new_sess).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sess = ev.withColumn(
+        "_sess", F.concat_ws(":", F.col("user_id").cast("string"), sess_idx.cast("string"))
+    )
+    return (
+        funnel_stages(with_sess, ["view", "click", "purchase"], user_col="_sess")
+        .withColumnRenamed("n_users", "n_sessions")
+    )
+
+
+SESSIONIZED_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), s0 AS (
+  SELECT user_id, session_id, ts, event_type, event_id,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS f0
+  FROM sess
+), s1 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND f0 < ts THEN ts END AS v1
+  FROM s0
+), s1m AS (
+  SELECT *, min(v1) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS f1
+  FROM s1
+), s2 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' AND f1 < ts THEN ts END AS v2
+  FROM s1m
+), per_sess AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS s0v,
+         min(v1) AS s1v,
+         min(v2) AS s2v
+  FROM s2
+  GROUP BY user_id, session_id
+), counts AS (
+  SELECT count(s0v) AS n0, count(s1v) AS n1, count(s2v) AS n2 FROM per_sess
+)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_sessions,
+         round(CAST(n0 AS DOUBLE) / n0, 4) AS pct_of_first FROM counts
+  UNION ALL
+  SELECT 1, 'click', n1, round(CAST(n1 AS DOUBLE) / n0, 4) FROM counts
+  UNION ALL
+  SELECT 2, 'purchase', n2, round(CAST(n2 AS DOUBLE) / n0, 4) FROM counts
+)
+ORDER BY stage_idx
+"""
+
+
 QUERIES = {
     "graph_bfs_depths": QueryDef(graph_bfs_depths, BFS_SQL),
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
     "lineitem_weighted_median": QueryDef(lineitem_weighted_median, WEIGHTED_MEDIAN_SQL),
     "customer_gini_revenue": QueryDef(customer_gini_revenue, GINI_SQL),
+    "events_sessionized_funnel": QueryDef(events_sessionized_funnel, SESSIONIZED_FUNNEL_SQL),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),

@@ -1084,19 +1084,23 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     like graph_bfs_depths. At 100 TB the swap-in is
     embedding_near_duplicates_srp for the pair stage — identical
     downstream."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates(emb, threshold=0.4).select("id_a", "id_b")
+    return _semantic_dedup_summary(emb, pairs)
+
+
+def _semantic_dedup_summary(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared downstream of the semantic-dedup variants: components →
+    min-id representative → per-label removal summary."""
     from medical_examination_data_etl_system_spark.operators.clustering import (
         connected_components,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_duplicates(emb, threshold=0.4).select("id_a", "id_b")
     comp = connected_components(pairs)
     labels = (
         emb.select("vec_id", "label")
         .join(comp, emb.vec_id == comp.node, "left")
-        .select(
-            "vec_id", "label", F.coalesce("comp", F.col("vec_id")).alias("rep")
-        )
+        .select("vec_id", "label", F.coalesce("comp", F.col("vec_id")).alias("rep"))
     )
     removed = F.sum(F.when(F.col("vec_id") != F.col("rep"), 1).otherwise(0))
     return (
@@ -1108,6 +1112,20 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def docs_semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB semantic-dedup path: IDENTICAL downstream to
+    docs_semantic_dedup, with the pair stage swapped for the
+    SRP-bucketed near-dup (Σ|bucket|² work instead of n²). SRP can only
+    MISS pairs (in-bucket verification is the same exact GEMM), so its
+    components REFINE the exact variant's: every SRP-removed doc is
+    exact-removed too — pinned in pytest as the subset property, the
+    recall floor's structural twin. Rows-only at the driver
+    (bucket hashes are engine-specific)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_srp(emb, threshold=0.4).select("id_a", "id_b")
+    return _semantic_dedup_summary(emb, pairs)
 
 
 SEMANTIC_DEDUP_SQL = """
@@ -1148,6 +1166,7 @@ GROUP BY emb.label ORDER BY emb.label
 
 QUERIES = {
     "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "docs_semantic_dedup_srp": QueryDef(docs_semantic_dedup_srp, None),
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
     "emb_label_centroids": QueryDef(emb_label_centroids, LABEL_CENTROIDS_SQL),

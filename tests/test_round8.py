@@ -443,3 +443,32 @@ def test_hamming_collapse_equivalence_property(spark, seed):
             for r in hamming_near_duplicates(df, "i", "h", max_hamming=5, collapse_exact=mode).collect()
         }
         assert got == brute, (mode, seed)
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: SRP variant refines the exact variant (subset property)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_srp_refines_exact(spark):
+    from medical_examination_data_etl_system_spark.operators import similarity
+    from medical_examination_data_etl_system_spark.operators.clustering import connected_components
+
+    emb = load(spark, SF_DIR, "embeddings")
+
+    def removed_set(pairs):
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        lab = (
+            emb.select("vec_id")
+            .join(comp, emb.vec_id == comp.node, "left")
+            .select("vec_id", F.coalesce("comp", F.col("vec_id")).alias("rep"))
+        )
+        return {r.vec_id for r in lab.filter(F.col("vec_id") != F.col("rep")).collect()}
+
+    exact_removed = removed_set(similarity.embedding_near_duplicates(emb, threshold=0.4))
+    srp_removed = removed_set(similarity.embedding_near_duplicates_srp(emb, threshold=0.4))
+    assert srp_removed <= exact_removed
+    # and the SRP pass is not vacuous at this SF
+    assert len(srp_removed) > 0
+    # summaries agree in total counts
+    out = all_queries()["docs_semantic_dedup_srp"].fn(spark, SF_DIR).collect()
+    assert sum(r.n_removed for r in out) == len(srp_removed)
