@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from medical_examination_data_etl_system_spark.queries import QueryDef
 from pyspark.sql import functions as F
 
+from medical_examination_data_etl_system_spark.queries.relational import CMS_USER_COUNTS_SQL as _CMS_ORACLE
 from medical_examination_data_etl_system_spark.streaming import (
     attribution_join,
     dedup_within_watermark,
@@ -315,6 +316,58 @@ FROM framed ORDER BY event_id
 """
 
 
+def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built FROM THE STREAM: the 4x1024 md5 counter
+    table accumulates as a streaming aggregation (update-free complete
+    drain — a linear sketch is a pure running groupBy-sum, the state IS
+    the sketch), then the batch estimator reads the drained counters.
+    Same deterministic construction, so the result — top-10 exact-heavy
+    users with their CMS estimates — shares agg_cms_user_counts'
+    EXACT oracle verbatim: streaming sketch maintenance is hash-checked
+    against a batch SQL rebuild, the mergeable-summaries contract in
+    its streaming form (a counter table maintained incrementally equals
+    one built from scratch)."""
+    from medical_examination_data_etl_system_spark.operators.sketch import (
+        _cms_bucket,
+        cms_estimate,
+    )
+    from medical_examination_data_etl_system_spark.queries import load
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    coords = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("seed"),
+                        _cms_bucket(F.col("user_id"), s, 1024).alias("bucket"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("c")
+    ).select("c.seed", "c.bucket")
+    counters = run_available_now(
+        coords.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt")),
+        "q_stream_cms",
+        output_mode="complete",
+    )
+    ev = load(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
+    est = cms_estimate(counters, top.select("user_id"), "user_id")
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
 QUERIES = {
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_static_enrich": QueryDef(stream_static_enrich, STREAM_STATIC_SQL),
@@ -325,4 +378,5 @@ QUERIES = {
     "stream_dedup_exactly_once": QueryDef(stream_dedup_exactly_once, STREAM_DEDUP_SQL),
     "stream_upsert_latest_state": QueryDef(stream_upsert_latest_state, STREAM_UPSERT_SQL),
     "stream_running_ewma": QueryDef(stream_running_ewma, STREAM_EWMA_SQL),
+    "stream_cms_user_counts": QueryDef(stream_cms_user_counts, _CMS_ORACLE),
 }
