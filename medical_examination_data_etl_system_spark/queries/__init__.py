@@ -143,14 +143,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "customer_abc_classes",
     "lineitem_weighted_median",
     "customer_gini_revenue",
-    # (3) stalest evidence (last row r03) — 3 (resize/frame_sample
+    "events_sessionized_funnel",
+    "docs_semantic_dedup_srp",
+    "stream_cms_user_counts",
+    # (3) stale r03 evidence: fully displaced this round — every slot
+    # went to a zero-row query per the stated policy; the multimodal
+    # family and IVF keep local oracle-parity + pytest pins, and r07's
+    # rotation should lead with them. (resize/frame_sample
     # yielded to the weighted-median/Gini additions — both carry pytest
     # byte-oracles and the family keeps two window rows; the CC variants
     # yielded their slots to docs_semantic_dedup, which drives the SAME
     # connected-components kernel under an EXACT recursive-CTE oracle)
-    "multimodal_doc_embedding_join",
-    "multimodal_binary_features",
-    "emb_ivf_topk",
 ]
 
 
