@@ -1493,12 +1493,127 @@ ORDER BY stage_idx
 """
 
 
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness ratio per day — the
+    engagement KPI. Trailing-window DISTINCT is the trap here: a naive
+    count(DISTINCT) over a RANGE frame re-scans each day's users 7
+    times AND holds per-window distinct state. Instead each distinct
+    (user, day) pair explodes into the ≤7 window-days it covers and a
+    plain distinct count per window-day does the rest — the exploded
+    frame is bounded by 7 × |distinct (user, day)| (activity-bounded,
+    not event-bounded) and every stage is a map-side-combinable
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = ud.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wday"), "user_id"
+    ).distinct()
+    wau = spread.groupBy(F.col("wday").alias("day")).agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+spread AS (
+  SELECT DISTINCT ud.day + s.x AS wday, ud.user_id
+  FROM ud CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS x) s
+),
+wau AS (SELECT wday AS day, count(*) AS wau FROM spread GROUP BY wday)
+SELECT d.day, d.dau, w.wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+FROM dau d JOIN wau w USING (day) ORDER BY day
+"""
+
+
+def orders_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order prices — the robust
+    dispersion statistic (stddev's outlier-proof sibling). Two
+    value-domain passes in exact integer cents: the global LOWER median
+    (smallest value whose doubled cumulative count reaches n — no
+    interpolation, no floats), then the lower median of |cents −
+    median| over the deviation domain. Each cumulative window runs
+    over a distinct-value frame (granularity-bounded), the median
+    scalar travels as a broadcast 1-row cross join — no collect, no
+    per-row rank."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        wo = Window.orderBy(col)
+        ranked = counts.select(
+            F.col(col),
+            F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("_cum"),
+            F.sum("_c").over(Window.partitionBy()).alias("_nn"),
+        )
+        return ranked.agg(
+            F.min(F.when(2 * F.col("_cum") >= F.col("_nn"), F.col(col))).alias("_med")
+        )
+
+    base = orders.select(cents.alias("_cents"))
+    med = lower_median(base, "_cents").select(F.col("_med").alias("_med_cents"))
+    dev = base.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("_cents") - F.col("_med_cents")).alias("_dev"), "_med_cents"
+    )
+    mad = lower_median(dev.select("_dev"), "_dev").select(F.col("_med").alias("_mad_cents"))
+    return (
+        med.crossJoin(F.broadcast(mad))
+        .select(
+            F.round(F.col("_med_cents") / 100.0, 2).alias("median_price"),
+            F.round(F.col("_mad_cents") / 100.0, 2).alias("mad_price"),
+        )
+    )
+
+
+MAD_SQL = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), c1 AS (
+  SELECT cents, count(*) AS c FROM base GROUP BY cents
+), r1 AS (
+  SELECT cents,
+         sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM c1
+), med AS (
+  SELECT min(CASE WHEN 2 * cum >= n THEN cents END) AS med_cents FROM r1
+), dev AS (
+  SELECT abs(b.cents - m.med_cents) AS d FROM base b CROSS JOIN med m
+), c2 AS (
+  SELECT d, count(*) AS c FROM dev GROUP BY d
+), r2 AS (
+  SELECT d,
+         sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM c2
+), mad AS (
+  SELECT min(CASE WHEN 2 * cum >= n THEN d END) AS mad_cents FROM r2
+)
+SELECT round(m.med_cents / 100.0, 2) AS median_price,
+       round(x.mad_cents / 100.0, 2) AS mad_price
+FROM med m CROSS JOIN mad x
+"""
+
+
 QUERIES = {
     "graph_bfs_depths": QueryDef(graph_bfs_depths, BFS_SQL),
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
     "lineitem_weighted_median": QueryDef(lineitem_weighted_median, WEIGHTED_MEDIAN_SQL),
     "customer_gini_revenue": QueryDef(customer_gini_revenue, GINI_SQL),
     "events_sessionized_funnel": QueryDef(events_sessionized_funnel, SESSIONIZED_FUNNEL_SQL),
+    "events_dau_wau_stickiness": QueryDef(events_dau_wau_stickiness, DAU_WAU_SQL),
+    "orders_price_mad": QueryDef(orders_price_mad, MAD_SQL),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),

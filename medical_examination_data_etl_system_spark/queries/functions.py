@@ -235,7 +235,48 @@ ORDER BY doc_id
 """
 
 
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI error-tolerant scalar surface: ``try_divide`` /
+    ``try_add`` / ``try_to_number`` return NULL where strict ANSI would
+    raise (divide-by-zero, overflow, malformed numeric) — the
+    ingest-hardening functions a dirty-data pipeline leans on instead
+    of blanket ANSI-off. Derived zero divisors and malformed numeric
+    strings exercise each NULL path deterministically; map-only."""
+    part = load(spark, sf_dir, "part")
+    zeroable = (F.col("p_partkey") % 7).cast("long")  # 0 every 7th row
+    numlike = F.when(
+        F.col("p_partkey") % 3 == 0, F.concat(F.lit("x"), F.col("p_partkey").cast("string"))
+    ).otherwise(F.col("p_partkey").cast("string"))
+    return (
+        part.select(
+            "p_partkey",
+            F.try_divide(F.col("p_retailprice"), zeroable).alias("price_per_bucket"),
+            F.try_add(
+                F.lit(2**62),
+                F.when(F.col("p_partkey") % 5 == 0, F.lit(2**62)).otherwise(
+                    F.col("p_partkey")
+                ),
+            ).alias("overflowing_add"),
+            F.try_to_number(numlike, F.lit("999999999")).cast("long").alias("parsed_key"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+TRY_ARITH_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 7 = 0 THEN NULL
+            ELSE p_retailprice / (p_partkey % 7) END AS price_per_bucket,
+       CASE WHEN p_partkey % 5 = 0 THEN NULL
+            ELSE 4611686018427387904 + p_partkey END AS overflowing_add,
+       CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_partkey END AS parsed_key
+FROM part
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
+    "fn_try_arithmetic": QueryDef(fn_try_arithmetic, TRY_ARITH_SQL),
     "fn_value_histogram": QueryDef(fn_value_histogram, HISTOGRAM_SQL),
     "fn_datetime_extract": QueryDef(fn_datetime_extract, DATETIME_SQL),
     "fn_math_string": QueryDef(fn_math_string, MATH_STRING_SQL),
