@@ -472,3 +472,82 @@ def test_semantic_dedup_srp_refines_exact(spark):
     # summaries agree in total counts
     out = all_queries()["docs_semantic_dedup_srp"].fn(spark, SF_DIR).collect()
     assert sum(r.n_removed for r in out) == len(srp_removed)
+
+# ---------------------------------------------------------------------------
+# Edge cases for the round-8 operators
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_source_only_graph(spark):
+    from medical_examination_data_etl_system_spark.operators.clustering import bfs_depths
+
+    # no edges from the source: result is just the source at depth 0
+    df = spark.createDataFrame([(5, 6), (6, 5)], "src long, dst long")
+    got = {r.node: r.depth for r in bfs_depths(df, 1, max_depth=3).collect()}
+    assert got == {1: 0}
+
+
+def test_cms_empty_input(spark):
+    from medical_examination_data_etl_system_spark.operators.sketch import cms_counters, cms_estimate
+
+    empty = spark.createDataFrame([], "user_id long")
+    counters = cms_counters(empty, "user_id")
+    assert counters.count() == 0
+    keys = spark.createDataFrame([Row(user_id=7)])
+    # probing an empty sketch yields no rows (inner join) — callers
+    # treat absent keys as estimate 0
+    assert cms_estimate(counters, keys, "user_id").count() == 0
+
+
+def test_blocklist_empty_and_whitespace_text(spark):
+    from medical_examination_data_etl_system_spark.operators.curation import blocklist_matches
+
+    df = spark.createDataFrame([Row(i=1, t=""), Row(i=2, t="   "), Row(i=3, t=None)])
+    out = {r.i: r.m for r in df.select("i", blocklist_matches(F.col("t"), ["slow"]).alias("m")).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] is None or out[3] == []  # null text propagates or empties, never errors
+
+
+def test_weighted_median_degenerate_groups(spark):
+    """Single-value group and even-split weights: lower-median rule."""
+    import duckdb
+
+    rows = [
+        ("A", 10.0, 1.0),           # single value
+        ("B", 1.0, 5.0), ("B", 2.0, 5.0),  # exact half split -> lower value
+    ]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double, l_quantity double")
+    df.createOrReplaceTempView("_wm_edge")
+    counts = df.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("_w")
+    )
+    from pyspark.sql import Window
+    wo = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = counts.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("_w").over(wo).alias("_cumw"), F.sum("_w").over(wp).alias("_tw"),
+    )
+    got = {
+        r.l_returnflag: r.m
+        for r in ranked.groupBy("l_returnflag")
+        .agg(F.min(F.when(2 * F.col("_cumw") >= F.col("_tw"), F.col("l_extendedprice"))).alias("m"))
+        .collect()
+    }
+    assert got == {"A": 10.0, "B": 1.0}
+
+
+def test_gini_degenerate_distributions(spark):
+    """All-equal revenues -> gini 0; one customer -> gini 0."""
+    from medical_examination_data_etl_system_spark.queries.analytics import customer_gini_revenue
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="gini_edge_")
+    spark.createDataFrame(
+        [(k, 100.0, "O", "1-URGENT", "1995-01-01") for k in range(1, 5)],
+        "o_custkey long, o_totalprice double, o_orderstatus string, o_orderpriority string, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate")).withColumn(
+        "o_orderkey", F.col("o_custkey")
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = customer_gini_revenue(spark, d).collect()[0]
+    assert out.n_customers == 4 and out.gini == 0.0
