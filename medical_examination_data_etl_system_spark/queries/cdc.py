@@ -228,7 +228,58 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def incr_join_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join algebra
+    that completes incr_agg_merge_orders' aggregate story:
+    Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, so a refresh of the aggregated
+    revenue view G(orders⋈lineitem) re-aggregates the stored base
+    partials with THREE delta-sized join terms — never rescanning
+    A₀⋈B₀ (here materialized once as the base state; at 100 TB it is
+    the stored view). Both sides delta independently (orders by order
+    date, lineitem by ship date), so every term is non-trivially
+    exercised. The oracle joins from scratch, pinning
+    maintain == recompute — the join twin of merge == recompute."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    cutoff = "1996-01-01"
+    a0, da = o.filter(F.col("o_orderdate") < cutoff), o.filter(F.col("o_orderdate") >= cutoff)
+    b0, db = li.filter(F.col("l_shipdate") < cutoff), li.filter(F.col("l_shipdate") >= cutoff)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+
+    def gstate(odf: DataFrame, ldf: DataFrame) -> DataFrame:
+        return (
+            odf.join(ldf, odf.o_orderkey == ldf.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"), F.sum(cents).alias("rev_cents"))
+        )
+
+    base = gstate(a0, b0)  # the stored view's partial state
+    deltas = [gstate(da, b0), gstate(a0, db), gstate(da, db)]
+    merged = base
+    for d in deltas:
+        merged = merged.unionByName(d)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(F.sum("n_lines").alias("n_lines"), F.sum("rev_cents").alias("rev_cents"))
+        .orderBy("o_orderpriority")
+    )
+
+
+INCR_JOIN_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "incr_join_merge_revenue": QueryDef(incr_join_merge_revenue, INCR_JOIN_SQL),
     "cdc_merge_orders": QueryDef(cdc_merge_orders, CDC_MERGE_SQL),
     "scd2_user_event_history": QueryDef(scd2_user_event_history, SCD2_SQL),
     "pit_purchase_user_state": QueryDef(pit_purchase_user_state, PIT_SQL),
