@@ -551,3 +551,64 @@ def test_gini_degenerate_distributions(spark):
     ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
     out = customer_gini_revenue(spark, d).collect()[0]
     assert out.n_customers == 4 and out.gini == 0.0
+
+# ---------------------------------------------------------------------------
+# Property tests: weighted median / Gini / MAD vs NumPy-style brute force
+# ---------------------------------------------------------------------------
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_median_property(spark, seed):
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 40))
+    vals = rng.choice([1.0, 2.5, 3.0, 7.75, 10.0], size=n)
+    wts = rng.integers(1, 6, size=n)
+    df = spark.createDataFrame(
+        [(float(v), int(w)) for v, w in zip(vals, wts)], "v double, w long"
+    )
+    counts = df.groupBy("v").agg(F.sum("w").alias("_w"))
+    wo = Window.orderBy("v")
+    ranked = counts.select(
+        "v",
+        F.sum("_w").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("_cumw"),
+        F.sum("_w").over(Window.partitionBy()).alias("_tw"),
+    )
+    got = ranked.agg(
+        F.min(F.when(2 * F.col("_cumw") >= F.col("_tw"), F.col("v"))).alias("m")
+    ).collect()[0].m
+    # brute force: smallest value whose cumulative weight reaches half
+    order = np.argsort(vals, kind="stable")
+    sv, sw = vals[order], wts[order]
+    cum = np.cumsum(sw)
+    want = float(sv[np.argmax(2 * cum >= cum[-1])])
+    assert got == want, (seed, got, want)
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gini_formula_property(spark, seed):
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 30))
+    x = rng.integers(1, 10_000, size=n)
+    df = spark.createDataFrame([(int(k), int(v)) for k, v in enumerate(x)], "k long, _x long")
+    w = Window.orderBy("_x", "k")
+    ranked = df.select("_x", F.row_number().over(w).alias("_i")).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    got = ranked.agg(
+        (
+            F.sum((2 * F.col("_i") - F.col("_n") - 1) * F.col("_x")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("_x"))
+        ).alias("g")
+    ).collect()[0].g
+    xs = np.sort(x)
+    i = np.arange(1, n + 1)
+    want = float(np.sum((2 * i - n - 1) * xs) / (n * xs.sum()))
+    assert abs(got - want) < 1e-12
+    # Gini bounds: [0, 1); 0 iff all equal
+    assert 0.0 <= got < 1.0
