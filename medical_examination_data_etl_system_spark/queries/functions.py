@@ -275,8 +275,57 @@ ORDER BY p_partkey
 """
 
 
+def fn_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda higher-order-function battery — transform / filter /
+    aggregate (fold) / exists / zip_with over a per-row derived array,
+    all folded to scalars for the oracle. Integer arithmetic
+    throughout, so every fold is engine-exact. These are the array
+    combinators the operator kernels lean on (int8 quantization,
+    EWMA folds); this row pins their SEMANTICS as a user-facing
+    surface."""
+    part = load(spark, sf_dir, "part")
+    k = (F.col("p_size") % 8) + 1
+    arr = F.sequence(F.lit(1), k.cast("int"))
+    sq_sum = F.aggregate(
+        F.transform(arr, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    evens = F.array_join(F.filter(arr, lambda x: x % 2 == 0), ",")
+    any7 = F.exists(arr, lambda x: F.col("p_size") % 7 == x % 7)
+    zipped = F.array_join(
+        F.zip_with(arr, F.reverse(arr), lambda x, y: x + y).cast("array<string>"), ","
+    )
+    return (
+        part.select(
+            "p_partkey",
+            sq_sum.alias("sum_squares"),
+            evens.alias("even_elems"),
+            any7.alias("has_mod7_match"),
+            zipped.alias("palindrome_sums"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+HOF_SQL = """
+WITH t AS (
+  SELECT p_partkey, p_size,
+         range(1, (p_size % 8) + 2) AS arr,
+         (p_size % 8) + 1 AS k
+  FROM part
+)
+SELECT p_partkey,
+       CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_squares,
+       coalesce(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS even_elems,
+       len(list_filter(arr, x -> p_size % 7 = x % 7)) > 0 AS has_mod7_match,
+       array_to_string(list_transform(arr, x -> CAST(k + 1 AS VARCHAR)), ',') AS palindrome_sums
+FROM t
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "fn_try_arithmetic": QueryDef(fn_try_arithmetic, TRY_ARITH_SQL),
+    "fn_higher_order_arrays": QueryDef(fn_higher_order_arrays, HOF_SQL),
     "fn_value_histogram": QueryDef(fn_value_histogram, HISTOGRAM_SQL),
     "fn_datetime_extract": QueryDef(fn_datetime_extract, DATETIME_SQL),
     "fn_math_string": QueryDef(fn_math_string, MATH_STRING_SQL),

@@ -372,6 +372,103 @@ SELECT s_nationkey AS nationkey FROM supplier
 ORDER BY nationkey
 """
 
+
+def set_bag_semantics_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BAG (ALL) variants the distinct set battery deliberately
+    avoids — intersectAll / exceptAll keep multiplicities
+    (min(m_a, m_b) and m_a − m_b occurrences respectively), the ANSI
+    semantics ETL reconciliation actually needs (how many MORE
+    customer rows than supplier rows carry this nation). Both sides'
+    multiplicities summarized per nation so the multiset arithmetic is
+    hash-visible, not just row counts."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    inter = (
+        cust.intersectAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exc = (
+        cust.exceptAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_surplus"))
+    )
+    return (
+        inter.join(exc, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("n_surplus", F.lit(0)).alias("n_surplus"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+SET_BAG_SQL = """
+WITH inter AS (
+  SELECT nationkey, count(*) AS n_common FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+  ) GROUP BY nationkey
+), exc AS (
+  SELECT nationkey, count(*) AS n_surplus FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+  ) GROUP BY nationkey
+)
+SELECT coalesce(i.nationkey, e.nationkey) AS nationkey,
+       coalesce(i.n_common, 0) AS n_common,
+       coalesce(e.n_surplus, 0) AS n_surplus
+FROM inter i FULL OUTER JOIN exc e ON i.nationkey = e.nationkey
+ORDER BY nationkey
+"""
+
+
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH EACH OTHER instead of silently dropping — the semantics a
+    reconciliation join over dirty keys needs (a plain equi-join makes
+    null-keyed rows vanish from both sides without a trace). Every 9th
+    order's clerk bucket is nulled deterministically on both engines;
+    the null bucket's row count proves the null⋈null matches
+    happened."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.when(F.col("o_orderkey") % 9 == 0, F.lit(None)).otherwise(
+        (F.col("o_orderkey") % 5).cast("long")
+    )
+    a = orders.select(F.col("o_orderkey").alias("key_a"), bucket.alias("bucket"))
+    b = orders.select(F.col("o_orderkey").alias("key_b"), bucket.alias("bucket"))
+    # pair each order with the COUNT of same-bucket orders (self-join
+    # aggregated — keeps output nation-sized instead of quadratic)
+    per_bucket = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        a.join(per_bucket, a["bucket"].eqNullSafe(per_bucket["bucket"]), "left")
+        .groupBy(a["bucket"].alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("n_b").alias("bucket_size"),
+        )
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH tagged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 9 = 0 THEN NULL
+              ELSE CAST(o_orderkey % 5 AS BIGINT) END AS bucket
+  FROM orders
+), per_bucket AS (
+  SELECT bucket, count(*) AS n_b FROM tagged GROUP BY bucket
+)
+SELECT a.bucket, count(*) AS n_orders, max(p.n_b) AS bucket_size
+FROM tagged a LEFT JOIN per_bucket p ON a.bucket IS NOT DISTINCT FROM p.bucket
+GROUP BY a.bucket
+ORDER BY a.bucket ASC NULLS FIRST
+"""
+
 # ---------------------------------------------------------------------------
 # X1 — keep-first dedup (the scaled form of the pipeline's A2)
 # ---------------------------------------------------------------------------
@@ -1320,6 +1417,8 @@ QUERIES = {
     "set_union_nations": QueryDef(set_union_nations, SET_UNION_SQL),
     "set_intersect_nations": QueryDef(set_intersect_nations, SET_INTERSECT_SQL),
     "set_except_nations": QueryDef(set_except_nations, SET_EXCEPT_SQL),
+    "set_bag_semantics_nations": QueryDef(set_bag_semantics_nations, SET_BAG_SQL),
+    "join_null_safe_keys": QueryDef(join_null_safe_keys, JOIN_NULL_SAFE_SQL),
     "dedup_first_lineitem_per_order": QueryDef(dedup_first_lineitem_per_order, DEDUP_FIRST_SQL),
     "agg_grouping_sets": QueryDef(agg_grouping_sets, GROUPING_SETS_SQL),
     "join_interval_overlap": QueryDef(join_interval_overlap, INTERVAL_OVERLAP_SQL),
