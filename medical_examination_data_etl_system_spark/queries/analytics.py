@@ -1606,6 +1606,92 @@ FROM med m CROSS JOIN mad x
 """
 
 
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days — the classic island detector (day − dense_rank is constant
+    within a consecutive run). All windows partition BY USER over the
+    distinct (user, day) frame (activity-bounded), so parallelism is
+    user-count-wide; summarized as the streak-length distribution so
+    the output stays bounded."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day")
+    islanded = ud.withColumn(
+        "_island", F.date_sub(F.col("day"), F.dense_rank().over(wu))
+    )
+    streaks = islanded.groupBy("user_id", "_island").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    per_user = streaks.groupBy("user_id").agg(F.max("_len").alias("max_streak"))
+    return (
+        per_user.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("max_streak")
+    )
+
+
+STREAKS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+islanded AS (
+  SELECT user_id, day,
+         day - CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS island
+  FROM ud
+), streaks AS (
+  SELECT user_id, island, count(*) AS len FROM islanded GROUP BY user_id, island
+), per_user AS (
+  SELECT user_id, max(len) AS max_streak FROM streaks GROUP BY user_id
+)
+SELECT max_streak, count(*) AS n_users
+FROM per_user GROUP BY max_streak ORDER BY max_streak
+"""
+
+
+def lineitem_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the (price, quantity) points no
+    other point dominates (≤ on both, < on at least one) — the
+    multi-criteria shortlist operator. NOT the O(n²) NOT-EXISTS form:
+    prices collapse to their min quantity first (ties on price keep
+    only the best quantity — a dominated-by-equal-price point can
+    never be on the frontier), then one running strict-min over the
+    price-ordered DISTINCT-price frame keeps exactly the points whose
+    quantity beats every cheaper point. Value-domain-bounded like the
+    percentile family; the oracle replays the identical formulation
+    (the naive dominance join would be 3.6e9 pairs at sf0.01)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    per_price = li.select(cents.alias("price_cents"), qty.alias("qty")).groupBy(
+        "price_cents"
+    ).agg(F.min("qty").alias("min_qty"))
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_price.withColumn("_prev_best", F.min("min_qty").over(w)).filter(
+        F.col("_prev_best").isNull() | (F.col("min_qty") < F.col("_prev_best"))
+    )
+    return frontier.select(
+        "price_cents", F.col("min_qty").alias("qty")
+    ).orderBy("price_cents")
+
+
+SKYLINE_SQL = """
+WITH per_price AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         min(CAST(round(l_quantity) AS BIGINT)) AS min_qty
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT price_cents, min_qty,
+         min(min_qty) OVER (ORDER BY price_cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_best
+  FROM per_price
+)
+SELECT price_cents, min_qty AS qty
+FROM ranked
+WHERE prev_best IS NULL OR min_qty < prev_best
+ORDER BY price_cents
+"""
+
+
 QUERIES = {
     "graph_bfs_depths": QueryDef(graph_bfs_depths, BFS_SQL),
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
@@ -1614,6 +1700,8 @@ QUERIES = {
     "events_sessionized_funnel": QueryDef(events_sessionized_funnel, SESSIONIZED_FUNNEL_SQL),
     "events_dau_wau_stickiness": QueryDef(events_dau_wau_stickiness, DAU_WAU_SQL),
     "orders_price_mad": QueryDef(orders_price_mad, MAD_SQL),
+    "events_activity_streaks": QueryDef(events_activity_streaks, STREAKS_SQL),
+    "lineitem_skyline_frontier": QueryDef(lineitem_skyline_frontier, SKYLINE_SQL),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),
