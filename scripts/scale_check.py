@@ -104,6 +104,17 @@ HEAVY_EXTENSION = [
     "docs_blocklist_filter",
     "docs_semantic_dedup",
     "customer_abc_classes",
+    "docs_semantic_dedup_srp",
+    "events_sessionized_funnel",
+    "stream_cms_user_counts",
+    "lineitem_weighted_median",
+    "customer_gini_revenue",
+    "events_dau_wau_stickiness",
+    "orders_price_mad",
+    "incr_join_merge_revenue",
+    "events_activity_streaks",
+    "lineitem_skyline_frontier",
+    "join_null_safe_keys",
 ]
 
 
