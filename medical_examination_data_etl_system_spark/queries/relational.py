@@ -296,6 +296,111 @@ ORDER BY o_custkey, rk
 """
 
 
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 price BANDS per order priority with RANK semantics — ties
+    keep every tied row (`rank() <= k` can return more than k rows),
+    the ANSI "WITH TIES" behavior row_number-based top-k silently
+    breaks. Prices quantize to 10k-wide bands so ties genuinely occur
+    at every SF; dense_rank rides along to expose the gap-vs-dense
+    distinction on the same frame."""
+    orders = load(spark, sf_dir, "orders")
+    band = F.expr("CAST(round(o_totalprice) AS BIGINT) div 10000") * 10_000
+    counts = orders.groupBy("o_orderpriority", band.alias("price_band")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("n_orders"))
+    return (
+        counts.select(
+            "o_orderpriority",
+            "price_band",
+            "n_orders",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rk") <= 2)
+        .orderBy("o_orderpriority", "rk", "price_band")
+    )
+
+
+WINDOW_TOPK_TIES_SQL = """
+WITH counts AS (
+  SELECT o_orderpriority,
+         (CAST(round(o_totalprice) AS BIGINT) // 10000) * 10000 AS price_band,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, price_band, n_orders,
+       rank() OVER (PARTITION BY o_orderpriority ORDER BY n_orders DESC) AS rk,
+       dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY n_orders DESC) AS drk
+FROM counts
+QUALIFY rk <= 2
+ORDER BY o_orderpriority, rk, price_band
+"""
+
+
+def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap repair: values
+    nulled deterministically (every 3rd event simulates a dropped
+    reading) are forward-filled from the user's most recent non-null
+    observation via ``last(ignorenulls)`` over an unbounded-preceding
+    frame — the sensor/telemetry repair idiom, one Exchange on the
+    user key. Leading nulls (no prior observation) stay NULL; the
+    audit columns count repaired vs unrepairable rows per user."""
+    ev = load(spark, sf_dir, "events")
+    gapped = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = ev.select(
+        "user_id",
+        "event_id",
+        gapped.alias("_gap"),
+        F.last(gapped, ignorenulls=True).over(w).alias("_filled"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("_gap").isNull() & F.col("_filled").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_repaired"),
+            F.sum(F.when(F.col("_filled").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unrepairable"),
+            F.round(F.sum(F.round(F.col("_filled") * 100)).cast("double") / 100.0, 2).alias(
+                "sum_filled"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+WINDOW_LOCF_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS gap
+  FROM events
+), filled AS (
+  SELECT user_id, event_id, gap,
+         last_value(gap IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS f
+  FROM gapped
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN gap IS NULL AND f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repaired,
+       CAST(sum(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unrepairable,
+       round(CAST(sum(round(f * 100)) AS DOUBLE) / 100.0, 2) AS sum_filled
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag(): days between consecutive orders per customer."""
     orders = load(spark, sf_dir, "orders")
@@ -1419,6 +1524,8 @@ QUERIES = {
     "set_except_nations": QueryDef(set_except_nations, SET_EXCEPT_SQL),
     "set_bag_semantics_nations": QueryDef(set_bag_semantics_nations, SET_BAG_SQL),
     "join_null_safe_keys": QueryDef(join_null_safe_keys, JOIN_NULL_SAFE_SQL),
+    "window_topk_with_ties": QueryDef(window_topk_with_ties, WINDOW_TOPK_TIES_SQL),
+    "window_locf_fill": QueryDef(window_locf_fill, WINDOW_LOCF_SQL),
     "dedup_first_lineitem_per_order": QueryDef(dedup_first_lineitem_per_order, DEDUP_FIRST_SQL),
     "agg_grouping_sets": QueryDef(agg_grouping_sets, GROUPING_SETS_SQL),
     "join_interval_overlap": QueryDef(join_interval_overlap, INTERVAL_OVERLAP_SQL),

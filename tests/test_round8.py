@@ -612,3 +612,39 @@ def test_gini_formula_property(spark, seed):
     assert abs(got - want) < 1e-12
     # Gini bounds: [0, 1); 0 iff all equal
     assert 0.0 <= got < 1.0
+
+# ---------------------------------------------------------------------------
+# Property: BFS min-depths vs Python brute force on random graphs
+# ---------------------------------------------------------------------------
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_depths_property(spark, seed):
+    from collections import deque
+    from medical_examination_data_etl_system_spark.operators.clustering import bfs_depths
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 15))
+    m = int(rng.integers(3, 25))
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b}
+    edges |= {(b, a) for a, b in edges}  # undirected
+    if not edges:
+        edges = {(0, 1), (1, 0)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    max_depth = int(rng.integers(1, 5))
+    got = {r.node: r.depth for r in bfs_depths(df, 0, max_depth=max_depth).collect()}
+    # brute-force BFS
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want, q = {0: 0}, deque([0])
+    while q:
+        u = q.popleft()
+        if want[u] >= max_depth:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want, (seed, got, want)
