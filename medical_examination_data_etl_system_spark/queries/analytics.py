@@ -1606,6 +1606,146 @@ FROM med m CROSS JOIN mad x
 """
 
 
+def events_session_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution (minutes): sessionize (15-min gap,
+    the shared lag/cumsum rule), take each session's integer duration
+    in minutes, then EXACT p50/p90 via the value-domain plan — the
+    latency-percentile discipline applied to the session KPI every
+    engagement dashboard leads with. Duration domain is
+    gap-bounded×count-bounded (minutes as integers), so the
+    cumulative frame is tiny at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(wu)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) >= 15 * 60 * 1_000_000)
+    ).cast("int")
+    sess_idx = F.sum(new_sess).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        ev.withColumn("_sess", sess_idx)
+        .groupBy("user_id", "_sess")
+        .agg(
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(60_000_000))
+            .cast("long")
+            .alias("dur_min"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    counts = sessions.groupBy("dur_min").agg(F.count(F.lit(1)).alias("_c"))
+    wo = Window.orderBy("dur_min")
+    ranked = counts.select(
+        "dur_min",
+        F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    return ranked.agg(
+        F.max("_n").alias("n_sessions"),
+        F.min(F.when(2 * F.col("_cum") >= F.col("_n"), F.col("dur_min"))).alias("p50_minutes"),
+        F.min(F.when(10 * F.col("_cum") >= 9 * F.col("_n"), F.col("dur_min"))).alias("p90_minutes"),
+        F.max("dur_min").alias("max_minutes"),
+    )
+
+
+SESSION_LENGTH_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id,
+         CAST(date_diff('minute', min(ts), max(ts)) AS BIGINT) AS dur_min
+  FROM sess GROUP BY user_id, session_id
+), counts AS (
+  SELECT dur_min, count(*) AS c FROM sessions GROUP BY dur_min
+), ranked AS (
+  SELECT dur_min,
+         sum(c) OVER (ORDER BY dur_min ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM counts
+)
+SELECT CAST(max(n) AS BIGINT) AS n_sessions,
+       min(CASE WHEN 2 * cum >= n THEN dur_min END) AS p50_minutes,
+       min(CASE WHEN 10 * cum >= 9 * n THEN dur_min END) AS p90_minutes,
+       max(dur_min) AS max_minutes
+FROM ranked
+"""
+
+
+def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by SWEEP-LINE: each order is open
+    from its order date until its last line ships; +1/−1 delta events
+    at the boundaries, cumulative sum over the date-ordered delta
+    frame = concurrent-open count — the interval-stacking pattern
+    (room occupancy, concurrent sessions, WIP inventory) WITHOUT
+    exploding one row per open day. The delta frame is
+    2·orders rows pre-aggregated to distinct dates before the
+    cumulative window; sampled at month starts for a bounded report."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
+    spans = o.join(close, o.o_orderkey == close.l_orderkey, "inner")
+    deltas = (
+        spans.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            spans.select(F.date_add("close_date", 1).alias("day"), F.lit(-1).alias("d"))
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.withColumn("open_orders", F.sum("delta").over(w))
+    month_starts = running.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(F.date_trunc("month", "day")).orderBy(F.desc("day"))
+        ),
+    ).filter(F.col("_rn") == 1)
+    return (
+        month_starts.select(
+            F.date_trunc("month", "day").cast("date").alias("month"),
+            F.col("open_orders").cast("long").alias("open_at_month_end"),
+        )
+        .orderBy("month")
+    )
+
+
+BACKLOG_SQL = """
+WITH close AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_date FROM lineitem GROUP BY l_orderkey
+), spans AS (
+  SELECT o.o_orderdate, c.close_date
+  FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+), deltas AS (
+  SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM spans
+    UNION ALL
+    SELECT CAST(close_date AS DATE) + 1 AS day, -1 AS d FROM spans
+  ) GROUP BY day
+), running AS (
+  SELECT day, sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_orders
+  FROM deltas
+), month_last AS (
+  SELECT *, row_number() OVER (PARTITION BY date_trunc('month', day)
+                               ORDER BY day DESC) AS rn
+  FROM running
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+       CAST(open_orders AS BIGINT) AS open_at_month_end
+FROM month_last WHERE rn = 1
+ORDER BY month
+"""
+
+
 def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: each user's LONGEST run of consecutive active
     days — the classic island detector (day − dense_rank is constant
@@ -1702,6 +1842,8 @@ QUERIES = {
     "orders_price_mad": QueryDef(orders_price_mad, MAD_SQL),
     "events_activity_streaks": QueryDef(events_activity_streaks, STREAKS_SQL),
     "lineitem_skyline_frontier": QueryDef(lineitem_skyline_frontier, SKYLINE_SQL),
+    "events_session_length_stats": QueryDef(events_session_length_stats, SESSION_LENGTH_SQL),
+    "orders_open_backlog_monthly": QueryDef(orders_open_backlog_monthly, BACKLOG_SQL),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),
