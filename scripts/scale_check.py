@@ -115,6 +115,10 @@ HEAVY_EXTENSION = [
     "events_activity_streaks",
     "lineitem_skyline_frontier",
     "join_null_safe_keys",
+    "window_topk_with_ties",
+    "window_locf_fill",
+    "events_session_length_stats",
+    "orders_open_backlog_monthly",
 ]
 
 
