@@ -1746,6 +1746,144 @@ ORDER BY month
 """
 
 
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue sibling of the
+    events retention cohorts: customers cohorted by FIRST-order year,
+    cumulative exact-cents revenue by years-since-first, averaged per
+    cohort member. Output is cohort×age bounded (years²); every sum is
+    BIGINT cents, the per-customer division mirrored once at the
+    end."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    first = orders.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("int").alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort", (F.year("o_orderdate") - F.col("cohort")).cast("int").alias("age_years"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age_years").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.withColumn("cum_cents", F.sum("rev_cents").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_years",
+            "cum_cents",
+            F.round(
+                (F.col("cum_cents").cast("double") / 100.0) / F.col("n_customers"), 2
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_years")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT o_custkey, CAST(year(min(o_orderdate)) AS INTEGER) AS cohort
+  FROM orders GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort, count(*) AS n_customers FROM first GROUP BY cohort
+), rev AS (
+  SELECT f.cohort,
+         CAST(year(o.o_orderdate) - f.cohort AS INTEGER) AS age_years,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, age_years, rev_cents,
+         sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age_years
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM rev
+)
+SELECT c.cohort, c.age_years, CAST(c.cum_cents AS BIGINT) AS cum_cents,
+       round((CAST(c.cum_cents AS DOUBLE) / 100.0) / s.n_customers, 2)
+         AS ltv_per_customer
+FROM cum c JOIN sizes s USING (cohort)
+ORDER BY cohort, age_years
+"""
+
+
+def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support / confidence / lift
+    for part-bucket pairs co-occurring in an order — the
+    frequent-itemset primitive (PMI's retail sibling, lift instead of
+    log-ratio). Item alphabet quantizes to 25 buckets so the pair
+    frame is alphabet²-bounded; pair generation is the same-order
+    self-join whose volume is Σ|basket|² with TPC-H's ≤7-line orders.
+    All counts are exact BIGINTs; the three ratios divide once each,
+    mirrored (integer products stay under 2⁵³ so the doubles are
+    exact)."""
+    li = load(spark, sf_dir, "lineitem")
+    basket = (
+        li.select("l_orderkey", (F.col("l_partkey") % 25).cast("int").alias("item"))
+        .distinct()
+    )
+    n_orders = basket.select("l_orderkey").distinct().count()
+    item_n = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .filter(F.col("n_ab") >= 5)
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / n_orders, 4).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 4).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, CAST(l_partkey % 25 AS INTEGER) AS item FROM lineitem
+), n_orders AS (
+  SELECT count(DISTINCT l_orderkey) AS n FROM basket
+), item_n AS (
+  SELECT item, count(*) AS n_item FROM basket GROUP BY item
+), pair_n AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) / o.n, 4) AS support,
+       round(CAST(p.n_ab AS DOUBLE) / na.n_item, 4) AS confidence,
+       round(CAST(p.n_ab * o.n AS DOUBLE) / CAST(na.n_item * nb.n_item AS DOUBLE), 4)
+         AS lift
+FROM pair_n p
+JOIN item_n na ON na.item = p.item_a
+JOIN item_n nb ON nb.item = p.item_b
+CROSS JOIN n_orders o
+WHERE p.n_ab >= 5
+ORDER BY p.item_a, p.item_b
+"""
+
+
 def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: each user's LONGEST run of consecutive active
     days — the classic island detector (day − dense_rank is constant
@@ -1844,6 +1982,8 @@ QUERIES = {
     "lineitem_skyline_frontier": QueryDef(lineitem_skyline_frontier, SKYLINE_SQL),
     "events_session_length_stats": QueryDef(events_session_length_stats, SESSION_LENGTH_SQL),
     "orders_open_backlog_monthly": QueryDef(orders_open_backlog_monthly, BACKLOG_SQL),
+    "customer_cohort_ltv": QueryDef(customer_cohort_ltv, COHORT_LTV_SQL),
+    "lineitem_basket_lift": QueryDef(lineitem_basket_lift, BASKET_LIFT_SQL),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_SQL),
     "graph_triangle_stats": QueryDef(graph_triangle_stats, TRIANGLE_SQL),
     "events_top_paths": QueryDef(events_top_paths, TOP_PATHS_SQL),
