@@ -1818,12 +1818,18 @@ def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     All counts are exact BIGINTs; the three ratios divide once each,
     mirrored (integer products stay under 2⁵³ so the doubles are
     exact)."""
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
     li = load(spark, sf_dir, "lineitem")
-    basket = (
+    # persisted: feeds the total-orders aggregate, the per-item counts,
+    # and both sides of the pair self-join — one distinct shuffle total
+    basket = persist_tracked(
         li.select("l_orderkey", (F.col("l_partkey") % 25).cast("int").alias("item"))
         .distinct()
     )
-    n_orders = basket.select("l_orderkey").distinct().count()
+    # total-order count rides as a broadcast 1-row aggregate — zero
+    # driver actions at construction (the bloom-sizing ADVICE class)
+    n_orders_df = basket.agg(F.countDistinct("l_orderkey").alias("_N"))
     item_n = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     a, b = basket.alias("a"), basket.alias("b")
     pair_n = (
@@ -1840,15 +1846,16 @@ def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair_n.join(F.broadcast(na), "item_a")
         .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n_orders_df))
         .filter(F.col("n_ab") >= 5)
         .select(
             "item_a",
             "item_b",
             "n_ab",
-            F.round(F.col("n_ab").cast("double") / n_orders, 4).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("_N"), 4).alias("support"),
             F.round(F.col("n_ab").cast("double") / F.col("n_a"), 4).alias("confidence"),
             F.round(
-                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                (F.col("n_ab") * F.col("_N")).cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double"),
                 4,
             ).alias("lift"),
