@@ -119,6 +119,8 @@ HEAVY_EXTENSION = [
     "window_locf_fill",
     "events_session_length_stats",
     "orders_open_backlog_monthly",
+    "customer_cohort_ltv",
+    "lineitem_basket_lift",
 ]
 
 
