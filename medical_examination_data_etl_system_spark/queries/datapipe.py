@@ -1164,7 +1164,74 @@ GROUP BY emb.label ORDER BY emb.label
 """
 
 
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram NOVELTY — the incremental-value curation metric:
+    what fraction of a doc's distinct word bigrams first appear in THIS
+    doc (min doc id), i.e. how much the doc adds that earlier corpus
+    hasn't already said. The first-occurrence trick (vocab growth's
+    per-doc sibling): one gram-keyed shuffle assigns each distinct
+    bigram its min doc, one doc-keyed aggregate scores every doc —
+    nothing quadratic, grams travel as xxhash64 longs
+    (collision-exact; the oracle works on the gram strings
+    directly)."""
+    from medical_examination_data_etl_system_spark.operators.curation import _word_gram_rows
+
+    docs = load(spark, sf_dir, "documents")
+    grams = _word_gram_rows(docs, "text", "doc_id", 2).distinct()
+    first = grams.groupBy("_gram").agg(F.min("_id").alias("_first"))
+    scored = grams.join(first, "_gram").groupBy(F.col("_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("_id") == F.col("_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 4),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+), first AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+), scored AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM grams g JOIN first f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_novel, 0) AS n_novel,
+       CASE WHEN s.n_grams IS NOT NULL
+            THEN round(CAST(s.n_novel AS DOUBLE) / s.n_grams, 4) END AS novelty
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "docs_ngram_novelty": QueryDef(docs_ngram_novelty, NGRAM_NOVELTY_SQL),
     "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "docs_semantic_dedup_srp": QueryDef(docs_semantic_dedup_srp, None),
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),

@@ -121,6 +121,7 @@ HEAVY_EXTENSION = [
     "orders_open_backlog_monthly",
     "customer_cohort_ltv",
     "lineitem_basket_lift",
+    "docs_ngram_novelty",
 ]
 
 
