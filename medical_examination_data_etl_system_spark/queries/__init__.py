@@ -92,6 +92,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (3) 8 stale-evidence rows last checked in r03 — the full multimodal
 # family, both CC variants, and both approximate ANN paths. Every name
 # is asserted against the registry below (ADVICE r4).
+# r07 ROTATION PLAN (leave for the next round): 16 round-8 queries
+# landed after this window froze and carry ZERO driver rows —
+# events_dau_wau_stickiness, orders_price_mad, fn_try_arithmetic,
+# fn_higher_order_arrays, incr_join_merge_revenue,
+# set_bag_semantics_nations, join_null_safe_keys,
+# events_activity_streaks, lineitem_skyline_frontier,
+# window_topk_with_ties, window_locf_fill, events_session_length_stats,
+# orders_open_backlog_monthly, customer_cohort_ltv,
+# lineitem_basket_lift, docs_ngram_novelty (all hash-green in the local
+# parity gate + individually 100x-checked this round). They lead r07's
+# window, followed by the displaced r03-stale rows (multimodal family,
+# CC variants, emb_ivf/lsh_topk, q1/q10/q11).
 _DRIVER_WINDOW_PRIORITY = [
     # (1) never driver-checked — 33
     "pipeline_render_reports",
