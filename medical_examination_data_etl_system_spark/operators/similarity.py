@@ -819,3 +819,73 @@ def kmeans_assign(
         F.col("_cluster").alias("cluster"),
         F.col("_sq").alias("sq_dist"),
     )
+
+
+def kmeans_assign_round1_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k-means ASSIGNMENT kernel (one Lloyd half-round) made
+    exact-hash-checkable: vectors and the k seed centroids (the k
+    lowest ids — SQL-expressible, unlike the xxhash64 sampling) are
+    quantized to int64 at ``scale`` (the ``quantized_gram_matrix``
+    discipline), distances computed in integer arithmetic
+    (v·v − 2·v·c + c·c — exact, no float summation order anywhere),
+    argmin ties broken on the lower cluster index. Same distributed
+    shape as :func:`kmeans_assign`'s hot path — one map-only
+    ``mapInPandas`` BLAS pass against the broadcast k×d matrix, no
+    shuffle at all before the consumer — so a driver hash row on this
+    variant certifies the BLAS-assignment plumbing that the iterative
+    float loop (rows-only by construction) runs on.
+
+    int64 bounds: |x| ≤ 2^12 after quantization at 1e6 needs
+    d·(2·scale·2^12)² ≤ 2^63 — holds through d ≈ 10⁴ for unit-norm
+    embeddings; the 64-dim corpus is far inside. Quantization happens
+    JVM-side via :func:`linalg.quantize_fixed_point` (half-away-from-
+    zero ``F.round``, the exact tree the oracle replays) BEFORE the
+    Arrow boundary, so Python only ever touches integers.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        quantize_fixed_point(vec_col, scale).alias("_v"),
+    )
+    seeds = base.orderBy("_id").limit(k).collect()
+    cq = np.array([list(r["_v"]) for r in seeds], dtype=np.int64)
+    c_sq = (cq * cq).sum(axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_cluster", T.IntegerType(), False),
+            T.StructField("_qd", T.LongType(), False),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vq = np.array([list(v) for v in pdf["_v"]], dtype=np.int64)
+            d = (vq * vq).sum(axis=1)[:, None] - 2 * (vq @ cq.T) + c_sq[None, :]
+            cl = np.argmin(d, axis=1)  # stable: ties → lower index
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(dtype=np.int64),
+                    "_cluster": cl.astype("int32"),
+                    "_qd": d[np.arange(len(cl)), cl],
+                }
+            )
+
+    return base.mapInPandas(_assign, schema=out_schema).select(
+        F.col("_id").alias(id_col),
+        F.col("_cluster").alias("cluster"),
+        F.col("_qd").alias("q_sq_dist"),
+    )

@@ -754,6 +754,50 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_kmeans_assign_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means BLAS-assignment kernel under a FULL exact oracle
+    (VERDICT r6 #6): one Lloyd half-round against the k=8 lowest-id
+    seed centroids, int64-quantized so the distance argmin is integer-
+    exact (operators/similarity.kmeans_assign_round1_quantized — same
+    map-only mapInPandas shape as the iterative loop's hot path, which
+    stays rows-only by construction). The oracle replays the identical
+    quantization tree and tie-break in DuckDB, upgrading the
+    distributed-assignment plumbing from pytest pins to a driver hash
+    row — the same chip-the-rows-only move docs_semantic_dedup made
+    for connected components."""
+    from medical_examination_data_etl_system_spark.operators.similarity import (
+        kmeans_assign_round1_quantized,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_assign_round1_quantized(emb, k=8, scale=1_000_000).orderBy("vec_id")
+
+
+KMEANS_ASSIGN_R1_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cq AS (
+  SELECT c.cidx, v.dim, v.qv AS qc
+  FROM cent c JOIN vq v ON v.vec_id = c.cid
+), dist AS (
+  SELECT v.vec_id, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq c USING (dim)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY qd, cidx) AS rn
+  FROM dist
+)
+SELECT vec_id, CAST(cidx AS INTEGER) AS cluster, qd AS q_sq_dist
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact d×d Gram matrix of the embedding corpus (upper triangle)
     in fixed-point int64 (operators/linalg.quantized_gram_matrix): one
@@ -1236,6 +1280,7 @@ QUERIES = {
     "docs_semantic_dedup_srp": QueryDef(docs_semantic_dedup_srp, None),
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
+    "emb_kmeans_assign_round1": QueryDef(emb_kmeans_assign_round1, KMEANS_ASSIGN_R1_SQL),
     "emb_label_centroids": QueryDef(emb_label_centroids, LABEL_CENTROIDS_SQL),
     "emb_quantize_int8": QueryDef(emb_quantize_int8, QUANTIZE_SQL),
     "docs_heavy_hitter_terms": QueryDef(docs_heavy_hitter_terms, HEAVY_HITTERS_SQL),

@@ -548,8 +548,369 @@ FROM texted GROUP BY record_id ORDER BY record_id
 """
 
 
+def pipeline_llm_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's U1 LLM stage (llm_processing.py:18-216) driven
+    end-to-end through the REAL engine path at warehouse scale —
+    ``pipeline/llm.py::rewrite_distinct_summaries``: distinct
+    (LANG_NO, trim(SUMMARY)) once across the whole frame, the rewrite
+    inside ``mapInPandas`` (Arrow batches, bounded thread pool per
+    batch), and a persisted materialization barrier. Mock mode is
+    deterministic (``"[LLM_OUTPUT]" + text``; skip-list defaults pass
+    through identity — llm_processing.py:10,135-137), so the full DuckDB
+    oracle below replays it exactly (VERDICT r6 #2: previously the
+    renderer query faked this table inline; this puts the one
+    Arrow-batch stage of the reference pipeline under the driver hash
+    gate). Summaries derive from lineitem: every third line falls to the
+    row-language default (exercising the skip-list), some rows pad with
+    whitespace (exercising the pre-distinct trim), some are blank
+    (exercising the non-empty filter).
+
+    Scale: the mapInPandas input is the DISTINCT summary set — bounded
+    by content cardinality, not corpus size; the 100 TB fact frame only
+    pays a hash aggregation."""
+    from medical_examination_data_etl_system_spark.pipeline.llm import rewrite_distinct_summaries
+    from medical_examination_data_etl_system_spark.schemas import LANGU_MAP
+
+    li = load(spark, sf_dir, "lineitem")
+    lang = (F.col("l_partkey") % 4 + 1).cast("string")
+    default = F.element_at(
+        F.create_map(*[F.lit(x) for kv in LANGU_MAP.items() for x in kv]), lang
+    )
+    base = (
+        F.when(F.col("l_linenumber") % 3 == 0, default)
+        .when(F.col("l_partkey") % 11 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("NOTE_"), (F.col("l_partkey") % 97).cast("string")))
+    )
+    summary = F.when(
+        F.col("l_suppkey") % 5 == 0, F.concat(F.lit(" "), base, F.lit("  "))
+    ).otherwise(base)
+    frame = li.select(lang.alias("LANG_NO"), summary.alias("SUMMARY"))
+    return rewrite_distinct_summaries(frame).orderBy("LANG_NO", "SUMMARY")
+
+
+LLM_REWRITE_SQL = """
+WITH src AS (
+  SELECT CAST(l_partkey % 4 + 1 AS VARCHAR) AS lang_no,
+         CASE WHEN l_linenumber % 3 = 0 THEN
+                CASE l_partkey % 4 + 1
+                  WHEN 1 THEN '本項無補充說明'
+                  WHEN 2 THEN 'No additional information for this item.'
+                  WHEN 3 THEN 'この項目に関する追加情報はありません。'
+                  ELSE '本项无补充说明。' END
+              WHEN l_partkey % 11 = 0 THEN ''
+              ELSE 'NOTE_' || CAST(l_partkey % 97 AS VARCHAR) END AS base,
+         l_suppkey
+  FROM lineitem
+), keyed AS (
+  SELECT DISTINCT
+    lang_no AS "LANG_NO",
+    trim(CASE WHEN l_suppkey % 5 = 0 THEN ' ' || base || '  ' ELSE base END) AS "SUMMARY"
+  FROM src
+)
+SELECT "LANG_NO", "SUMMARY",
+       CASE WHEN "SUMMARY" IN ('本項無補充說明', 'No additional information for this item.',
+                               'この項目に関する追加情報はありません。', '本项无补充说明。')
+            THEN "SUMMARY"
+            ELSE '[LLM_OUTPUT]' || "SUMMARY" END AS "SUMMARY_REWRITTEN"
+FROM keyed
+WHERE "SUMMARY" <> ''
+ORDER BY "LANG_NO", "SUMMARY"
+"""
+
+
+def pipeline_ingest_enrich_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FRONT HALF of the reference pipeline — the real
+    ``flatten`` → ``enrich`` → ``postprocess_multilang`` functions
+    (S2-S4 posexplode flatten + ord derivation, P1 comment filter, J5
+    request echo, J1-J4 broadcast dim joins, P2/P3 projection+backfill,
+    F1-F7 cleaning, A3 sentinel, A2 keep-first dedup, O1 stable sort) —
+    driven as ONE query at warehouse scale with a full DuckDB oracle
+    (VERDICT r6 #3; previously each primitive was driver-covered
+    piecemeal and the composition only had reference-sample goldens).
+
+    Input records synthesize from lineitem (record = order, item =
+    part bucket, finding = line): comments exercise every cleaning rule
+    (blank → P1 drop, full-width punctuation → F4, embedded newline →
+    F3, padded parens → F5); the dims are deterministic functions of
+    small key spaces with deliberate coverage GAPS (item I4 misses
+    item_meta → P3 backfill + F1 empty-fill; diags D020+ miss diag_tbl
+    → null SUMMARY_CODE chain; summaries S5/S6 miss summary_tbl → F6
+    per-language defaults) and GROUPNO pathologies (I2→0, I4→null, both
+    → A3 max+1 sentinel).
+
+    ``_rec_idx`` is 0 for every record — unlike the API path (driver
+    enumerate) and the JSON-file path (dense_rank), this caller needs no
+    cross-record component in ``ord``: record identity rides RECORD_ID
+    through every downstream partition (dedup key, re-rank window), so
+    a per-record-constant index is valid and avoids both the
+    single-task header window and any bit-layout cap. Scale shape: two
+    key-local aggregations build the nested records, flatten is
+    map-side, all four dim joins broadcast, the dedup window hashes by
+    its 8-col key, the re-rank by RECORD_ID; the only global op is the
+    1-row max broadcast cross-join. No unpartitioned windows."""
+    from medical_examination_data_etl_system_spark.pipeline.clean import postprocess_multilang
+    from medical_examination_data_etl_system_spark.pipeline.enrich import enrich
+    from medical_examination_data_etl_system_spark.pipeline.ingest import flatten
+    from medical_examination_data_etl_system_spark.schemas import SUBSET
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    fkey = (
+        F.col("l_linenumber").cast("long") * 10_000_000_000
+        + F.col("l_partkey") * 100
+        + F.col("l_suppkey") % 100
+    )
+    pk7 = (F.col("l_partkey") % 7).cast("string")
+    mm = (F.col("l_linenumber") + F.col("l_partkey")) % 9
+    comment = (
+        F.when(mm == 0, F.lit(""))
+        .when(mm == 1, F.lit("   "))
+        .when(mm == 2, F.concat(F.lit("檢查（升高）：請注意"), pk7))
+        .when(mm == 3, F.concat(F.lit("line1\nline2_"), pk7))
+        .when(mm == 4, F.concat(F.lit("val ( ok ) "), pk7))
+        .otherwise(F.concat(F.lit("OBS_"), (F.col("l_partkey") % 50).cast("string")))
+    )
+    findings = li.select(
+        F.col("l_orderkey").alias("okey"),
+        fkey.alias("fkey"),
+        F.concat(F.lit("I"), (F.col("l_partkey") % 5).cast("string")).alias("ITEM_CODE"),
+        F.concat(
+            F.lit("D"), F.lpad((F.col("l_partkey") % 40).cast("string"), 3, "0")
+        ).alias("DIAG_CODE"),
+        comment.alias("COMMENT"),
+    )
+    # Nested-record build: findings sort within an item by (fkey, DIAG,
+    # COMMENT) — a total order (fkey ties pin identical derived content,
+    # see pipeline_render_reports); items sort by their unique ITEM_CODE.
+    items = (
+        findings.groupBy("okey", "ITEM_CODE")
+        .agg(F.array_sort(F.collect_list(F.struct("fkey", "DIAG_CODE", "COMMENT"))).alias("_fs"))
+        .select(
+            "okey",
+            F.struct(
+                F.col("ITEM_CODE"),
+                F.transform(
+                    "_fs",
+                    lambda s: F.struct(
+                        s["DIAG_CODE"].alias("DIAG_CODE"), s["COMMENT"].alias("COMMENT")
+                    ),
+                ).alias("FINDINGS"),
+            ).alias("_item"),
+        )
+    )
+    nested = (
+        items.groupBy("okey")
+        .agg(F.array_sort(F.collect_list("_item")).alias("ITEMS"))
+        .select(
+            F.lit(0).cast("long").alias("_rec_idx"),
+            F.col("okey").cast("string").alias("RECORD_ID"),
+            (F.expr("okey div 4 % 4") + 1).cast("string").alias("LANG_NO"),
+            F.lit("ORG_SYN").alias("ORG_ID"),
+            "ITEMS",
+        )
+    )
+
+    idx = F.col("id").cast("string")
+    item_meta = spark.range(4).select(  # I4 deliberately uncovered
+        F.concat(F.lit("I"), idx).alias("ITEM_CODE"),
+        F.concat(F.lit("項目 I"), idx).alias("TCNAME_ITEM"),
+        F.concat(F.lit("项目 I"), idx).alias("SCNAME_ITEM"),
+        F.concat(F.lit("アイテム I"), idx).alias("JPNAME_ITEM"),
+        F.concat(F.lit("Item I"), idx).alias("ENNAME_ITEM"),
+        F.lit("ORG_SYN").alias("ORG_ID"),
+    )
+    item_group_map = spark.range(4).select(  # I4 → null GROUPNO (sentinel)
+        F.concat(F.lit("I"), idx).alias("ITEM_CODE"),
+        F.when(F.col("id") == 0, 1)
+        .when(F.col("id") == 1, 2)
+        .when(F.col("id") == 2, 0)  # 0 → sentinel
+        .otherwise(2)
+        .cast("int")
+        .alias("GROUPNO"),
+        F.when(F.col("id") == 1, F.lit("")).otherwise(F.concat(F.lit("分類"), idx)).alias("TCNAME_GROUP"),
+        F.when(F.col("id") == 0, F.lit("Grp\nA0")).otherwise(F.concat(F.lit("Group "), idx)).alias("ENNAME_GROUP"),
+        F.lit("").alias("JPNAME_GROUP"),  # → F6 default
+        F.concat(F.lit("分类"), idx).alias("SCNAME_GROUP"),
+    )
+    diag_tbl = spark.range(20).select(  # D020..D039 uncovered
+        F.concat(F.lit("D"), F.lpad(idx, 3, "0")).alias("DIAG_CODE"),
+        F.concat(F.lit("S"), (F.col("id") % 7).cast("string")).alias("SUMMARY_CODE"),
+        F.concat(F.lit("obs "), idx).alias("ENNAME_COMMENT"),
+        F.lit("").alias("JPNAME_COMMENT"),
+        F.concat(F.lit("观察 "), idx).alias("SCNAME_COMMENT"),
+    )
+    summary_tbl = spark.range(5).select(  # S5/S6 uncovered → F6 defaults
+        F.concat(F.lit("S"), idx).alias("SUMMARY_CODE"),
+        F.when(F.col("id") % 3 == 0, F.lit(""))
+        .when(F.col("id") % 3 == 1, F.concat(F.lit("總結\nS"), idx))
+        .otherwise(F.concat(F.lit("摘要 S"), idx))
+        .alias("TCNAME_SUMMARY"),
+        F.when(F.col("id") % 2 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("Summary S"), idx))
+        .alias("ENNAME_SUMMARY"),
+        F.lit("").alias("JPNAME_SUMMARY"),
+        F.concat(F.lit("小结 S"), idx).alias("SCNAME_SUMMARY"),
+    )
+    dims = {
+        "item_meta": item_meta,
+        "item_group_map": item_group_map,
+        "diag_tbl": diag_tbl,
+        "summary_tbl": summary_tbl,
+    }
+    cleaned = postprocess_multilang(enrich(flatten(nested), dims))
+    rest = [c for c in SUBSET if c != "RECORD_ID"]
+    return (
+        cleaned.select(
+            F.col("RECORD_ID").cast("long").alias("record_id"), F.col("ord"), *rest
+        )
+        .orderBy("record_id", "ord")
+    )
+
+
+INGEST_ENRICH_CLEAN_SQL = r"""
+WITH f0 AS (
+  SELECT l_orderkey AS okey,
+         CAST(l_linenumber AS BIGINT) * 10000000000 + l_partkey * 100 + l_suppkey % 100 AS fkey,
+         'I' || CAST(l_partkey % 5 AS VARCHAR) AS item_code,
+         'D' || lpad(CAST(l_partkey % 40 AS VARCHAR), 3, '0') AS diag_code,
+         CASE (l_linenumber + l_partkey) % 9
+           WHEN 0 THEN ''
+           WHEN 1 THEN '   '
+           WHEN 2 THEN '檢查（升高）：請注意' || CAST(l_partkey % 7 AS VARCHAR)
+           WHEN 3 THEN 'line1' || chr(10) || 'line2_' || CAST(l_partkey % 7 AS VARCHAR)
+           WHEN 4 THEN 'val ( ok ) ' || CAST(l_partkey % 7 AS VARCHAR)
+           ELSE 'OBS_' || CAST(l_partkey % 50 AS VARCHAR)
+         END AS comment
+  FROM lineitem WHERE l_orderkey % 4 = 0
+), pos AS (
+  -- flatten's ord with _rec_idx = 0: item_pos * 2^20 + finding_pos,
+  -- positions computed BEFORE the P1 filter (explode sees full arrays)
+  SELECT *,
+    (dense_rank() OVER (PARTITION BY okey ORDER BY item_code) - 1) * 1048576
+      + row_number() OVER (PARTITION BY okey, item_code
+                           ORDER BY fkey, diag_code, comment) - 1 AS ord0
+  FROM f0
+), flat AS (
+  SELECT okey, CAST(okey // 4 % 4 + 1 AS VARCHAR) AS lang_no, 'ORG_SYN' AS org_id,
+         item_code, diag_code, comment, ord0
+  FROM pos WHERE trim(comment) <> ''
+), item_meta AS (
+  SELECT 'I' || CAST(i AS VARCHAR) AS item_code,
+         '項目 I' || CAST(i AS VARCHAR) AS tcname_item,
+         '项目 I' || CAST(i AS VARCHAR) AS scname_item,
+         'アイテム I' || CAST(i AS VARCHAR) AS jpname_item,
+         'Item I' || CAST(i AS VARCHAR) AS enname_item
+  FROM range(4) t(i)
+), grp AS (
+  SELECT 'I' || CAST(i AS VARCHAR) AS item_code,
+         CASE i WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 0 ELSE 2 END AS groupno0,
+         CASE WHEN i = 1 THEN '' ELSE '分類' || CAST(i AS VARCHAR) END AS tcname_group,
+         CASE WHEN i = 0 THEN 'Grp' || chr(10) || 'A0'
+              ELSE 'Group ' || CAST(i AS VARCHAR) END AS enname_group,
+         '' AS jpname_group,
+         '分类' || CAST(i AS VARCHAR) AS scname_group
+  FROM range(4) t(i)
+), diag AS (
+  SELECT 'D' || lpad(CAST(i AS VARCHAR), 3, '0') AS diag_code,
+         'S' || CAST(i % 7 AS VARCHAR) AS summary_code,
+         'obs ' || CAST(i AS VARCHAR) AS enname_comment,
+         '' AS jpname_comment,
+         '观察 ' || CAST(i AS VARCHAR) AS scname_comment
+  FROM range(20) t(i)
+), summ AS (
+  SELECT 'S' || CAST(i AS VARCHAR) AS summary_code,
+         CASE WHEN i % 3 = 0 THEN ''
+              WHEN i % 3 = 1 THEN '總結' || chr(10) || 'S' || CAST(i AS VARCHAR)
+              ELSE '摘要 S' || CAST(i AS VARCHAR) END AS tcname_summary,
+         CASE WHEN i % 2 = 0 THEN '' ELSE 'Summary S' || CAST(i AS VARCHAR) END AS enname_summary,
+         '' AS jpname_summary,
+         '小结 S' || CAST(i AS VARCHAR) AS scname_summary
+  FROM range(5) t(i)
+), joined AS (
+  SELECT f.*, im.tcname_item, im.enname_item, im.jpname_item, im.scname_item,
+         g.groupno0, g.tcname_group, g.enname_group, g.jpname_group, g.scname_group,
+         d.summary_code, d.enname_comment, d.jpname_comment, d.scname_comment,
+         s.tcname_summary, s.enname_summary, s.jpname_summary, s.scname_summary
+  FROM flat f
+  LEFT JOIN item_meta im USING (item_code)
+  LEFT JOIN grp g USING (item_code)
+  LEFT JOIN diag d USING (diag_code)
+  LEFT JOIN summ s ON d.summary_code = s.summary_code
+), cleaned AS (
+  SELECT okey, lang_no, org_id, item_code, diag_code, ord0,
+    regexp_replace(regexp_replace(
+      translate(regexp_replace(coalesce(comment, ''), '[\r\n]', '', 'g'),
+                '（）【】：；，。！？“”‘’、　～％＋－＝＠', '()[]:;,.!?""'''', ~%+-=@'),
+      '\s*\(\s*', '(', 'g'), '\s*\)\s*', ')', 'g') AS comment,
+    CASE WHEN regexp_replace(coalesce(tcname_summary, ''), '[\r\n]', '', 'g') = ''
+         THEN '本項無補充說明'
+         ELSE regexp_replace(coalesce(tcname_summary, ''), '[\r\n]', '', 'g') END AS tcname_summary,
+    CASE WHEN regexp_replace(coalesce(enname_summary, ''), '[\r\n]', '', 'g') = ''
+         THEN 'No additional information for this item.'
+         ELSE regexp_replace(coalesce(enname_summary, ''), '[\r\n]', '', 'g') END AS enname_summary,
+    CASE WHEN regexp_replace(coalesce(jpname_summary, ''), '[\r\n]', '', 'g') = ''
+         THEN 'この項目に関する追加情報はありません。'
+         ELSE regexp_replace(coalesce(jpname_summary, ''), '[\r\n]', '', 'g') END AS jpname_summary,
+    CASE WHEN regexp_replace(coalesce(scname_summary, ''), '[\r\n]', '', 'g') = ''
+         THEN '本项无补充说明。'
+         ELSE regexp_replace(coalesce(scname_summary, ''), '[\r\n]', '', 'g') END AS scname_summary,
+    CASE WHEN regexp_replace(coalesce(tcname_group, ''), '[\r\n]', '', 'g') = ''
+         THEN '其他'
+         ELSE regexp_replace(coalesce(tcname_group, ''), '[\r\n]', '', 'g') END AS tcname_group,
+    CASE WHEN regexp_replace(coalesce(enname_group, ''), '[\r\n]', '', 'g') = ''
+         THEN 'Others'
+         ELSE regexp_replace(coalesce(enname_group, ''), '[\r\n]', '', 'g') END AS enname_group,
+    CASE WHEN regexp_replace(coalesce(jpname_group, ''), '[\r\n]', '', 'g') = ''
+         THEN 'その他'
+         ELSE regexp_replace(coalesce(jpname_group, ''), '[\r\n]', '', 'g') END AS jpname_group,
+    CASE WHEN regexp_replace(coalesce(scname_group, ''), '[\r\n]', '', 'g') = ''
+         THEN '其他'
+         ELSE regexp_replace(coalesce(scname_group, ''), '[\r\n]', '', 'g') END AS scname_group,
+    groupno0,
+    coalesce(tcname_item, '') AS tcname_item,
+    coalesce(enname_item, '') AS enname_item,
+    coalesce(jpname_item, '') AS jpname_item,
+    coalesce(scname_item, '') AS scname_item,
+    coalesce(enname_comment, '') AS enname_comment,
+    coalesce(jpname_comment, '') AS jpname_comment,
+    coalesce(scname_comment, '') AS scname_comment
+  FROM joined
+), sentinel AS (
+  SELECT *, CASE WHEN groupno0 IS NULL OR groupno0 = 0
+                 THEN max(groupno0) OVER () + 1 ELSE groupno0 END AS groupno
+  FROM cleaned
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY item_code, okey, lang_no, org_id,
+                   tcname_summary, enname_summary, jpname_summary, scname_summary
+      ORDER BY ord0) AS rn
+    FROM sentinel) WHERE rn = 1
+), final AS (
+  SELECT *, row_number() OVER (PARTITION BY okey
+                               ORDER BY groupno, tcname_item, ord0) AS ord
+  FROM deduped
+)
+SELECT okey AS "record_id", CAST(ord AS INTEGER) AS "ord",
+       org_id AS "ORG_ID", lang_no AS "LANG_NO", diag_code AS "DIAG_CODE",
+       CAST(groupno AS INTEGER) AS "GROUPNO",
+       tcname_group AS "TCNAME_GROUP", enname_group AS "ENNAME_GROUP",
+       jpname_group AS "JPNAME_GROUP", scname_group AS "SCNAME_GROUP",
+       item_code AS "ITEM_CODE",
+       tcname_item AS "TCNAME_ITEM", enname_item AS "ENNAME_ITEM",
+       jpname_item AS "JPNAME_ITEM", scname_item AS "SCNAME_ITEM",
+       comment AS "COMMENT",
+       enname_comment AS "ENNAME_COMMENT", jpname_comment AS "JPNAME_COMMENT",
+       scname_comment AS "SCNAME_COMMENT",
+       tcname_summary AS "TCNAME_SUMMARY", enname_summary AS "ENNAME_SUMMARY",
+       jpname_summary AS "JPNAME_SUMMARY", scname_summary AS "SCNAME_SUMMARY"
+FROM final ORDER BY "record_id", "ord"
+"""
+
+
 QUERIES = {
     "dq_check_orders": QueryDef(dq_check_orders, DQ_CHECK_SQL),
+    "pipeline_llm_rewrite": QueryDef(pipeline_llm_rewrite, LLM_REWRITE_SQL),
+    "pipeline_ingest_enrich_clean": QueryDef(pipeline_ingest_enrich_clean, INGEST_ENRICH_CLEAN_SQL),
     "pipeline_render_reports": QueryDef(pipeline_render_reports, RENDER_REPORTS_SQL),
     "sql_interface_revenue": QueryDef(sql_interface_revenue, SQL_INTERFACE_SQL),
     "layout_format_roundtrip": QueryDef(layout_format_roundtrip, FORMAT_ROUNDTRIP_SQL),
