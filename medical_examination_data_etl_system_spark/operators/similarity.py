@@ -889,3 +889,59 @@ def kmeans_assign_round1_quantized(
         F.col("_cluster").alias("cluster"),
         F.col("_qd").alias("q_sq_dist"),
     )
+
+
+def srp_buckets_quantized(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucketing made exact-hash-checkable: the
+    hyperplanes are MATERIALIZED FROM THE DATA (the ``n_planes``
+    lowest-id vectors — SQL-expressible, unlike a seeded Gaussian),
+    both sides int64-quantized JVM-side, so every sign bit is the sign
+    of an exact integer dot product (tie: 0 → bit set, mirroring
+    ``s >= 0``). Returns ``(id, bucket)`` with bucket = the packed
+    bit-vector. Same map-only mapInPandas GEMM shape as the production
+    SRP path (multi-table LSH in this module, rows-only by its seeded
+    float hashing) — a driver hash row here certifies that kernel's
+    distributed plumbing, the kmeans-assignment move applied to SRP.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        quantize_fixed_point(vec_col, scale).alias("_v"),
+    )
+    planes = base.orderBy("_id").limit(n_planes).collect()
+    hq = np.array([list(r["_v"]) for r in planes], dtype=np.int64)  # h×d
+    powers = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_bucket", T.LongType(), False),
+        ]
+    )
+
+    def _hash(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vq = np.array([list(v) for v in pdf["_v"]], dtype=np.int64)
+            bits = (vq @ hq.T) >= 0  # exact integer signs
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(dtype=np.int64),
+                    "_bucket": bits @ powers,
+                }
+            )
+
+    return base.mapInPandas(_hash, schema=out_schema).select(
+        F.col("_id").alias(id_col), F.col("_bucket").alias("bucket")
+    )

@@ -72,100 +72,73 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1). Round 8 (driver r06) rotation — VERDICT r5 #1 verbatim: "rotate
-# the driver window to the never-driver-checked queries". Computed at
-# rotation time against CORRECTNESS_r{01,03,04,05}.json: 127 of the 160
-# registered queries have at least one driver row; the window now holds
-# (1) all 33 with ZERO driver rows ever — the 32 'local' rows in
-# VERDICT r5's coverage table (all hash-green in pytest's oracle-parity
-# replica for ≥1 round) plus the round-8 renderer query
-# pipeline_render_reports; graph_pagerank_parts doubles as a
-# changed-this-round entry (top-k rewritten to TakeOrderedAndProject);
-# then (2) the 6 queries whose CODE changed this round after their last
-# driver row: the two collapse-pre-step rewrites
-# (multimodal_phash_near_dup, text_rolling_fingerprint), the
-# overflow-guarded linalg pair (emb_gram_matrix, emb_pca_project), the
-# persist-fixed join_bloom_prefilter, and the null-poisoning-fixed
-# stream_running_ewma, plus the 2 queries ADDED this round
-# (graph_bfs_depths — the exact-oracle iterative BFS —
-# and docs_blocklist_filter), which outrank stale-green rows; then
-# (3) 8 stale-evidence rows last checked in r03 — the full multimodal
-# family, both CC variants, and both approximate ANN paths. Every name
-# is asserted against the registry below (ADVICE r4).
-# r07 ROTATION PLAN (leave for the next round): 16 round-8 queries
-# landed after this window froze and carry ZERO driver rows —
-# events_dau_wau_stickiness, orders_price_mad, fn_try_arithmetic,
-# fn_higher_order_arrays, incr_join_merge_revenue,
-# set_bag_semantics_nations, join_null_safe_keys,
-# events_activity_streaks, lineitem_skyline_frontier,
-# window_topk_with_ties, window_locf_fill, events_session_length_stats,
-# orders_open_backlog_monthly, customer_cohort_ltv,
-# lineitem_basket_lift, docs_ngram_novelty (all hash-green in the local
-# parity gate + individually 100x-checked this round). They lead r07's
-# window, followed by the displaced r03-stale rows (multimodal family,
-# CC variants, emb_ivf/lsh_topk, q1/q10/q11).
+# r3 #1). Round 9 (driver r07) rotation — VERDICT r6 #1 executed
+# verbatim, computed against CORRECTNESS_r{01,03,04,05,06}.json:
+# (1) the 3 queries ADDED this round (the composed-pipeline pair that
+# puts the real mapInPandas LLM stage and the ingest→enrich→clean
+# front half under the hash gate — VERDICT r6 #2/#3 — and the exact-
+# oracle k-means assignment kernel — VERDICT r6 #6);
+# (2) all 16 round-8 queries that landed after the r06 window froze and
+# carry ZERO driver rows (each hash-green in pytest's oracle-parity
+# replica and individually 100×-checked when added);
+# (3) all 27 rows whose newest driver evidence is r03 — the displaced
+# multimodal family, both CC variants, both approximate-ANN paths, the
+# 17 remaining r03 TPC-H queries, and both skew demos;
+# (4) 4 slots of r04-stale TPC-H heavies (q9/q12/q20/q21).
+# After this round every registered query's evidence is r04+ except the
+# 44 remaining r04/r05 rows — r08 should rotate those in next.
+# Every name is asserted against the registry below (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
-    # (1) never driver-checked — 33
-    "pipeline_render_reports",
-    "graph_pagerank_parts",
-    "graph_triangle_stats",
-    "layout_partition_prune",
-    "layout_schema_evolution",
-    "layout_format_roundtrip",
-    "layout_compact_small_files",
-    "emb_kmeans_clusters",
-    "emb_label_centroids",
-    "emb_quantize_int8",
-    "docs_tfidf_top_terms",
-    "docs_token_entropy",
-    "docs_weighted_sample",
-    "docs_train_val_test_split",
-    "docs_length_buckets",
-    "docs_domain_mix",
-    "stream_sliding_halfhour",
-    "stream_session_builtin",
-    "events_top_paths",
-    "events_chi_square",
-    "events_pmi_cooccurrence",
-    "events_variant_extract",
-    "events_corrupt_json_audit",
-    "orders_daily_anomaly",
-    "orders_mom_growth",
-    "customer_rfm_segments",
-    "lineitem_price_qty_corr",
-    "agg_p90_outlier_orders",
-    "window_range_30d_sum",
-    "window_distribution_stats",
-    "join_full_outer_reconcile",
-    "fn_explode_outer_arrays",
-    "fn_value_histogram",
-    # (2) code changed or added this round — 10 (incl. the
-    # value-domain agg_percentiles_by_flag rewrite)
-    "multimodal_phash_near_dup",
-    "text_rolling_fingerprint",
-    "emb_gram_matrix",
-    "emb_pca_project",
-    "join_bloom_prefilter",
-    "stream_running_ewma",
-    "graph_bfs_depths",
-    "docs_blocklist_filter",
-    "agg_cms_user_counts",
-    "agg_percentiles_by_flag",
-    "docs_semantic_dedup",
-    "customer_abc_classes",
-    "lineitem_weighted_median",
-    "customer_gini_revenue",
-    "events_sessionized_funnel",
-    "docs_semantic_dedup_srp",
-    "stream_cms_user_counts",
-    # (3) stale r03 evidence: fully displaced this round — every slot
-    # went to a zero-row query per the stated policy; the multimodal
-    # family and IVF keep local oracle-parity + pytest pins, and r07's
-    # rotation should lead with them. (resize/frame_sample
-    # yielded to the weighted-median/Gini additions — both carry pytest
-    # byte-oracles and the family keeps two window rows; the CC variants
-    # yielded their slots to docs_semantic_dedup, which drives the SAME
-    # connected-components kernel under an EXACT recursive-CTE oracle)
+    "pipeline_llm_rewrite",
+    "pipeline_ingest_enrich_clean",
+    "emb_kmeans_assign_round1",
+    "events_dau_wau_stickiness",
+    "orders_price_mad",
+    "fn_try_arithmetic",
+    "fn_higher_order_arrays",
+    "incr_join_merge_revenue",
+    "set_bag_semantics_nations",
+    "join_null_safe_keys",
+    "events_activity_streaks",
+    "lineitem_skyline_frontier",
+    "window_topk_with_ties",
+    "window_locf_fill",
+    "events_session_length_stats",
+    "orders_open_backlog_monthly",
+    "customer_cohort_ltv",
+    "lineitem_basket_lift",
+    "docs_ngram_novelty",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_doc_embedding_join",
+    "multimodal_binary_features",
+    "docs_near_dup_components",
+    "docs_near_dup_components_alt",
+    "emb_ivf_topk",
+    "emb_lsh_topk",
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "skew_salted_count_distinct",
+    "skew_salted_join",
+    "q9_product_profit",
+    "q12_late_lines",
+    "q20_potential_promotion",
+    "q21_suppliers_who_kept_waiting",
 ]
 
 

@@ -378,16 +378,45 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     PADDING WASTE — the fraction of a max-length-padded batch that
     would be pad tokens (1 − sum_len / (count·max_len)). The metric
     length-grouped inference batching exists to minimize; bucketing by
-    ntile keeps batch sizes equal under any length distribution."""
+    ntile keeps batch sizes equal under any length distribution.
+
+    The ntile is computed with the VALUE-DOMAIN plan (the
+    events_histogram_equidepth discipline), not a global window over
+    documents: per-token-count tie-group counts + a cumulative offset
+    window over the BOUNDED distinct-length domain, then a within-value
+    row_number (partitioned by n_tokens) gives each doc its exact
+    global rank and the ANSI ntile formula maps ranks to buckets —
+    identical assignment to ``ntile(8) OVER (ORDER BY n_tokens,
+    doc_id)``, but the only single-task frame is the length domain
+    (≤ max doc tokens), never the corpus. (Was a corpus-wide ntile
+    window; caught by plan_audit's unpartitioned-window gate, r7.)"""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
+    nb = 8
     n_tok = F.when(
         F.trim("text") == "", F.lit(0)
     ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
     staged = docs.select("doc_id", n_tok.alias("n_tokens"))
-    w = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
-    bucketed = staged.withColumn("bucket", F.ntile(8).over(w))
+    sizes = staged.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "n_tokens", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = staged.join(offsets, "n_tokens").select(
+        "doc_id", "n_tokens", (F.col("off") + F.row_number().over(w_in)).alias("rnk")
+    )
+    total = staged.agg(F.count(F.lit(1)).alias("n"))
+    bucketed = ranked.crossJoin(F.broadcast(total)).select(
+        "n_tokens",
+        # ANSI ntile: q = n div nb, r = n mod nb; first r buckets get q+1.
+        F.expr(
+            f"CASE WHEN rnk <= (n % {nb}) * (n div {nb} + 1) "
+            f"THEN (rnk - 1) div (n div {nb} + 1) + 1 "
+            f"ELSE (n % {nb}) + (rnk - (n % {nb}) * (n div {nb} + 1) - 1) div (n div {nb}) + 1 END"
+        ).cast("int").alias("bucket"),
+    )
     return (
         bucketed.groupBy("bucket")
         .agg(

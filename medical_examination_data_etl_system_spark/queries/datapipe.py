@@ -798,6 +798,53 @@ FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def emb_srp_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP-LSH bucketing kernel under a FULL exact oracle (VERDICT
+    r6 #6's second suggestion): hyperplanes materialized as data (the
+    16 lowest-id vectors), int64-quantized signs, packed bucket ids —
+    operators/similarity.srp_buckets_quantized — profiled as (bucket,
+    n_vecs, min_vec_id). The production semantic-dedup SRP twin stays
+    rows-only (seeded float hyperplanes); this row certifies its
+    map-only GEMM + bit-pack plumbing exactly."""
+    from medical_examination_data_etl_system_spark.operators.similarity import (
+        srp_buckets_quantized,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    buckets = srp_buckets_quantized(emb, n_planes=16, scale=1_000_000)
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+SRP_BUCKET_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), hyp AS (
+  SELECT vec_id AS hid, row_number() OVER (ORDER BY vec_id) - 1 AS hidx
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), hq AS (
+  SELECT h.hidx, v.dim, v.qv AS qh
+  FROM hyp h JOIN vq v ON v.vec_id = h.hid
+), dots AS (
+  SELECT v.vec_id, h.hidx, CAST(sum(v.qv * h.qh) AS BIGINT) AS s
+  FROM vq v JOIN hq h USING (dim)
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << hidx ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM buckets GROUP BY bucket ORDER BY bucket
+"""
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact d×d Gram matrix of the embedding corpus (upper triangle)
     in fixed-point int64 (operators/linalg.quantized_gram_matrix): one
@@ -1281,6 +1328,7 @@ QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
     "emb_kmeans_assign_round1": QueryDef(emb_kmeans_assign_round1, KMEANS_ASSIGN_R1_SQL),
+    "emb_srp_bucket_profile": QueryDef(emb_srp_bucket_profile, SRP_BUCKET_SQL),
     "emb_label_centroids": QueryDef(emb_label_centroids, LABEL_CENTROIDS_SQL),
     "emb_quantize_int8": QueryDef(emb_quantize_int8, QUANTIZE_SQL),
     "docs_heavy_hitter_terms": QueryDef(docs_heavy_hitter_terms, HEAVY_HITTERS_SQL),

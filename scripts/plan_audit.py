@@ -29,6 +29,64 @@ INFO = (
     "BroadcastNestedLoopJoin",
 )
 
+# Queries ALLOWED to plan an unpartitioned (single-task) Window, each
+# with its one-line bound argument (VERDICT r6 #1 watch item: nothing
+# used to assert this provenance — now any NEW unpartitioned window is
+# fatal until argued here). The shared shape: the window's input is an
+# already-aggregated value/key domain (distinct values, months, group
+# keys), NOT the fact table — its row count is bounded by content
+# cardinality, so one task sees a small frame at any corpus scale.
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "agg_percentiles_by_flag": "frame = distinct (flag, value) domain, not lineitem rows",
+    "events_histogram_equidepth": "offset window = distinct value domain with counts",
+    "events_conversion_latency": "frame = distinct integer-seconds latency domain",
+    "events_session_length_stats": "frame = distinct integer-minutes duration domain",
+    "events_cumulative_distinct": "frame = one row per day (first-occurrence trick)",
+    "orders_price_mad": "frame = distinct rounded-price domain (two passes)",
+    "orders_open_backlog_monthly": "frame = one +/-1 delta row per month (sweep-line)",
+    "customer_abc_classes": "frame = one revenue row per customer group key",
+    "lineitem_skyline_frontier": "frame = per-qty minima (<=50 distinct quantities)",
+    "window_distribution_stats": "frame = one row per (flag, status) group",
+    "events_dau_wau_stickiness": "frame = one row per day (range frame over dates)",
+    "orders_daily_anomaly": "frame = one row per day",
+    "orders_mom_growth": "frame = one row per month",
+    "stream_running_ewma": "frame = one row per minute bucket per user subset",
+    "docs_heavy_hitter_terms": "frame = MG candidates, <= capacity x partitions rows",
+    "docs_vocab_growth": "frame = the fixed 20-bucket spine",
+    "docs_length_buckets": "offset window = distinct token-count domain",
+    "docs_epoch_shuffle": "frame = the 100-row post-limit head per epoch",
+    "events_top_paths": "frame = |event_type|^3 path-count rows",
+    "customer_rfm_segments": "frame = one row per customer (dimension-bounded; exact global quartiles need a total order)",
+    "customer_gini_revenue": "frame = one row per customer (dimension-bounded; Gini needs a total order)",
+    "graph_pagerank_parts": "frame = the post-limit top-20 rows",
+}
+
+
+def _count_unpartitioned_windows(jplan) -> int:
+    """Walk the physical plan (incl. the AQE input plan) counting
+    Window/WindowGroupLimit nodes with an empty partitionSpec."""
+    n = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        try:
+            name = node.nodeName()
+        except Exception:  # noqa: BLE001 — defensive: odd py4j node
+            continue
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.inputPlan())
+            continue
+        if name in ("Window", "WindowGroupLimit"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    n += 1
+            except Exception:  # noqa: BLE001
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return n
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -43,18 +101,19 @@ def main() -> int:
     for name in names:
         try:
             with cache_scope():
-                plan = (
-                    qs[name].fn(spark, sf_dir)
-                    ._jdf.queryExecution()
-                    .executedPlan()
-                    .toString()
-                )
+                jplan = qs[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+                plan = jplan.toString()
+                n_upw = _count_unpartitioned_windows(jplan)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             print(f"ERROR {name}: {type(exc).__name__}: {str(exc)[:120]}")
             rc = 1
             continue
         fatal = [f for f in FATAL if f in plan]
+        if n_upw and name not in UNPARTITIONED_WINDOW_ALLOWED:
+            fatal.append(f"UnpartitionedWindow×{n_upw} (not allowlisted)")
         info = [f for f in INFO if f in plan]
+        if n_upw and name in UNPARTITIONED_WINDOW_ALLOWED:
+            info.append(f"UnpartitionedWindow×{n_upw}[allowed]")
         n_ex = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
         status = "FATAL" if fatal else "ok"
         if fatal:
