@@ -74,17 +74,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
 # r3 #1). Round 9 (driver r07) rotation — VERDICT r6 #1 executed
 # verbatim, computed against CORRECTNESS_r{01,03,04,05,06}.json:
-# (1) the 3 queries ADDED this round (the composed-pipeline pair that
+# (1) the 5 queries ADDED this round (the composed-pipeline pair that
 # puts the real mapInPandas LLM stage and the ingest→enrich→clean
 # front half under the hash gate — VERDICT r6 #2/#3 — and the exact-
-# oracle k-means assignment kernel — VERDICT r6 #6);
+# oracle k-means assignment kernel and SRP bucket profile — VERDICT
+# r6 #6 — plus pipeline_e2e_reports, the WHOLE pipeline composed
+# ingest→enrich→clean→LLM→render under one hash row);
 # (2) all 16 round-8 queries that landed after the r06 window froze and
 # carry ZERO driver rows (each hash-green in pytest's oracle-parity
 # replica and individually 100×-checked when added);
 # (3) all 27 rows whose newest driver evidence is r03 — the displaced
 # multimodal family, both CC variants, both approximate-ANN paths, the
 # 17 remaining r03 TPC-H queries, and both skew demos;
-# (4) 4 slots of r04-stale TPC-H heavies (q9/q12/q20/q21).
+# (4) 2 slots of r04-stale TPC-H heavies (q9/q12).
 # After this round every registered query's evidence is r04+ except the
 # 44 remaining r04/r05 rows — r08 should rotate those in next.
 # Every name is asserted against the registry below (ADVICE r4).
@@ -92,6 +94,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_llm_rewrite",
     "pipeline_ingest_enrich_clean",
     "emb_kmeans_assign_round1",
+    "pipeline_e2e_reports",
+    "emb_srp_bucket_profile",
     "events_dau_wau_stickiness",
     "orders_price_mad",
     "fn_try_arithmetic",
@@ -137,8 +141,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "skew_salted_join",
     "q9_product_profit",
     "q12_late_lines",
-    "q20_potential_promotion",
-    "q21_suppliers_who_kept_waiting",
 ]
 
 

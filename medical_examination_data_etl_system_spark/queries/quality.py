@@ -618,40 +618,31 @@ ORDER BY "LANG_NO", "SUMMARY"
 """
 
 
-def pipeline_ingest_enrich_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed FRONT HALF of the reference pipeline — the real
-    ``flatten`` → ``enrich`` → ``postprocess_multilang`` functions
+def _synth_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared warehouse-scale pipeline input: nested records synthesized
+    from lineitem, run through the REAL ``flatten`` → ``enrich``
     (S2-S4 posexplode flatten + ord derivation, P1 comment filter, J5
-    request echo, J1-J4 broadcast dim joins, P2/P3 projection+backfill,
-    F1-F7 cleaning, A3 sentinel, A2 keep-first dedup, O1 stable sort) —
-    driven as ONE query at warehouse scale with a full DuckDB oracle
-    (VERDICT r6 #3; previously each primitive was driver-covered
-    piecemeal and the composition only had reference-sample goldens).
+    request echo, J1-J4 broadcast dim joins, P2/P3 projection+backfill).
 
-    Input records synthesize from lineitem (record = order, item =
-    part bucket, finding = line): comments exercise every cleaning rule
-    (blank → P1 drop, full-width punctuation → F4, embedded newline →
-    F3, padded parens → F5); the dims are deterministic functions of
-    small key spaces with deliberate coverage GAPS (item I4 misses
-    item_meta → P3 backfill + F1 empty-fill; diags D020+ miss diag_tbl
-    → null SUMMARY_CODE chain; summaries S5/S6 miss summary_tbl → F6
-    per-language defaults) and GROUPNO pathologies (I2→0, I4→null, both
-    → A3 max+1 sentinel).
+    Record = order, item = part bucket, finding = line: comments
+    exercise every cleaning rule (blank → P1 drop, full-width
+    punctuation → F4, embedded newline → F3, padded parens → F5); the
+    dims are deterministic functions of small key spaces with deliberate
+    coverage GAPS (item I4 misses item_meta → P3 backfill + F1
+    empty-fill; diags D020+ miss diag_tbl → null SUMMARY_CODE chain;
+    summaries S5/S6 miss summary_tbl → F6 per-language defaults) and
+    GROUPNO pathologies (I2→0, I4→null, both → A3 max+1 sentinel).
 
     ``_rec_idx`` is 0 for every record — unlike the API path (driver
     enumerate) and the JSON-file path (dense_rank), this caller needs no
     cross-record component in ``ord``: record identity rides RECORD_ID
-    through every downstream partition (dedup key, re-rank window), so
-    a per-record-constant index is valid and avoids both the
-    single-task header window and any bit-layout cap. Scale shape: two
-    key-local aggregations build the nested records, flatten is
-    map-side, all four dim joins broadcast, the dedup window hashes by
-    its 8-col key, the re-rank by RECORD_ID; the only global op is the
-    1-row max broadcast cross-join. No unpartitioned windows."""
-    from medical_examination_data_etl_system_spark.pipeline.clean import postprocess_multilang
+    through every downstream partition (dedup key, re-rank window,
+    renderer grouping), so a per-record-constant index is valid and
+    avoids both the single-task header window and any bit-layout cap.
+    Scale shape: two key-local aggregations build the nested records,
+    flatten is map-side, all four dim joins broadcast."""
     from medical_examination_data_etl_system_spark.pipeline.enrich import enrich
     from medical_examination_data_etl_system_spark.pipeline.ingest import flatten
-    from medical_examination_data_etl_system_spark.schemas import SUBSET
 
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
     fkey = (
@@ -756,7 +747,24 @@ def pipeline_ingest_enrich_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "diag_tbl": diag_tbl,
         "summary_tbl": summary_tbl,
     }
-    cleaned = postprocess_multilang(enrich(flatten(nested), dims))
+    return enrich(flatten(nested), dims)
+
+
+def pipeline_ingest_enrich_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FRONT HALF of the reference pipeline — the real
+    ``flatten`` → ``enrich`` → ``postprocess_multilang`` functions over
+    :func:`_synth_enriched`'s warehouse-scale records — driven as ONE
+    query with a full DuckDB oracle (VERDICT r6 #3; previously each
+    primitive was driver-covered piecemeal and the composition only had
+    reference-sample goldens). Clean adds F1-F7, the A3 sentinel, A2
+    keep-first dedup, and the O1 stable sort; its shuffles are the
+    dedup window (8-col key) and the per-record re-rank; the only
+    global op is the 1-row max broadcast cross-join. No unpartitioned
+    windows."""
+    from medical_examination_data_etl_system_spark.pipeline.clean import postprocess_multilang
+    from medical_examination_data_etl_system_spark.schemas import SUBSET
+
+    cleaned = postprocess_multilang(_synth_enriched(spark, sf_dir))
     rest = [c for c in SUBSET if c != "RECORD_ID"]
     return (
         cleaned.select(
@@ -766,7 +774,36 @@ def pipeline_ingest_enrich_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-INGEST_ENRICH_CLEAN_SQL = r"""
+def pipeline_e2e_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ENTIRE reference pipeline (E1) composed end-to-end under one
+    driver hash row: :func:`_synth_enriched`'s records through the real
+    ``reports_from_fact`` — ``postprocess_multilang`` →
+    ``with_generic_columns`` (P4, all four languages at once) →
+    ``rewrite_distinct_summaries`` (the actual mapInPandas mock-LLM
+    stage with skip-list + persisted barrier) → ``render_reports_sql``
+    (the pure-JVM window/HOF renderer with first-seen block
+    regrouping). The oracle composes the front-half SQL with the
+    per-language generic projection, the mock-rewrite CASE, and the
+    renderer's window/list algebra — so ingest, enrichment, cleaning,
+    the LLM stage, AND the byte-level report grammar are value-hashed
+    in one row. With pipeline_llm_rewrite and
+    pipeline_ingest_enrich_clean this closes VERDICT r6 #2/#3: no
+    reference stage remains outside the driver gate."""
+    from medical_examination_data_etl_system_spark.pipeline.run import reports_from_fact
+
+    reports = reports_from_fact(_synth_enriched(spark, sf_dir))
+    return (
+        reports.select(F.col("record_id").cast("long").alias("record_id"), "report")
+        .orderBy("record_id")
+    )
+
+
+# Shared oracle prefix: the synthesized-record front half (flatten →
+# enrich → clean) as DuckDB CTEs, ending at `final` — consumed by both
+# INGEST_ENRICH_CLEAN_SQL (projects the cleaned fact) and
+# E2E_REPORTS_SQL (appends the generic projection + mock rewrite +
+# renderer grammar).
+_FRONT_CTES = r"""
 WITH f0 AS (
   SELECT l_orderkey AS okey,
          CAST(l_linenumber AS BIGINT) * 10000000000 + l_partkey * 100 + l_suppkey % 100 AS fkey,
@@ -889,7 +926,9 @@ WITH f0 AS (
   SELECT *, row_number() OVER (PARTITION BY okey
                                ORDER BY groupno, tcname_item, ord0) AS ord
   FROM deduped
-)
+)"""
+
+INGEST_ENRICH_CLEAN_SQL = _FRONT_CTES + r"""
 SELECT okey AS "record_id", CAST(ord AS INTEGER) AS "ord",
        org_id AS "ORG_ID", lang_no AS "LANG_NO", diag_code AS "DIAG_CODE",
        CAST(groupno AS INTEGER) AS "GROUPNO",
@@ -906,11 +945,90 @@ SELECT okey AS "record_id", CAST(ord AS INTEGER) AS "ord",
 FROM final ORDER BY "record_id", "ord"
 """
 
+E2E_REPORTS_SQL = _FRONT_CTES + r""", generic AS (
+  SELECT okey AS record_id, ord,
+    CASE lang_no WHEN '1' THEN tcname_group WHEN '2' THEN enname_group
+                 WHEN '3' THEN jpname_group ELSE scname_group END AS grp,
+    item_code,
+    CASE lang_no WHEN '1' THEN tcname_item WHEN '2' THEN enname_item
+                 WHEN '3' THEN jpname_item ELSE scname_item END AS item_name,
+    CASE lang_no WHEN '1' THEN comment WHEN '2' THEN enname_comment
+                 WHEN '3' THEN jpname_comment ELSE scname_comment END AS comment_g,
+    CASE lang_no WHEN '1' THEN tcname_summary WHEN '2' THEN enname_summary
+                 WHEN '3' THEN jpname_summary ELSE scname_summary END AS summary,
+    CASE lang_no WHEN '1' THEN '本項無補充說明'
+                 WHEN '2' THEN 'No additional information for this item.'
+                 WHEN '3' THEN 'この項目に関する追加情報はありません。'
+                 ELSE '本项无补充说明。' END AS lang_default
+  FROM final
+), rrows0 AS (
+  -- mock rewrite: skip-list defaults pass through identity; empty
+  -- summaries never enter the rewrite table (coalesce fallback)
+  SELECT *,
+    summary = lang_default AS is_default,
+    CASE WHEN trim(summary) = '' THEN ''
+         WHEN trim(summary) IN ('本項無補充說明', 'No additional information for this item.',
+                                'この項目に関する追加情報はありません。', '本项无补充说明。')
+              THEN trim(summary)
+         ELSE '[LLM_OUTPUT]' || trim(summary) END AS rewritten,
+    CASE WHEN summary = lang_default THEN comment_g END AS blk_com
+  FROM generic
+), rrows1 AS (
+  SELECT *,
+    min(ord) OVER (PARTITION BY record_id, grp) AS grp_ord,
+    min(ord) OVER (PARTITION BY record_id, grp, summary) AS sum_ord,
+    min(ord) OVER (PARTITION BY record_id, grp, summary, blk_com) AS com_ord,
+    row_number() OVER (PARTITION BY record_id, grp, summary, blk_com, trim(item_code)
+                       ORDER BY ord) = 1 AS fi,
+    row_number() OVER (PARTITION BY record_id, grp, summary, blk_com, trim(comment_g)
+                       ORDER BY ord) = 1 AS fc
+  FROM rrows0
+), rblocks0 AS (
+  SELECT record_id, grp, grp_ord, summary, trim(summary) AS summary_t,
+         trim(max(rewritten)) AS rewritten_t,
+         is_default, sum_ord, blk_com, com_ord,
+         list(trim(item_name) ORDER BY ord) FILTER (WHERE fi) AS items,
+         list(trim(comment_g) ORDER BY ord) FILTER (WHERE fc) AS fc_comments
+  FROM rrows1
+  GROUP BY record_id, grp, grp_ord, summary, is_default, sum_ord, blk_com, com_ord
+), rblocks1 AS (
+  SELECT *,
+         CASE WHEN is_default THEN [trim(blk_com)] ELSE fc_comments END AS comments,
+         row_number() OVER (PARTITION BY record_id, grp
+                            ORDER BY sum_ord, com_ord) AS orig_idx
+  FROM rblocks0
+), rblocks2 AS (
+  SELECT *, min(orig_idx) OVER (PARTITION BY record_id, grp, items) AS first_idx
+  FROM rblocks1
+), rblocks3 AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY record_id, grp
+                       ORDER BY first_idx, orig_idx) = 1 AS emit_group,
+    items IS DISTINCT FROM lag(items) OVER (PARTITION BY record_id, grp
+                                            ORDER BY first_idx, orig_idx) AS emit_items
+  FROM rblocks2
+), rtexted AS (
+  SELECT record_id, grp_ord, first_idx, orig_idx,
+    concat_ws(chr(10),
+      CASE WHEN emit_group THEN trim(grp) END,
+      CASE WHEN emit_items THEN '    ' || array_to_string(items, '、') END,
+      '        ' || array_to_string(comments, '、'),
+      CASE WHEN summary_t <> ''
+           THEN '            ' || rewritten_t || chr(10) END
+    ) AS txt
+  FROM rblocks3
+)
+SELECT record_id,
+       array_to_string(list(txt ORDER BY grp_ord, first_idx, orig_idx), chr(10)) AS report
+FROM rtexted GROUP BY record_id ORDER BY record_id
+"""
+
 
 QUERIES = {
     "dq_check_orders": QueryDef(dq_check_orders, DQ_CHECK_SQL),
     "pipeline_llm_rewrite": QueryDef(pipeline_llm_rewrite, LLM_REWRITE_SQL),
     "pipeline_ingest_enrich_clean": QueryDef(pipeline_ingest_enrich_clean, INGEST_ENRICH_CLEAN_SQL),
+    "pipeline_e2e_reports": QueryDef(pipeline_e2e_reports, E2E_REPORTS_SQL),
     "pipeline_render_reports": QueryDef(pipeline_render_reports, RENDER_REPORTS_SQL),
     "sql_interface_revenue": QueryDef(sql_interface_revenue, SQL_INTERFACE_SQL),
     "layout_format_roundtrip": QueryDef(layout_format_roundtrip, FORMAT_ROUNDTRIP_SQL),

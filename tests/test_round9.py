@@ -45,6 +45,37 @@ class TestPipelineLlmRewrite:
         assert len(keys) == len(set(keys))
 
 
+class TestPipelineE2EReports:
+    def test_plan_and_report_grammar(self, spark):
+        """The composed pipeline must carry the Arrow rewrite stage and
+        emit reports in the reference indentation grammar with
+        [LLM_OUTPUT] on every non-default summary line."""
+        df = all_queries()["pipeline_e2e_reports"].fn(spark, SF_DIR)
+        plan = _executed_plan(df)
+        assert "MapInPandas" in plan  # the real U1 stage inside the composition
+        assert "BatchEvalPython" not in plan
+        rows = df.collect()
+        assert rows
+        defaults = set(LANGU_MAP.values())
+        seen_llm = seen_default = False
+        for r in rows:
+            lines = r["report"].split("\n")
+            assert lines[0] == lines[0].strip() != ""  # group at col 0
+            for ln in lines:
+                if not ln:
+                    continue
+                indent = len(ln) - len(ln.lstrip(" "))
+                assert indent in (0, 4, 8, 12), (r["record_id"], ln)
+                if indent == 12:
+                    body = ln.strip()
+                    if body in defaults:
+                        seen_default = True
+                    else:
+                        assert body.startswith("[LLM_OUTPUT]"), body
+                        seen_llm = True
+        assert seen_llm and seen_default
+
+
 class TestKmeansAssignRound1:
     def test_seeds_self_assign_and_distances_nonnegative(self, spark):
         """The k seed vectors (lowest ids) must land in their own
