@@ -845,6 +845,118 @@ FROM buckets GROUP BY bucket ORDER BY bucket
 """
 
 
+def emb_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end under a FULL exact oracle — the third
+    rows-only kernel chipped this round: coarse assignment to the 8
+    lowest-id quantized centroids (REUSES
+    operators/similarity.kmeans_assign_round1_quantized — the same
+    driver-hash-verified kernel), nprobe=2 list pruning for the 5
+    lowest-id query vectors (probe choice by exact integer
+    query→centroid distance, ties → lower list), then exact int64 L2
+    via JVM higher-order functions (zip_with + aggregate — no Python
+    in the distance path) and a per-query top-5 window. Every stage of
+    the production IVF path (emb_ivf_topk, rows-only by its float
+    scoring) — partition, probe, candidate join, rank — is replayed
+    value-exactly by DuckDB.
+
+    Scale shape: the probe table is 10 broadcast rows; candidates are
+    the probed lists (~nprobe/nlist of the corpus), joined to their
+    quantized vectors by id; the top-k window partitions by query. The
+    only driver-side work is the 8×64 centroid + 5×64 query collect.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+    from medical_examination_data_etl_system_spark.operators.similarity import (
+        kmeans_assign_round1_quantized,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.select("vec_id", quantize_fixed_point("embedding", 1_000_000).alias("qv"))
+    assigned = kmeans_assign_round1_quantized(emb, k=8).select("vec_id", "cluster")
+
+    head = qdf.orderBy("vec_id").limit(8).collect()
+    cq = np.array([list(r["qv"]) for r in head], dtype=np.int64)
+    probe_rows = []
+    for r in head[:5]:
+        v = np.array(list(r["qv"]), dtype=np.int64)
+        d = ((cq - v[None, :]) ** 2).sum(axis=1)
+        for pl in np.lexsort((np.arange(len(d)), d))[:2]:  # ties → lower list
+            probe_rows.append((int(r["vec_id"]), int(pl), [int(x) for x in v]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cluster int, q_vec array<long>"
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dist = F.aggregate(
+        F.zip_with("q_vec", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.join(qdf, "vec_id").select(
+        "query_id", "vec_id", dist.alias("q_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("q_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "q_dist")
+        .orderBy("query_id", "rnk")
+    )
+
+
+IVF_TOPK_EXACT_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cq AS (
+  SELECT c.cidx, v.dim, v.qv AS qc
+  FROM cent c JOIN vq v ON v.vec_id = c.cid
+), vdist AS (
+  SELECT v.vec_id, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq c USING (dim)
+  GROUP BY 1, 2
+), assigned AS (
+  SELECT vec_id, cidx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY qd, cidx) AS rn
+    FROM vdist) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5
+), probes AS (
+  SELECT query_id, cidx AS cluster FROM (
+    SELECT q.query_id, d.cidx,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY d.qd, d.cidx) AS prn
+    FROM queries q JOIN vdist d ON d.vec_id = q.query_id)
+  WHERE prn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p USING (cluster)
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(sum((qv1.qv - qv2.qv) * (qv1.qv - qv2.qv)) AS BIGINT) AS q_dist
+  FROM cand c
+  JOIN vq qv1 ON qv1.vec_id = c.query_id
+  JOIN vq qv2 ON qv2.vec_id = c.vec_id AND qv2.dim = qv1.dim
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, q_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY q_dist, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact d×d Gram matrix of the embedding corpus (upper triangle)
     in fixed-point int64 (operators/linalg.quantized_gram_matrix): one
@@ -1329,6 +1441,7 @@ QUERIES = {
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
     "emb_kmeans_assign_round1": QueryDef(emb_kmeans_assign_round1, KMEANS_ASSIGN_R1_SQL),
     "emb_srp_bucket_profile": QueryDef(emb_srp_bucket_profile, SRP_BUCKET_SQL),
+    "emb_ivf_topk_exact": QueryDef(emb_ivf_topk_exact, IVF_TOPK_EXACT_SQL),
     "emb_label_centroids": QueryDef(emb_label_centroids, LABEL_CENTROIDS_SQL),
     "emb_quantize_int8": QueryDef(emb_quantize_int8, QUANTIZE_SQL),
     "docs_heavy_hitter_terms": QueryDef(docs_heavy_hitter_terms, HEAVY_HITTERS_SQL),
