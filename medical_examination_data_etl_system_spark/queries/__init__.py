@@ -74,7 +74,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
 # r3 #1). Round 9 (driver r07) rotation — VERDICT r6 #1 executed
 # verbatim, computed against CORRECTNESS_r{01,03,04,05,06}.json:
-# (1) the 6 queries ADDED this round (the composed-pipeline pair that
+# (1) the 7 queries ADDED this round (the composed-pipeline pair that
 # puts the real mapInPandas LLM stage and the ingest→enrich→clean
 # front half under the hash gate — VERDICT r6 #2/#3 — and the exact-
 # oracle k-means assignment kernel and SRP bucket profile — VERDICT
@@ -86,7 +86,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (3) all 27 rows whose newest driver evidence is r03 — the displaced
 # multimodal family, both CC variants, both approximate-ANN paths, the
 # 17 remaining r03 TPC-H queries, and both skew demos;
-# (4) 1 slot of r04-stale TPC-H (q9).
 # After this round every registered query's evidence is r04+ except the
 # 44 remaining r04/r05 rows — r08 should rotate those in next.
 # Every name is asserted against the registry below (ADVICE r4).
@@ -97,6 +96,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_e2e_reports",
     "emb_srp_bucket_profile",
     "emb_ivf_topk_exact",
+    "emb_srp_topk_exact",
     "events_dau_wau_stickiness",
     "orders_price_mad",
     "fn_try_arithmetic",
@@ -140,7 +140,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q19_discounted_revenue",
     "skew_salted_count_distinct",
     "skew_salted_join",
-    "q9_product_profit",
 ]
 
 

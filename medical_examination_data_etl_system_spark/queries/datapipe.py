@@ -957,6 +957,105 @@ ORDER BY query_id, rnk
 """
 
 
+def emb_srp_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN end-to-end under a FULL exact oracle — the
+    bucket-join twin of emb_ivf_topk_exact: 6-plane quantized SRP
+    buckets (operators/similarity.srp_buckets_quantized — ~64 buckets,
+    so every bucket holds candidates at any SF), the 5 lowest-id
+    queries pruned to THEIR bucket via an equi-join on the packed bit
+    vector, exact int64 L2 via zip_with+aggregate, per-query top-5.
+    Query buckets are derived driver-side from the same collected
+    quantized planes (5 vectors × 6 planes — bounded), so the bucketed
+    corpus is scanned exactly once. Certifies the production
+    emb_lsh_topk shape (bucket equi-join pruning + rank; rows-only by
+    its seeded float hashing) value-exactly."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+    from medical_examination_data_etl_system_spark.operators.similarity import (
+        srp_buckets_quantized,
+    )
+
+    n_planes = 6
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.select("vec_id", quantize_fixed_point("embedding", 1_000_000).alias("qv"))
+
+    head = qdf.orderBy("vec_id").limit(max(n_planes, 5)).collect()
+    hq = np.array([list(r["qv"]) for r in head[:n_planes]], dtype=np.int64)
+    powers = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    q_rows = []
+    for r in head[:5]:
+        v = np.array(list(r["qv"]), dtype=np.int64)
+        bucket = int(((v @ hq.T) >= 0) @ powers)
+        q_rows.append((int(r["vec_id"]), bucket, [int(x) for x in v]))
+    queries = spark.createDataFrame(q_rows, "query_id long, bucket long, q_vec array<long>")
+
+    cand = (
+        srp_buckets_quantized(emb, n_planes=n_planes)
+        .join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    dist = F.aggregate(
+        F.zip_with("q_vec", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.join(qdf, "vec_id").select("query_id", "vec_id", dist.alias("q_dist"))
+    w = Window.partitionBy("query_id").orderBy("q_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "q_dist")
+        .orderBy("query_id", "rnk")
+    )
+
+
+SRP_TOPK_EXACT_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), hyp AS (
+  SELECT vec_id AS hid, row_number() OVER (ORDER BY vec_id) - 1 AS hidx
+  FROM embeddings ORDER BY vec_id LIMIT 6
+), hq AS (
+  SELECT h.hidx, v.dim, v.qv AS qh
+  FROM hyp h JOIN vq v ON v.vec_id = h.hid
+), dots AS (
+  SELECT v.vec_id, h.hidx, CAST(sum(v.qv * h.qh) AS BIGINT) AS s
+  FROM vq v JOIN hq h USING (dim)
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << hidx ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), queries AS (
+  SELECT b.vec_id AS query_id, b.bucket
+  FROM buckets b JOIN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5) q
+    ON q.vec_id = b.vec_id
+), cand AS (
+  SELECT q.query_id, b.vec_id
+  FROM buckets b JOIN queries q USING (bucket)
+  WHERE b.vec_id <> q.query_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(sum((qv1.qv - qv2.qv) * (qv1.qv - qv2.qv)) AS BIGINT) AS q_dist
+  FROM cand c
+  JOIN vq qv1 ON qv1.vec_id = c.query_id
+  JOIN vq qv2 ON qv2.vec_id = c.vec_id AND qv2.dim = qv1.dim
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, q_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY q_dist, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact d×d Gram matrix of the embedding corpus (upper triangle)
     in fixed-point int64 (operators/linalg.quantized_gram_matrix): one
@@ -1442,6 +1541,7 @@ QUERIES = {
     "emb_kmeans_assign_round1": QueryDef(emb_kmeans_assign_round1, KMEANS_ASSIGN_R1_SQL),
     "emb_srp_bucket_profile": QueryDef(emb_srp_bucket_profile, SRP_BUCKET_SQL),
     "emb_ivf_topk_exact": QueryDef(emb_ivf_topk_exact, IVF_TOPK_EXACT_SQL),
+    "emb_srp_topk_exact": QueryDef(emb_srp_topk_exact, SRP_TOPK_EXACT_SQL),
     "emb_label_centroids": QueryDef(emb_label_centroids, LABEL_CENTROIDS_SQL),
     "emb_quantize_int8": QueryDef(emb_quantize_int8, QUANTIZE_SQL),
     "docs_heavy_hitter_terms": QueryDef(docs_heavy_hitter_terms, HEAVY_HITTERS_SQL),

@@ -669,28 +669,37 @@ def _synth_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("DIAG_CODE"),
         comment.alias("COMMENT"),
     )
-    # Nested-record build: findings sort within an item by (fkey, DIAG,
-    # COMMENT) — a total order (fkey ties pin identical derived content,
-    # see pipeline_render_reports); items sort by their unique ITEM_CODE.
-    items = (
-        findings.groupBy("okey", "ITEM_CODE")
-        .agg(F.array_sort(F.collect_list(F.struct("fkey", "DIAG_CODE", "COMMENT"))).alias("_fs"))
+    # Nested-record build in ONE record-keyed shuffle (was groupBy
+    # (okey, item) then groupBy(okey) — same data shuffled twice): one
+    # collect_list per record, sorted by (ITEM_CODE, fkey, DIAG,
+    # COMMENT) — a total order (fkey ties pin identical derived
+    # content, see pipeline_render_reports) — then the item grouping is
+    # array algebra: array_distinct preserves the sorted first-seen
+    # item order, filter preserves each item's within-code (fkey…)
+    # order. Per-record cost O(items × findings); items ≤ 5 here.
+    nested = (
+        findings.groupBy("okey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ITEM_CODE", "fkey", "DIAG_CODE", "COMMENT"))
+            ).alias("_rows")
+        )
         .select(
             "okey",
-            F.struct(
-                F.col("ITEM_CODE"),
-                F.transform(
-                    "_fs",
-                    lambda s: F.struct(
-                        s["DIAG_CODE"].alias("DIAG_CODE"), s["COMMENT"].alias("COMMENT")
-                    ),
-                ).alias("FINDINGS"),
-            ).alias("_item"),
+            F.transform(
+                F.array_distinct(F.transform("_rows", lambda r: r["ITEM_CODE"])),
+                lambda code: F.struct(
+                    code.alias("ITEM_CODE"),
+                    F.transform(
+                        F.filter("_rows", lambda r: r["ITEM_CODE"] == code),
+                        lambda r: F.struct(
+                            r["DIAG_CODE"].alias("DIAG_CODE"),
+                            r["COMMENT"].alias("COMMENT"),
+                        ),
+                    ).alias("FINDINGS"),
+                ),
+            ).alias("ITEMS"),
         )
-    )
-    nested = (
-        items.groupBy("okey")
-        .agg(F.array_sort(F.collect_list("_item")).alias("ITEMS"))
         .select(
             F.lit(0).cast("long").alias("_rec_idx"),
             F.col("okey").cast("string").alias("RECORD_ID"),
