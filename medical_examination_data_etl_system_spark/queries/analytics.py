@@ -210,6 +210,136 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_pagerank_int3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PageRank power-iteration loop under a FULL exact oracle —
+    the chip-the-rows-only move (docs_semantic_dedup → CC,
+    emb_kmeans_assign_round1 → Lloyd assignment) applied to the last
+    big iterative kernel that had none. Rank mass lives as a scaled
+    int64 (BASE = 10^12); every per-round operation — contribution
+    ``rank div out_degree``, damping ``(85·x) div 100``, teleport
+    ``(15·BASE) div (100·n)``, dangling redistribute — is integer
+    multiply/divide, so three unrolled rounds are bit-replayable in
+    DuckDB (Spark ``div`` and DuckDB ``//`` both truncate toward
+    zero). The graph is the DIRECTED co-purchase graph (low part key →
+    high part key within an order), so sink nodes EXIST and the
+    dangling-mass path is exercised, unlike the symmetric float
+    variant where it is vacuous.
+
+    Same loop hygiene as the production float pagerank
+    (operators/clustering.pagerank): edge set eager-checkpointed once,
+    per-round dangling mass a 1-row broadcast aggregate (zero in-loop
+    driver actions), each round's rank frame a lazy localCheckpoint.
+    At 100 TB the per-round cost is one |edges| equi-join shuffle —
+    identical physical shape to the float path this row certifies."""
+    BASE = 1_000_000_000_000
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    # Degrees ride WITH the edges (clustering.pagerank's discipline):
+    # the out-degree is attached by one window over the single edge-
+    # build pass, so the expensive self-join materializes exactly once
+    # and each round is ONE ranks⋈edges equi-join — no per-round
+    # degree groupBy or second copy of the edge set.
+    e_deg = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    dangling_nodes = (
+        nodes.join(e_deg.select(F.col("src").alias("node")), "node", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.expr(f"CAST({BASE} AS BIGINT) div _n").alias("r")
+    )
+    for _ in range(3):
+        dang = ranks.join(dangling_nodes, "node", "left_semi").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_d")
+        )
+        contribs = (
+            e_deg.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    F.expr(f"(15 * CAST({BASE} AS BIGINT)) div (100 * _n)")
+                    + F.expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")
+                    + F.expr("(85 * (_d div _n)) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    top = ranks.orderBy(F.desc("r"), F.asc("node")).limit(20)
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(F.col("node").alias("l_partkey"), F.col("r").alias("rank_scaled"), "rnk")
+        .orderBy("rnk")
+    )
+
+
+def _pr_int3_round(prev: str, idx: int) -> str:
+    """One unrolled integer-PageRank round as DuckDB CTE text."""
+    return f"""d{idx} AS (
+  SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS d FROM {prev}
+  WHERE node NOT IN (SELECT src FROM deg)
+), i{idx} AS (
+  SELECT e.dst AS node, CAST(sum(p.r // dg.deg) AS BIGINT) AS inflow
+  FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+), r{idx + 1} AS (
+  SELECT nd.node, CAST(
+         (15 * 1000000000000) // (100 * (SELECT n FROM n))
+       + (85 * COALESCE(i{idx}.inflow, 0)) // 100
+       + (85 * ((SELECT d FROM d{idx}) // (SELECT n FROM n))) // 100
+       AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN i{idx} ON i{idx}.node = nd.node
+)"""
+
+
+PAGERANK_INT3_SQL = (
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1000000000000 // (SELECT n FROM n) AS r FROM nodes),
+"""
+    + ",\n".join(_pr_int3_round(f"r{i}", i) for i in range(3))
+    + """,
+ranked AS (
+  SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rnk FROM r3
+)
+SELECT node AS l_partkey, r AS rank_scaled, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 20 ORDER BY rnk
+"""
+)
+
+
 def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information between event types co-occurring
     within a user-day — the association-mining primitive (which
@@ -2003,6 +2133,7 @@ QUERIES = {
     "events_retention_cohorts": QueryDef(events_retention_cohorts, RETENTION_SQL),
     "events_gap_fill_hourly": QueryDef(events_gap_fill_hourly, GAP_FILL_SQL),
     "graph_pagerank_parts": QueryDef(graph_pagerank_parts, None),
+    "graph_pagerank_int3": QueryDef(graph_pagerank_int3, PAGERANK_INT3_SQL),
     "events_cumulative_distinct": QueryDef(events_cumulative_distinct, CUMULATIVE_DISTINCT_SQL),
     "events_ewma_smoothing": QueryDef(events_ewma_smoothing, EWMA_SQL),
     "events_histogram_equidepth": QueryDef(events_histogram_equidepth, HISTOGRAM_EQUIDEPTH_SQL),

@@ -59,6 +59,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "customer_rfm_segments": "frame = one row per customer (dimension-bounded; exact global quartiles need a total order)",
     "customer_gini_revenue": "frame = one row per customer (dimension-bounded; Gini needs a total order)",
     "graph_pagerank_parts": "frame = the post-limit top-20 rows",
+    "graph_pagerank_int3": "frame = the post-limit top-20 rows",
 }
 
 
