@@ -848,17 +848,39 @@ def kmeans_assign_round1_quantized(
     zero ``F.round``, the exact tree the oracle replays) BEFORE the
     Arrow boundary, so Python only ever touches integers.
     """
-    import numpy as np
-    import pandas as pd
-
     from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
 
     base = vectors.select(
         F.col(id_col).alias("_id"),
         quantize_fixed_point(vec_col, scale).alias("_v"),
     )
+    import numpy as np
+
     seeds = base.orderBy("_id").limit(k).collect()
     cq = np.array([list(r["_v"]) for r in seeds], dtype=np.int64)
+    return _quantized_assign(base, cq).select(
+        F.col("_id").alias(id_col),
+        F.col("_cluster").alias("cluster"),
+        F.col("_qd").alias("q_sq_dist"),
+    )
+
+
+def _quantized_assign(base: DataFrame, cq, cluster_ids=None) -> DataFrame:
+    """Map-only BLAS assignment of quantized ``(_id, _v)`` vectors
+    against a driver-side k×d int64 centroid matrix: one ``mapInPandas``
+    pass, distances exact in int64 (v·v − 2·v·c + c·c), argmin ties →
+    the LOWER entry of ``cluster_ids`` (pass ids in ascending order).
+    ``cluster_ids`` maps matrix row → reported cluster id, so callers
+    can drop empty clusters between Lloyd rounds without renumbering.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        np.arange(cq.shape[0], dtype=np.int64)
+        if cluster_ids is None
+        else np.asarray(cluster_ids, dtype=np.int64)
+    )
     c_sq = (cq * cq).sum(axis=1)
 
     out_schema = T.StructType(
@@ -875,19 +897,81 @@ def kmeans_assign_round1_quantized(
                 continue
             vq = np.array([list(v) for v in pdf["_v"]], dtype=np.int64)
             d = (vq * vq).sum(axis=1)[:, None] - 2 * (vq @ cq.T) + c_sq[None, :]
-            cl = np.argmin(d, axis=1)  # stable: ties → lower index
+            cl = np.argmin(d, axis=1)  # stable: ties → lower matrix row
             yield pd.DataFrame(
                 {
                     "_id": pdf["_id"].to_numpy(dtype=np.int64),
-                    "_cluster": cl.astype("int32"),
+                    "_cluster": ids[cl].astype("int32"),
                     "_qd": d[np.arange(len(cl)), cl],
                 }
             )
 
-    return base.mapInPandas(_assign, schema=out_schema).select(
-        F.col("_id").alias(id_col),
-        F.col("_cluster").alias("cluster"),
-        F.col("_qd").alias("q_sq_dist"),
+    return base.mapInPandas(_assign, schema=out_schema)
+
+
+def kmeans_iter2_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One FULL Lloyd iteration — assign, centroid UPDATE, re-assign —
+    made exact-hash-checkable, extending
+    :func:`kmeans_assign_round1_quantized` (which certifies only the
+    assignment half-round) to the complete loop body. The update step
+    is the key: new centroid coordinate = ``sum(qv) div count`` in
+    int64, where Spark ``div`` and DuckDB ``//`` both truncate toward
+    zero (negative coordinates included — pinned in tests), so the
+    round-2 centroids are bit-identical across engines and the round-2
+    argmin is again integer-exact.
+
+    Distributed shape = the production loop's: map-only BLAS assign
+    (broadcast k×d matrix), centroid update as a (cluster, dim)-keyed
+    partial-sum aggregate — shuffle volume k·d rows per task,
+    independent of vector count — then a bounded k·d driver pull feeds
+    the next broadcast (the float path does exactly this per round).
+    Clusters emptied by round 1 simply vanish from the update aggregate;
+    survivors keep their ORIGINAL indices (no renumbering), which the
+    oracle reproduces by construction. Output: one row per vector with
+    the round-2 cluster, exact squared distance, and a moved flag."""
+    import numpy as np
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        quantize_fixed_point(vec_col, scale).alias("_v"),
+    )
+    seeds = base.orderBy("_id").limit(k).collect()
+    cq1 = np.array([list(r["_v"]) for r in seeds], dtype=np.int64)
+    # Lazy checkpoint: a1 feeds both the update aggregate (whose collect
+    # materializes it) and the final moved-flag join — computed once.
+    a1 = _quantized_assign(base, cq1).localCheckpoint(eager=False)
+    upd = (
+        base.join(a1.select("_id", "_cluster"), "_id")
+        .select("_cluster", F.posexplode("_v").alias("_dim", "_qv"))
+        .groupBy("_cluster", "_dim")
+        .agg(F.expr("sum(_qv) div count(1)").alias("_qc"))
+    )
+    rows = upd.collect()  # bounded: ≤ k·d rows (the per-round centroid pull)
+    surviving = sorted({r["_cluster"] for r in rows})
+    d = cq1.shape[1]
+    cq2 = np.zeros((len(surviving), d), dtype=np.int64)
+    pos = {c: i for i, c in enumerate(surviving)}
+    for r in rows:
+        cq2[pos[r["_cluster"]], r["_dim"]] = r["_qc"]
+    a2 = _quantized_assign(base, cq2, cluster_ids=surviving)
+    return (
+        a2.join(
+            a1.select("_id", F.col("_cluster").alias("_c1")), "_id"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cluster").alias("cluster"),
+            F.col("_qd").alias("q_sq_dist"),
+            F.when(F.col("_cluster") != F.col("_c1"), F.lit(1)).otherwise(F.lit(0)).alias("moved"),
+        )
     )
 
 

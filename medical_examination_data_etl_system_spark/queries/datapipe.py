@@ -845,6 +845,73 @@ FROM buckets GROUP BY bucket ORDER BY bucket
 """
 
 
+def emb_kmeans_iter2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A FULL Lloyd iteration (assign → centroid update → re-assign)
+    under an exact oracle — extends emb_kmeans_assign_round1 (the
+    assignment half-round chip) across the part it could not reach:
+    the centroid UPDATE. Coordinates update as ``sum(qv) div count``
+    in int64 — Spark ``div`` and DuckDB ``//`` both truncate toward
+    zero, negatives included — so round-2 centroids and therefore the
+    round-2 argmin are bit-identical across engines; the iterative
+    float k-means (emb_kmeans_clusters) stays rows-only by
+    construction, but every distributed stage it loops over is now
+    hash-certified: BLAS assign, (cluster, dim) partial-sum update,
+    bounded k·d centroid pull, re-broadcast. Output: per-vector
+    round-2 cluster, exact squared distance, moved flag."""
+    from medical_examination_data_etl_system_spark.operators.similarity import (
+        kmeans_iter2_quantized,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_iter2_quantized(emb, k=8, scale=1_000_000).orderBy("vec_id")
+
+
+KMEANS_ITER2_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cq AS (
+  SELECT c.cidx, v.dim, v.qv AS qc
+  FROM cent c JOIN vq v ON v.vec_id = c.cid
+), dist1 AS (
+  SELECT v.vec_id, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq c USING (dim)
+  GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, cidx AS c1 FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY qd, cidx) AS rn
+    FROM dist1
+  ) WHERE rn = 1
+), cq2 AS (
+  SELECT a1.c1 AS cidx, vq.dim,
+         CAST(sum(vq.qv) AS BIGINT) // count(*) AS qc
+  FROM a1 JOIN vq ON vq.vec_id = a1.vec_id
+  GROUP BY 1, 2
+), dist2 AS (
+  SELECT v.vec_id, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq2 c USING (dim)
+  GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, cidx, qd FROM (
+    SELECT vec_id, cidx, qd,
+           row_number() OVER (PARTITION BY vec_id ORDER BY qd, cidx) AS rn
+    FROM dist2
+  ) WHERE rn = 1
+)
+SELECT a2.vec_id, CAST(a2.cidx AS INTEGER) AS cluster, a2.qd AS q_sq_dist,
+       CASE WHEN a2.cidx <> a1.c1 THEN 1 ELSE 0 END AS moved
+FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
+ORDER BY a2.vec_id
+"""
+
+
 def emb_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end under a FULL exact oracle — the third
     rows-only kernel chipped this round: coarse assignment to the 8
@@ -1539,6 +1606,7 @@ QUERIES = {
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "emb_kmeans_clusters": QueryDef(emb_kmeans_clusters, None),
     "emb_kmeans_assign_round1": QueryDef(emb_kmeans_assign_round1, KMEANS_ASSIGN_R1_SQL),
+    "emb_kmeans_iter2_exact": QueryDef(emb_kmeans_iter2_exact, KMEANS_ITER2_SQL),
     "emb_srp_bucket_profile": QueryDef(emb_srp_bucket_profile, SRP_BUCKET_SQL),
     "emb_ivf_topk_exact": QueryDef(emb_ivf_topk_exact, IVF_TOPK_EXACT_SQL),
     "emb_srp_topk_exact": QueryDef(emb_srp_topk_exact, SRP_TOPK_EXACT_SQL),
