@@ -1154,6 +1154,96 @@ ORDER BY 1, 2
 """
 
 
+def emb_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eigen-solver LOOP under an exact oracle — the chip that
+    reaches the one kernel family still rows-only end-to-end
+    (emb_pca_project's eigendecomposition): three power-iteration
+    rounds toward the Gram matrix's dominant eigenvector carried out
+    ENTIRELY in int64 (what the row certifies is the loop arithmetic —
+    convergence rate is the data's λ2/λ1, orthogonal to correctness). The Gram sweep is the driver-hash-verified
+    quantized kernel (scale 10³ here: at 10¹¹ rows its entries still
+    fit int64 — the documented 100 TB knob); each round is
+    ``w = G·v`` (a d²-row broadcast join, never corpus-scale) followed
+    by integer re-normalization ``v' = w div (max|w| div S)`` —
+    division order chosen so no intermediate exceeds ~d·|G|·S ≈ 4·10¹⁶
+    at 100× (multiplying w by S FIRST would overflow there). Spark
+    ``div`` ≡ DuckDB ``//`` (test_round10 sign matrix), so all three
+    rounds replay bit-for-bit. The d×d frame is eager-checkpointed
+    once; the three rounds cost broadcast joins over ≤ d² rows — the
+    corpus is touched exactly once regardless of iteration count,
+    which is the 100 TB argument for power iteration over any
+    per-round-corpus-sweep eigensolver."""
+    from medical_examination_data_etl_system_spark.operators.linalg import quantized_gram_matrix
+
+    S = 1000
+    emb = load(spark, sf_dir, "embeddings")
+    g = quantized_gram_matrix(emb, "embedding", scale=S)
+    gsym = (
+        g.union(
+            g.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "s"
+            )
+        )
+        .localCheckpoint(eager=True)  # ≤ d² rows; re-read every round
+    )
+    v = gsym.select("i").distinct().select(
+        F.col("i").alias("jdim"), F.lit(S).cast("long").alias("v")
+    )
+    for _ in range(3):
+        w = (
+            gsym.join(F.broadcast(v), gsym.j == F.col("jdim"))
+            .select("i", (F.col("s") * F.col("v")).alias("p"))
+            .groupBy("i")
+            .agg(F.sum("p").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("_m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("jdim"),
+            F.expr(f"w div greatest(_m div {S}, CAST(1 AS BIGINT))").alias("v"),
+        )
+    return v.select(F.col("jdim").alias("dim"), F.col("v").alias("v_scaled")).orderBy("dim")
+
+
+def _power_round(idx: int) -> str:
+    """One unrolled integer power-iteration round as DuckDB CTE text."""
+    return f"""w{idx} AS (
+  SELECT g.i, CAST(sum(g.s * v{idx - 1}.v) AS BIGINT) AS w
+  FROM g JOIN v{idx - 1} ON g.j = v{idx - 1}.jdim GROUP BY g.i
+), v{idx} AS (
+  SELECT i AS jdim,
+         w // greatest((SELECT max(abs(w)) FROM w{idx}) // 1000, 1) AS v
+  FROM w{idx}
+)"""
+
+
+POWER_ITER_SQL = (
+    """
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM embeddings
+), gup AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS s
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+), g AS (
+  SELECT i, j, s FROM gup
+  UNION ALL
+  SELECT j AS i, i AS j, s FROM gup WHERE i < j
+), v0 AS (
+  SELECT DISTINCT i AS jdim, CAST(1000 AS BIGINT) AS v FROM g
+),
+"""
+    + ",\n".join(_power_round(i) for i in (1, 2, 3))
+    + """
+SELECT CAST(jdim AS INTEGER) AS dim, CAST(v AS BIGINT) AS v_scaled
+FROM v3 ORDER BY dim
+"""
+)
+
+
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection to 4 components (fit = the Gram sweep above +
     a d×d driver eigh; transform = map-only Arrow GEMM against the
@@ -1636,6 +1726,7 @@ QUERIES = {
     "multimodal_resize": QueryDef(multimodal_resize, RESIZE_SQL),
     "emb_gram_matrix": QueryDef(emb_gram_matrix, GRAM_SQL),
     "emb_pca_project": QueryDef(emb_pca_project, None),
+    "emb_power_iteration_exact": QueryDef(emb_power_iteration_exact, POWER_ITER_SQL),
     "emb_standardize": QueryDef(emb_standardize, STANDARDIZE_SQL),
     "multimodal_phash_near_dup": QueryDef(multimodal_phash_near_dup, PHASH_NEAR_DUP_SQL),
     "docs_vocab_growth": QueryDef(docs_vocab_growth, VOCAB_GROWTH_SQL),

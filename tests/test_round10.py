@@ -64,6 +64,36 @@ class TestPagerankInt3:
         assert "MapInPandas" not in _executed_plan(df)  # pure JVM loop
 
 
+class TestPowerIterationExact:
+    def test_matches_numpy_integer_replay_bit_for_bit(self, spark):
+        """The corpus spectrum is nearly flat (λ1/λ2 ≈ 1.07), so 3
+        rounds cannot single out the dominant direction — what the
+        kernel certifies is the LOOP ARITHMETIC, so the pin is
+        bit-exact agreement with a NumPy replay of the same integer
+        algorithm (quantize → Gram → 3 × [matvec, div-normalize])."""
+        import numpy as np
+        import pandas as pd
+
+        rows = all_queries()["emb_power_iteration_exact"].fn(spark, SF_DIR).collect()
+        assert len(rows) == 64
+        got = np.array(
+            [r["v_scaled"] for r in sorted(rows, key=lambda r: r["dim"])], dtype=np.int64
+        )
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        q = np.round(x * 1000).astype(np.int64)
+        g = q.T @ q
+        v = np.full(64, 1000, dtype=np.int64)
+        for _ in range(3):
+            w = g @ v
+            m = int(np.abs(w).max())
+            # truncate-toward-zero division, matching Spark div/DuckDB //
+            d = max(m // 1000, 1)
+            v = (np.sign(w) * (np.abs(w) // d)).astype(np.int64)
+        assert (got == v).all()
+        assert np.abs(got).max() > 0
+
+
 class TestKmeansIter2:
     def test_moved_flag_and_cluster_domain(self, spark):
         rows = all_queries()["emb_kmeans_iter2_exact"].fn(spark, SF_DIR).collect()
