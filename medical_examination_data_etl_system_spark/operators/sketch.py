@@ -216,6 +216,87 @@ def kmv_overlap_estimates(
     )
 
 
+def _md5_hash60(col) -> "F.Column":
+    """First 15 hex chars of md5(key) as a 60-bit integer — the
+    engine-agnostic KMV sample space (the ``_cms_bucket`` discipline
+    widened from bucket index to full hash): DuckDB replays it as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_overlap_exact(
+    df: DataFrame, group_col: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """:func:`kmv_overlap_estimates` made exact-hash-checkable: the
+    same sketch build and pairwise set algebra, but over md5-derived
+    60-bit INTEGER hashes (deterministic in any engine, unlike the
+    xxhash64 unit-interval space) with integer outputs — ``ku``,
+    ``theta_u``, ``n_both`` — plus estimates that are each ONE float
+    division of integers rounded once (no float folding anywhere), so
+    a DuckDB oracle reproduces every column bit-for-bit. Same scale
+    shape: one distinct shuffle + one group rank builds ≤ k-row
+    sketches; all pair math is O(groups² × k) on sketch rows."""
+    from pyspark.sql import Window
+
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
+    hashed = (
+        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
+        .distinct()
+        .select("grp", _md5_hash60(F.col("key")).alias("h"))
+        .distinct()
+    )
+    wg = Window.partitionBy("grp").orderBy("h")
+    sk = persist_tracked(
+        hashed.select("grp", "h", F.row_number().over(wg).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .select("grp", "h")
+    )
+    groups_a = sk.select(F.col("grp").alias("grp_a")).distinct()
+    groups_b = sk.select(F.col("grp").alias("grp_b")).distinct()
+    side_a = sk.select(F.col("grp").alias("grp_a"), "h").crossJoin(F.broadcast(groups_b))
+    side_b = sk.select(F.col("grp").alias("grp_b"), "h").crossJoin(F.broadcast(groups_a))
+    pairs = (
+        side_a.select("grp_a", "grp_b", "h")
+        .unionByName(side_b.select("grp_a", "grp_b", "h"))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .dropDuplicates(["grp_a", "grp_b", "h"])
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    union_k = pairs.select(
+        "grp_a", "grp_b", "h", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= k)
+    in_a = sk.select(F.col("grp").alias("grp_a"), "h", F.lit(1).alias("in_a"))
+    in_b = sk.select(F.col("grp").alias("grp_b"), "h", F.lit(1).alias("in_b"))
+    marked = (
+        union_k.join(in_a, ["grp_a", "h"], "left")
+        .join(in_b, ["grp_b", "h"], "left")
+        .fillna(0, subset=["in_a", "in_b"])
+    )
+    return (
+        marked.groupBy("grp_a", "grp_b")
+        .agg(
+            F.count(F.lit(1)).alias("ku"),
+            F.max("h").alias("theta_u"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "ku",
+            "theta_u",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("ku"), 6).alias("est_jaccard"),
+            F.round(
+                F.when(F.col("ku") < k, F.col("ku").cast("double")).otherwise(
+                    (F.col("ku") - 1).cast("double") * F.lit(float(2**60)) / F.col("theta_u")
+                ),
+                2,
+            ).alias("est_union"),
+        )
+    )
+
+
 def _cms_bucket(col, seed: int, width: int) -> "F.Column":
     """Deterministic cross-engine CMS bucket: first 8 hex chars of
     md5(seed || ':' || key) as an integer, mod ``width``. md5, not

@@ -1356,6 +1356,197 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_kmv_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV set-algebra kernel under a FULL exact oracle — the
+    sketch-chip discipline (agg_cms_user_counts' md5 move) applied to
+    agg_kmv_overlap, which is rows-only by its xxhash64 sample space:
+    md5-derived 60-bit integer hashes make the k-minimum sketch, the
+    union-k merge, theta, and the both-membership count engine-
+    deterministic INTEGERS; the two estimates are each one float
+    division rounded once. DuckDB rebuilds the identical sketches and
+    replays the full pairwise algebra value-exactly."""
+    from medical_examination_data_etl_system_spark.operators.sketch import kmv_overlap_exact
+
+    o = load(spark, sf_dir, "orders")
+    return kmv_overlap_exact(o, "o_orderpriority", "o_custkey", k=256).orderBy(
+        "grp_a", "grp_b"
+    )
+
+
+KMV_EXACT_SQL = """
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+), sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= 256
+), gs AS (SELECT DISTINCT grp FROM sk),
+uni AS (
+  SELECT DISTINCT p.grp_a, p.grp_b, s.h
+  FROM (SELECT a.grp AS grp_a, b.grp AS grp_b FROM gs a JOIN gs b ON a.grp < b.grp) p
+  JOIN sk s ON s.grp = p.grp_a OR s.grp = p.grp_b
+), union_k AS (
+  SELECT grp_a, grp_b, h FROM (
+    SELECT grp_a, grp_b, h,
+           row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+    FROM uni
+  ) WHERE rn <= 256
+), marked AS (
+  SELECT u.grp_a, u.grp_b, u.h,
+         CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM union_k u
+  LEFT JOIN sk sa ON sa.grp = u.grp_a AND sa.h = u.h
+  LEFT JOIN sk sb ON sb.grp = u.grp_b AND sb.h = u.h
+), agg AS (
+  SELECT grp_a, grp_b, count(*) AS ku, max(h) AS theta_u,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM marked GROUP BY 1, 2
+)
+SELECT grp_a, grp_b, ku, theta_u, n_both,
+       round(CAST(n_both AS DOUBLE) / ku, 6) AS est_jaccard,
+       round(CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+                  ELSE CAST(ku - 1 AS DOUBLE) * 1152921504606846976.0 / theta_u
+             END, 2) AS est_union
+FROM agg ORDER BY grp_a, grp_b
+"""
+
+
+# Raw-estimate numerator alpha_m·m²·2^CAP for m=512, CAP=40, embedded
+# as the SAME shortest-roundtrip literal in the Spark plan and the
+# oracle so both parse to the identical double.
+_HLL_ALPHA_NUM = 0.7213 / (1 + 1.079 / 512) * 512 * 512 * float(2**40)
+
+
+def agg_hll_md5_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch-rollup kernel under a FULL exact oracle — the
+    md5 chip applied to agg_hll_rollup (rows-only on Spark's native
+    hll_sketch_agg, whose binary is engine-specific): registers are
+    hand-built from md5-derived 60-bit hashes (bucket = h mod 512,
+    rank = trailing-zeros+1 of the remaining bits, capped at 40 — an
+    equally geometric variable, and ``round(log2(h2 & -h2))`` is exact
+    for powers of two in both engines), and the MERGEABILITY the
+    rollup exists to demonstrate is replayed literally: the per-status
+    and global levels take ``max`` over the fine (status, priority)
+    register table — the fact table is scanned ONCE, coarser levels
+    merge 512-row register frames. Empty registers enter the harmonic
+    sum arithmetically ((512 − nreg)·2^40 — no range join), the sum is
+    an INTEGER (bit-shift, ≤ 512·2^40), and the estimate is one float
+    division of that integer into a shared literal, rounded once.
+    Deliberately the RAW estimator: the small-range linear-counting
+    correction needs ln, whose cross-engine exactness hangs on libm
+    ulp agreement — small-range consumers apply it from
+    ``n_registers`` (which IS exact-checked); tests do exactly that."""
+    from medical_examination_data_etl_system_spark.operators.sketch import _md5_hash60
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        _md5_hash60(F.col("o_custkey")).alias("h"),
+    ).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("h % 512").alias("bucket"),
+        F.expr("h div 512").alias("h2"),
+    )
+    rank = F.expr(
+        "CASE WHEN h2 = 0 THEN 40 "
+        "ELSE least(CAST(round(log2(h2 & -h2)) AS INT) + 1, 40) END"
+    )
+    fine = (
+        base.select("o_orderstatus", "o_orderpriority", "bucket", rank.alias("r"))
+        .groupBy("o_orderstatus", "o_orderpriority", "bucket")
+        .agg(F.max("r").alias("m"))
+        .localCheckpoint(eager=False)  # one fact scan; 3 levels re-read
+    )
+
+    def _level(regs: DataFrame, level: int, with_status: bool, with_prio: bool) -> DataFrame:
+        keys = (["o_orderstatus"] if with_status else []) + (
+            ["o_orderpriority"] if with_prio else []
+        )
+        agg = regs.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("nreg"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - m)")).alias("s_used"),
+        )
+        s = (F.lit(512) - F.col("nreg")).cast("long") * F.lit(2**40).cast("long") + F.col(
+            "s_used"
+        )
+        return agg.select(
+            F.lit(level).alias("level"),
+            (F.col("o_orderstatus") if with_status else F.lit(None).cast("string")).alias(
+                "o_orderstatus"
+            ),
+            (F.col("o_orderpriority") if with_prio else F.lit(None).cast("string")).alias(
+                "o_orderpriority"
+            ),
+            F.col("nreg").cast("long").alias("n_registers"),
+            F.round(F.lit(_HLL_ALPHA_NUM) / s, 2).alias("hll_estimate"),
+        )
+
+    lvl0 = _level(fine, 0, True, True)
+    regs1 = fine.groupBy("o_orderstatus", "bucket").agg(F.max("m").alias("m"))
+    lvl1 = _level(regs1, 1, True, False)
+    regs2 = fine.groupBy("bucket").agg(F.max("m").alias("m"))
+    lvl2 = _level(regs2, 2, False, False)
+    return (
+        lvl0.unionByName(lvl1)
+        .unionByName(lvl2)
+        .orderBy("level", "o_orderstatus", "o_orderpriority")
+    )
+
+
+HLL_MD5_ROLLUP_SQL = f"""
+WITH h AS (
+  SELECT o_orderstatus, o_orderpriority,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+), hb AS (
+  SELECT o_orderstatus, o_orderpriority, h % 512 AS bucket, h // 512 AS h2 FROM h
+), hr AS (
+  SELECT o_orderstatus, o_orderpriority, bucket,
+         CASE WHEN h2 = 0 THEN 40
+              ELSE least(CAST(round(log2(h2 & (-h2))) AS INTEGER) + 1, 40) END AS r
+  FROM hb
+), fine AS (
+  SELECT o_orderstatus, o_orderpriority, bucket, max(r) AS m
+  FROM hr GROUP BY 1, 2, 3
+), l0 AS (
+  SELECT 0 AS level, o_orderstatus, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(512 - count(*) AS BIGINT) * 1099511627776
+           + CAST(sum(CAST(1 AS BIGINT) << (40 - m)) AS BIGINT) AS s
+  FROM fine GROUP BY 2, 3
+), r1 AS (
+  SELECT o_orderstatus, bucket, max(m) AS m FROM fine GROUP BY 1, 2
+), l1 AS (
+  SELECT 1 AS level, o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(512 - count(*) AS BIGINT) * 1099511627776
+           + CAST(sum(CAST(1 AS BIGINT) << (40 - m)) AS BIGINT) AS s
+  FROM r1 GROUP BY 2
+), r2 AS (
+  SELECT bucket, max(m) AS m FROM fine GROUP BY 1
+), l2 AS (
+  SELECT 2 AS level, CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS VARCHAR) AS o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(512 - count(*) AS BIGINT) * 1099511627776
+           + CAST(sum(CAST(1 AS BIGINT) << (40 - m)) AS BIGINT) AS s
+  FROM r2
+), uni AS (
+  SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+)
+SELECT level, o_orderstatus, o_orderpriority, n_registers,
+       round({_HLL_ALPHA_NUM!r} / s, 2) AS hll_estimate
+FROM uni
+ORDER BY level, o_orderstatus, o_orderpriority
+"""
+
+
 def agg_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (operators/sketch.
     cms_counters/cms_estimate): 4×1024 md5-derived counters over the
@@ -1533,4 +1724,6 @@ QUERIES = {
     "agg_kmv_overlap": QueryDef(agg_kmv_overlap, None),
     "join_bloom_prefilter": QueryDef(join_bloom_prefilter, BLOOM_PREFILTER_SQL),
     "agg_cms_user_counts": QueryDef(agg_cms_user_counts, CMS_USER_COUNTS_SQL),
+    "agg_kmv_overlap_exact": QueryDef(agg_kmv_overlap_exact, KMV_EXACT_SQL),
+    "agg_hll_md5_rollup_exact": QueryDef(agg_hll_md5_rollup_exact, HLL_MD5_ROLLUP_SQL),
 }
