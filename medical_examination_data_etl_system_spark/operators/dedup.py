@@ -132,6 +132,167 @@ def _collapse_docs(
     return members, reps
 
 
+def minhash_md5_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 9,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`minhash_near_duplicates` made exact-hash-checkable — the
+    md5 sketch-chip applied to the flagship near-dup path (rows-only by
+    its xxhash64 signatures). Same distributed shape per stage:
+    exploded-position shingling (whole-stage codegen, no HOF lambdas),
+    ONE pure-min signature aggregation, band-bucket equi-join for
+    candidates, inverted-index count join for exact-Jaccard
+    verification. Engine-determinism: one seeded md5 digest per BAND
+    per distinct shingle, split into four independent 32-bit signature
+    components (a Broder double-hashing first cut correlated the
+    components and inflated band collisions ~80× — see the comment at
+    the signature aggregate); band keys are the comma-joined
+    components of that band's own digest. DuckDB rebuilds every stage
+    value-exactly, so banding, candidate generation, AND the verified
+    Jaccard all sit under the driver hash gate.
+
+    The exact-content pre-collapse is MANDATORY here, and — unlike the
+    production path's cost-only probe — it is part of the certified
+    semantics: the md5 content fingerprint is engine-deterministic, so
+    the oracle replays collapse, representative pipeline, and member
+    expansion literally. Without it the band-bucket self-join is
+    member² on duplicate-heavy corpora (the 100× replica corpus made
+    the uncollapsed form fail outright on candidate volume)."""
+    members, reps = _collapse_docs(docs, text_col, id_col)
+    rep_pairs = _minhash_md5_rep_pairs(
+        reps, text_col, id_col, shingle_k, num_hashes, bands, threshold
+    )
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = (
+        x.join(y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id")))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra).orderBy("id_a", "id_b")
+
+
+def _minhash_md5_rep_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """The core md5-MinHash pipeline over (already exact-distinct)
+    representative docs — see :func:`minhash_md5_exact`."""
+    rows_per_band = num_hashes // bands
+    staged = docs.select(
+        F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    n = F.greatest(F.length("_norm") - (shingle_k - 1), F.lit(1))
+    sh = persist_tracked(
+        staged.select("_id", "_norm", F.explode(F.sequence(F.lit(1), n)).alias("_pos"))
+        .select("_id", F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k)).alias("_s"))
+        .distinct()
+    )
+    # INDEPENDENT signature components, not Broder double hashing: the
+    # first cut used min(h1 + i·h2) from one digest, and the
+    # correlation between components inflated band-key collisions
+    # ~80× (412k candidate pairs at sf0.1 where the true near-dup set
+    # is thousands) — verification then dwarfed every other stage.
+    # One seeded digest per BAND, split into ``rows_per_band``
+    # independent 32-bit values, restores the s-curve: each band key
+    # is a function of its own digest.
+    n_digests = (num_hashes + 3) // 4
+    hashed = sh.select(
+        "_id",
+        *[
+            F.md5(F.concat(F.lit(f"{d}:"), F.col("_s"))).alias(f"_d{d}")
+            for d in range(n_digests)
+        ],
+    )
+    # Persisted: the signature frame is read by every band × both join
+    # sides (8 branches) — unpersisted, each branch re-ran the digest
+    # aggregation (measured 3× on the full kernel).
+    sig = persist_tracked(
+        hashed.groupBy("_id").agg(
+            *[
+                F.min(
+                    F.conv(F.substring(f"_d{i // 4}", 8 * (i % 4) + 1, 8), 16, 10).cast("long")
+                ).alias(f"_s{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    )
+    band_frames = [
+        sig.select(
+            "_id",
+            F.lit(b).alias("_band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"_s{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("_bkey"),
+        )
+        for b in range(bands)
+    ]
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionByName(bf)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = persist_tracked(
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bkey") == F.col("b._bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa")), "id_a")
+        .join(
+            sh.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb")),
+            (F.col("id_b") == F.col("_idb")) & (F.col("_sa") == F.col("_sb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    jac = F.round(
+        F.coalesce(F.col("_i"), F.lit(0)).cast("double")
+        / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_i"), F.lit(0))),
+        4,
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",

@@ -214,6 +214,103 @@ def docs_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, threshold=0.5)
 
 
+def docs_minhash_md5_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash+LSH near-dup path under a FULL exact oracle — the
+    md5 sketch-chip (agg_cms → KMV/HLL lineage) applied to the
+    flagship text-dedup kernel, which stays rows-only in production by
+    its xxhash64 signatures (operators/dedup.minhash_md5_exact
+    docstring has the determinism construction: one seeded digest per
+    band split into four independent 32-bit components, band keys from
+    that band's digest). Banding, candidate generation, and the
+    verified exact Jaccard all replay in DuckDB value-exactly, so the
+    whole shape docs_near_dup_minhash runs — shingle explode, pure-min
+    signature agg, band-bucket join, inverted-index verification —
+    carries a driver hash row."""
+    from medical_examination_data_etl_system_spark.operators.dedup import minhash_md5_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_md5_exact(docs, threshold=0.5)
+
+
+def _mh_sig_cols() -> str:
+    return ",\n         ".join(
+        f"min(('0x' || substr(d{i // 4}, {8 * (i % 4) + 1}, 8))::BIGINT) AS s{i}"
+        for i in range(16)
+    )
+
+
+def _mh_band_selects() -> str:
+    parts = []
+    for b in range(4):
+        cols = " || ',' || ".join(
+            f"CAST(s{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, {cols} AS bkey FROM sig")
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+MINHASH_MD5_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+), mem AS (
+  SELECT doc_id AS m_id, min(doc_id) OVER (PARTITION BY f) AS rep FROM fp
+), norm AS (
+  SELECT p.doc_id, regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g') AS t
+  FROM fp p JOIN mem m ON m.m_id = p.doc_id
+  WHERE m.rep = p.doc_id
+), sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(p AS INTEGER), 9) AS s
+  FROM norm, unnest(range(1, greatest(length(t) - 8, 1) + 1)) AS u(p)
+), hh AS (
+  SELECT doc_id,
+         md5('0:' || s) AS d0, md5('1:' || s) AS d1,
+         md5('2:' || s) AS d2, md5('3:' || s) AS d3
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_mh_sig_cols()}
+  FROM hh GROUP BY doc_id
+), buckets AS (
+  {_mh_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+, rep_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.i, 0)), 4) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+              / (sa.n + sb.n - COALESCE(i.i, 0)), 4) >= 0.5
+), expanded AS (
+  SELECT least(ma.m_id, mb.m_id) AS id_a,
+         greatest(ma.m_id, mb.m_id) AS id_b, rp.jaccard
+  FROM rep_pairs rp
+  JOIN mem ma ON ma.rep = rp.id_a
+  JOIN mem mb ON mb.rep = rp.id_b
+  UNION ALL
+  SELECT x.m_id AS id_a, y.m_id AS id_b, 1.0 AS jaccard
+  FROM mem x JOIN mem y ON x.rep = y.rep AND x.m_id < y.m_id
+)
+SELECT id_a, id_b, jaccard FROM expanded ORDER BY id_a, id_b
+"""
+
+
 def docs_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming≤3 near-dup pairs. Hash-based → rows-only."""
     docs = load(spark, sf_dir, "documents")
@@ -1710,6 +1807,7 @@ QUERIES = {
     "docs_curation_pipeline": QueryDef(docs_curation_pipeline, CURATION_SQL),
     "docs_dedup_exact": QueryDef(docs_dedup_exact, DEDUP_EXACT_SQL),
     "docs_near_dup_minhash": QueryDef(docs_near_dup_minhash, None),
+    "docs_minhash_md5_exact": QueryDef(docs_minhash_md5_exact, MINHASH_MD5_SQL),
     "docs_near_dup_simhash": QueryDef(docs_near_dup_simhash, None),
     "docs_near_dup_components": QueryDef(docs_near_dup_components, None),
     "docs_near_dup_components_alt": QueryDef(docs_near_dup_components_alt, None),
