@@ -480,6 +480,102 @@ def simhash_fingerprints(
     return per_doc.select(F.col("_id").alias(id_col), fp.alias("simhash"))
 
 
+def simhash_md5_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """:func:`simhash_near_duplicates` made exact-hash-checkable — the
+    md5 chip applied to the SimHash kernel (rows-only in production by
+    its xxhash64 token hashes). Identical distributed shape:
+    count-weighted token explode (multiplicity IS the weight — no
+    distinct), one groupBy with the per-bit sign-sums partial-
+    aggregated map-side, fingerprint assembled from disjoint bit
+    terms, 4-chunk pigeonhole banding (Hamming ≤ 3 guarantees a shared
+    chunk), ``bit_count(xor)`` verification. 60 bits instead of 64:
+    the hash is the 15-hex-char md5 prefix (16 chars would set the
+    sign bit of a BIGINT cast — engine-dependent overflow), so chunks
+    are 4×15 bits. Mandatory exact-content pre-collapse, certified
+    like the MinHash twin's (md5 fingerprint replays in the oracle)."""
+    members, reps = _collapse_docs(docs, text_col, id_col)
+    rep_pairs = _simhash_md5_rep_pairs(reps, text_col, id_col, max_hamming)
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = (
+        x.join(y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._id") < F.col("y._id")))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra).orderBy("id_a", "id_b")
+
+
+def _simhash_md5_rep_pairs(
+    docs: DataFrame, text_col: str, id_col: str, max_hamming: int
+) -> DataFrame:
+    """Core md5-SimHash pipeline over exact-distinct representatives —
+    see :func:`simhash_md5_exact`."""
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("_tok"),
+    ).select(
+        "_id",
+        F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long").alias("_h"),
+    )
+    bit_sums = [
+        F.sum(F.shiftright("_h", k).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{k}")
+        for k in range(60)
+    ]
+    per_doc = toks.groupBy("_id").agg(*bit_sums)
+    fp = None
+    for k in range(60):
+        bit = (F.col(f"_b{k}") > 0).cast("long")
+        term = F.shiftleft(bit, k)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    fps = persist_tracked(per_doc.select(F.col("_id"), fp.alias("_fp")))
+    chunks = fps.select(
+        "_id",
+        "_fp",
+        F.posexplode(
+            F.array(
+                *[F.shiftright("_fp", 15 * c).bitwiseAND(F.lit(0x7FFF)) for c in range(4)]
+            )
+        ).alias("_ci", "_cv"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a._ci") == F.col("b._ci"))
+            & (F.col("a._cv") == F.col("b._cv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",

@@ -86,13 +86,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (3) all 27 rows whose newest driver evidence is r03 — the displaced
 # multimodal family, both CC variants, both approximate-ANN paths, the
 # 17 remaining r03 TPC-H queries, and both skew demos;
-# (4) the six mid-round exact-oracle chips (graph_pagerank_int3,
+# (4) the seven mid-round exact-oracle chips (graph_pagerank_int3,
 # emb_kmeans_iter2_exact, emb_power_iteration_exact,
 # agg_kmv_overlap_exact, agg_hll_md5_rollup_exact,
-# docs_minhash_md5_exact) enter at the head; q16-q19 + both skew demos
-# slip past position 50 and rotate with r08.
+# docs_minhash_md5_exact, docs_simhash_md5_exact) enter at the head;
+# q15-q19 + both skew demos slip past position 50 and rotate with r08.
 # After this round every registered query's evidence is r04+ except the
-# 44 remaining r04/r05 rows plus the six displaced names above — r08
+# 44 remaining r04/r05 rows plus the seven displaced names above — r08
 # rotates those in.
 # Every name is asserted against the registry below (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
@@ -102,6 +102,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_kmv_overlap_exact",
     "agg_hll_md5_rollup_exact",
     "docs_minhash_md5_exact",
+    "docs_simhash_md5_exact",
     "pipeline_llm_rewrite",
     "pipeline_ingest_enrich_clean",
     "emb_kmeans_assign_round1",

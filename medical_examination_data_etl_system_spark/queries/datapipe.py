@@ -317,6 +317,75 @@ def docs_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs)
 
 
+def docs_simhash_md5_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash near-dup kernel under a FULL exact oracle — the md5
+    chip applied to docs_near_dup_simhash (rows-only by xxhash64):
+    count-weighted bit-majority fingerprints over 60-bit md5 token
+    hashes, 4×15-bit pigeonhole banding, bit_count(xor) verification,
+    mandatory certified exact-collapse + member expansion
+    (operators/dedup.simhash_md5_exact). With X147 this puts BOTH
+    classic text near-dup sketches under the driver hash gate."""
+    from medical_examination_data_etl_system_spark.operators.dedup import simhash_md5_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_md5_exact(docs)
+
+
+def _sh_bit_sums() -> str:
+    return ",\n         ".join(
+        f"sum(((h >> {k}) & 1) * 2 - 1) AS b{k}" for k in range(60)
+    )
+
+
+def _sh_fp() -> str:
+    return " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN CAST(1 AS BIGINT) << {k} ELSE 0 END)" for k in range(60)
+    )
+
+
+SIMHASH_MD5_SQL = f"""
+WITH fpc AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+), mem AS (
+  SELECT doc_id AS m_id, min(doc_id) OVER (PARTITION BY f) AS rep FROM fpc
+), toks AS (
+  SELECT p.doc_id,
+         ('0x' || substr(md5(unnest(
+            string_split(regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g'), ' ')
+         )), 1, 15))::BIGINT AS h
+  FROM fpc p JOIN mem m ON m.m_id = p.doc_id
+  WHERE m.rep = p.doc_id
+), sums AS (
+  SELECT doc_id,
+         {_sh_bit_sums()}
+  FROM toks GROUP BY doc_id
+), fps AS (
+  SELECT doc_id, {_sh_fp()} AS fp FROM sums
+), chunks AS (
+  SELECT doc_id, fp, ci, (fp >> (15 * ci)) & 32767 AS cv
+  FROM fps, unnest([0, 1, 2, 3]) AS t(ci)
+), rep_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+), expanded AS (
+  SELECT least(ma.m_id, mb.m_id) AS id_a,
+         greatest(ma.m_id, mb.m_id) AS id_b, rp.hamming
+  FROM rep_pairs rp
+  JOIN mem ma ON ma.rep = rp.id_a
+  JOIN mem mb ON mb.rep = rp.id_b
+  UNION ALL
+  SELECT x.m_id AS id_a, y.m_id AS id_b, CAST(0 AS INTEGER) AS hamming
+  FROM mem x JOIN mem y ON x.rep = y.rep AND x.m_id < y.m_id
+)
+SELECT id_a, id_b, hamming FROM expanded ORDER BY id_a, id_b
+"""
+
+
 def docs_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup dedup: MinHash pairs → connected components →
     keep each component's min-id representative. Iterative (driver-side
@@ -1808,6 +1877,7 @@ QUERIES = {
     "docs_dedup_exact": QueryDef(docs_dedup_exact, DEDUP_EXACT_SQL),
     "docs_near_dup_minhash": QueryDef(docs_near_dup_minhash, None),
     "docs_minhash_md5_exact": QueryDef(docs_minhash_md5_exact, MINHASH_MD5_SQL),
+    "docs_simhash_md5_exact": QueryDef(docs_simhash_md5_exact, SIMHASH_MD5_SQL),
     "docs_near_dup_simhash": QueryDef(docs_near_dup_simhash, None),
     "docs_near_dup_components": QueryDef(docs_near_dup_components, None),
     "docs_near_dup_components_alt": QueryDef(docs_near_dup_components_alt, None),
