@@ -122,6 +122,25 @@ HEAVY_EXTENSION = [
     "customer_cohort_ltv",
     "lineitem_basket_lift",
     "docs_ngram_novelty",
+    # round-9 additions: composed pipeline + exact ANN/assignment chips
+    "pipeline_llm_rewrite",
+    "pipeline_ingest_enrich_clean",
+    "pipeline_e2e_reports",
+    "emb_kmeans_assign_round1",
+    "emb_srp_bucket_profile",
+    "emb_ivf_topk_exact",
+    "emb_srp_topk_exact",
+    "docs_length_buckets",
+    # round-10 additions: the exact-oracle chips for every remaining
+    # rows-only kernel family (pagerank loop, full Lloyd round, eigen
+    # solver, KMV/HLL sketches, MinHash/SimHash near-dup)
+    "graph_pagerank_int3",
+    "emb_kmeans_iter2_exact",
+    "emb_power_iteration_exact",
+    "agg_kmv_overlap_exact",
+    "agg_hll_md5_rollup_exact",
+    "docs_minhash_md5_exact",
+    "docs_simhash_md5_exact",
 ]
 
 
