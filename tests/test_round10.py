@@ -143,6 +143,52 @@ class TestSketchExactTwins:
         assert all(lvl2[0]["n_registers"] >= r["n_registers"] for r in lvl1)
 
 
+class TestMd5NearDupTwins:
+    """Planted-duplicate semantics for the md5 MinHash/SimHash exact
+    twins: the certified exact-collapse must surface every intra-copy
+    pair, and near-copies must pass the respective sketch gates."""
+
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [
+            (1, base), (2, base), (3, base),            # exact copies
+            (4, base.replace("lazy", "sleepy")),         # near copy
+            (5, "completely different content about spark engines " * 6),
+            (6, "completely different content about spark engines " * 6),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minhash_md5_planted(self, spark):
+        from medical_examination_data_etl_system_spark.operators.dedup import minhash_md5_exact
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_md5_exact(self._docs(spark), threshold=0.5).collect()
+        }
+        for a, b in [(1, 2), (1, 3), (2, 3), (5, 6)]:
+            assert pairs.get((a, b)) == 1.0, (a, b, pairs)
+        # the near copy sits at j≈0.6 where the 4×4 banding s-curve is
+        # ~43% — with fixed hashes its fate is deterministic but not
+        # guaranteed-caught; what IS guaranteed: any reported pair
+        # passed exact verification at ≥ threshold
+        assert all(j >= 0.5 for j in pairs.values())
+        # unrelated docs never pair
+        assert not any({x, y} & {5, 6} and {x, y} & {1, 2, 3, 4} for x, y in pairs)
+
+    def test_simhash_md5_planted(self, spark):
+        from medical_examination_data_etl_system_spark.operators.dedup import simhash_md5_exact
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_md5_exact(self._docs(spark)).collect()
+        }
+        for a, b in [(1, 2), (1, 3), (2, 3), (5, 6)]:
+            assert pairs.get((a, b)) == 0, (a, b, pairs)
+        if (1, 4) in pairs:  # near copy passes only if within Hamming 3
+            assert pairs[(1, 4)] <= 3
+        assert not any({x, y} & {5, 6} and {x, y} & {1, 2, 3, 4} for x, y in pairs)
+
+
 class TestKmeansIter2:
     def test_moved_flag_and_cluster_domain(self, spark):
         rows = all_queries()["emb_kmeans_iter2_exact"].fn(spark, SF_DIR).collect()
