@@ -190,6 +190,31 @@ def minhash_md5_exact(
     return cross.unionByName(intra).orderBy("id_a", "id_b")
 
 
+def minhash_estimate_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 9,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Sketch-quality evaluation: for every LSH candidate pair (over
+    exact-distinct representative texts — duplicates carry no
+    calibration signal), the MinHash signature-agreement ESTIMATE next
+    to the verified exact Jaccard and the absolute error. Answers, in
+    one driver-checkable query, "how well does the 16-component md5
+    sketch approximate the similarity it gates on" — the eval a user
+    runs before trusting the near-dup threshold at crawl scale. Same
+    deterministic md5 construction as :func:`minhash_md5_exact`, so
+    the whole surface (candidates, estimate, exact value, error) is
+    exact-hash-checkable against a SQL oracle; no threshold filter —
+    calibration wants the full candidate set, errors included."""
+    _, reps = _collapse_docs(docs, text_col, id_col)
+    return _minhash_md5_rep_pairs(
+        reps, text_col, id_col, shingle_k, num_hashes, bands, 0.0, with_estimate=True
+    )
+
+
 def _minhash_md5_rep_pairs(
     docs: DataFrame,
     text_col: str,
@@ -198,9 +223,18 @@ def _minhash_md5_rep_pairs(
     num_hashes: int,
     bands: int,
     threshold: float,
+    with_estimate: bool = False,
 ) -> DataFrame:
     """The core md5-MinHash pipeline over (already exact-distinct)
-    representative docs — see :func:`minhash_md5_exact`."""
+    representative docs — see :func:`minhash_md5_exact`.
+
+    ``with_estimate=True`` additionally returns the signature-agreement
+    Jaccard ESTIMATE (matching components / ``num_hashes``) and its
+    absolute error vs the verified exact Jaccard — the sketch
+    calibration surface (how good is the MinHash approximation on the
+    candidates it actually surfaces). Costs two extra broadcast-sized
+    probes into the already-persisted signature frame; the candidate
+    and verification stages are shared unchanged."""
     rows_per_band = num_hashes // bands
     staged = docs.select(
         F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm")
@@ -283,12 +317,41 @@ def _minhash_md5_rep_pairs(
         / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_i"), F.lit(0))),
         4,
     )
-    return (
+    verified = (
         cand.join(inter, ["id_a", "id_b"], "left")
         .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+    if not with_estimate:
+        return (
+            verified.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("id_a", "id_b")
+        )
+    sig_a = sig.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f"_s{i}").alias(f"_sa{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f"_s{i}").alias(f"_sb{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"_sa{i}") == F.col(f"_sb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = F.round(matches.cast("double") / F.lit(num_hashes), 4)
+    return (
+        verified.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("mh_estimate"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
+        .withColumn("abs_err", F.round(F.abs(F.col("mh_estimate") - F.col("jaccard")), 4))
         .orderBy("id_a", "id_b")
     )
 

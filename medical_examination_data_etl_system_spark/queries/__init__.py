@@ -126,6 +126,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "customer_cohort_ltv",
     "lineitem_basket_lift",
     "docs_ngram_novelty",
+    # Round-11 additions (zero driver rows → ahead of the r03-stale
+    # refreshes, same evidence-need ordering as the blocks above; the
+    # four TPC-H rows they displace past position 50 rotate with r08):
+    "events_nearest_event_join",
+    "docs_dup_span_audit",
+    "docs_minhash_calibration",
+    "docs_temperature_mix",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

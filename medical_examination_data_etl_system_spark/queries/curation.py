@@ -686,7 +686,66 @@ FROM m ORDER BY doc_id
 """
 
 
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mix weights (the multilingual
+    training-mix recipe: sample language ℓ ∝ tokens(ℓ)^α, α = 0.5) —
+    per language the corpus share, the α-tempered sampling weight, and
+    the docs drawn per 1000-sample epoch. α < 1 up-weights low-resource
+    languages; α = 0.5 is written as sqrt(), which IEEE-754 rounds
+    correctly in every engine, so the weights hash-match exactly.
+    Cost shape: one map-side token count + one 5-row language
+    aggregate; the global normalizer joins back as a broadcast single
+    row (no unpartitioned window, no second scan)."""
+    docs = load(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", token_count(F.col("text")).alias("_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+        )
+        .withColumn("_w", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    total = per_lang.agg(F.sum("_w").alias("_wsum"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("_w") / F.col("_wsum"), 4).alias("mix_weight"),
+            F.round(F.lit(1000.0) * F.col("_w") / F.col("_wsum"), 1).alias(
+                "docs_per_1000"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  GROUP BY lang
+), w AS (
+  SELECT lang, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS wt FROM per
+), tot AS (
+  SELECT sum(wt) AS wsum FROM w
+)
+SELECT lang, n_docs, n_tokens,
+       round(wt / wsum, 4) AS mix_weight,
+       round(1000.0 * wt / wsum, 1) AS docs_per_1000
+FROM w CROSS JOIN tot
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "docs_temperature_mix": QueryDef(docs_temperature_mix, TEMPERATURE_MIX_SQL),
     "docs_blocklist_filter": QueryDef(docs_blocklist_filter, BLOCKLIST_SQL),
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_weighted_sample": QueryDef(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),

@@ -1855,7 +1855,165 @@ ORDER BY d.doc_id
 """
 
 
+def docs_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span audit (the Lee-et-al. exact-substring-dedup
+    measurement re-expressed relationally): per doc, the fraction of
+    its 8-token word windows that also occur verbatim in at least one
+    OTHER doc — the memorization-risk / cross-doc contamination score
+    that substring-level dedup thresholds on. Cost shape is the
+    novelty query's: spans travel as xxhash64 longs (collision-exact —
+    a collision can only merge two spans; the oracle works on the
+    span strings), one span-keyed shuffle computes each distinct
+    span's distinct-doc count, one doc-keyed aggregate scores every
+    doc. Nothing quadratic — corpus-linear at any scale, unlike a
+    suffix-array build."""
+    from medical_examination_data_etl_system_spark.operators.curation import _word_gram_rows
+
+    docs = load(spark, sf_dir, "documents")
+    spans = _word_gram_rows(docs, "text", "doc_id", 8)
+    # distinct docs per span — occurrences join back so within-doc
+    # repeats of a cross-doc span each count as duplicated surface.
+    span_df = spans.distinct().groupBy("_gram").agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    scored = (
+        spans.join(span_df, "_gram")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans").isNotNull(),
+                F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4),
+            ).alias("dup_span_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+), df AS (
+  SELECT s, count(*) AS nd FROM (SELECT DISTINCT doc_id, s FROM spans) GROUP BY s
+), scored AS (
+  SELECT sp.doc_id,
+         count(*) AS n_spans,
+         CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM spans sp JOIN df ON df.s = sp.s
+  GROUP BY sp.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN s.n_spans IS NOT NULL
+            THEN round(CAST(s.n_dup_spans AS DOUBLE) / s.n_spans, 4) END
+         AS dup_span_ratio
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def docs_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch CALIBRATION — for every LSH candidate pair, the
+    signature-agreement estimate next to the verified exact Jaccard
+    and the absolute error (operators/dedup.minhash_estimate_calibration
+    has the construction). The approximation-quality eval itself runs
+    as a driver-hash-checked query: candidates, estimate, exact value,
+    and error are all replayed value-exactly by the md5 oracle."""
+    from medical_examination_data_etl_system_spark.operators.dedup import (
+        minhash_estimate_calibration,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_estimate_calibration(docs)
+
+
+def _mh_est_sum() -> str:
+    cases = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"round(({cases}) / 16.0, 4)"
+
+
+MINHASH_CALIBRATION_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+), mem AS (
+  SELECT doc_id AS m_id, min(doc_id) OVER (PARTITION BY f) AS rep FROM fp
+), norm AS (
+  SELECT p.doc_id, regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g') AS t
+  FROM fp p JOIN mem m ON m.m_id = p.doc_id
+  WHERE m.rep = p.doc_id
+), sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(p AS INTEGER), 9) AS s
+  FROM norm, unnest(range(1, greatest(length(t) - 8, 1) + 1)) AS u(p)
+), hh AS (
+  SELECT doc_id,
+         md5('0:' || s) AS d0, md5('1:' || s) AS d1,
+         md5('2:' || s) AS d2, md5('3:' || s) AS d3
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_mh_sig_cols()}
+  FROM hh GROUP BY doc_id
+), buckets AS (
+  {_mh_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+), cal AS (
+  SELECT c.id_a, c.id_b, {_mh_est_sum()} AS mh_estimate
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+), scored AS (
+  SELECT c.id_a, c.id_b, cal.mh_estimate,
+         round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.i, 0)), 4) AS jaccard
+  FROM cand c
+  JOIN cal ON cal.id_a = c.id_a AND cal.id_b = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, mh_estimate, jaccard,
+       round(abs(mh_estimate - jaccard), 4) AS abs_err
+FROM scored
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
+    "docs_dup_span_audit": QueryDef(docs_dup_span_audit, DUP_SPAN_SQL),
+    "docs_minhash_calibration": QueryDef(docs_minhash_calibration, MINHASH_CALIBRATION_SQL),
     "docs_ngram_novelty": QueryDef(docs_ngram_novelty, NGRAM_NOVELTY_SQL),
     "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "docs_semantic_dedup_srp": QueryDef(docs_semantic_dedup_srp, None),

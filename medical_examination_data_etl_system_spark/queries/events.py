@@ -172,8 +172,85 @@ ORDER BY user_id, event_id
 """
 
 
+def events_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join, BOTH directions: each purchase matched to
+    the user's temporally closest click — before OR after — with ties
+    at equal distance resolving to the earlier click. The
+    feature-engineering join as-of can't express (backward-only misses
+    a click seconds later), built by ``operators.asof.asof_join_nearest``
+    from ONE user-keyed shuffle carrying both frame passes; the DuckDB
+    oracle is an independent construction (dual inclusive ASOF JOIN +
+    the same tie rule). Clicks pre-dedup to min event_id per (user, ts)
+    — the operator's determinism precondition."""
+    from pyspark.sql import Window as W
+
+    from medical_examination_data_etl_system_spark.operators.asof import asof_join_nearest
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy("event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    joined = asof_join_nearest(purchases, clicks, ["user_id"], "ts", "ts")
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("right_event_id").alias("click_event_id"),
+        F.col("right_ts").alias("click_ts"),
+        (F.unix_micros("right_ts") - F.unix_micros("ts")).alias("gap_us"),
+        F.when(F.unix_micros("right_ts") <= F.unix_micros("ts"), "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    ).orderBy("user_id", "event_id")
+
+
+NEAREST_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+), dual AS (
+  SELECT p.user_id, p.event_id, p.ts,
+         b.event_id AS b_id, b.ts AS b_ts,
+         f.event_id AS f_id, f.ts AS f_ts
+  FROM p
+  ASOF LEFT JOIN c b ON p.user_id = b.user_id AND p.ts >= b.ts
+  ASOF LEFT JOIN c f ON p.user_id = f.user_id AND p.ts <= f.ts
+), chosen AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN b_id IS NULL THEN f_id
+              WHEN f_id IS NULL THEN b_id
+              WHEN epoch_us(ts) - epoch_us(b_ts)
+                   <= epoch_us(f_ts) - epoch_us(ts) THEN b_id
+              ELSE f_id END AS click_event_id,
+         CASE WHEN b_id IS NULL THEN f_ts
+              WHEN f_id IS NULL THEN b_ts
+              WHEN epoch_us(ts) - epoch_us(b_ts)
+                   <= epoch_us(f_ts) - epoch_us(ts) THEN b_ts
+              ELSE f_ts END AS click_ts
+  FROM dual
+  WHERE b_id IS NOT NULL OR f_id IS NOT NULL
+)
+SELECT user_id, event_id, ts, click_event_id, click_ts,
+       epoch_us(click_ts) - epoch_us(ts) AS gap_us,
+       CASE WHEN epoch_us(click_ts) <= epoch_us(ts)
+            THEN 'backward' ELSE 'forward' END AS direction
+FROM chosen
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": QueryDef(events_tumbling_hourly, TUMBLING_SQL),
+    "events_nearest_event_join": QueryDef(events_nearest_event_join, NEAREST_SQL),
     "events_asof_attribution": QueryDef(events_asof_attribution, ASOF_SQL),
     "events_sliding_windows": QueryDef(events_sliding_windows, SLIDING_SQL),
     "events_session_windows": QueryDef(events_session_windows, SESSION_SQL),

@@ -141,6 +141,11 @@ HEAVY_EXTENSION = [
     "agg_hll_md5_rollup_exact",
     "docs_minhash_md5_exact",
     "docs_simhash_md5_exact",
+    # round-11 additions: nearest-join / span-audit / calibration / mix
+    "events_nearest_event_join",
+    "docs_dup_span_audit",
+    "docs_minhash_calibration",
+    "docs_temperature_mix",
 ]
 
 

@@ -1,0 +1,182 @@
+"""Round-11 additions: nearest as-of join, duplicated-span audit,
+MinHash calibration, temperature-scaled mix weights.
+
+Planted-frame semantics here; exact-hash parity vs DuckDB is covered by
+test_oracle_parity.py for all four registered queries.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators.asof import asof_join_nearest
+from medical_examination_data_etl_system_spark.operators.dedup import minhash_estimate_calibration
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+class TestAsofNearest:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                Row(k="a", lt=_ts("2024-01-01T10:00:00"), lv=1),  # equidistant 9/11
+                Row(k="a", lt=_ts("2024-01-01T10:59:00"), lv=2),  # forward closer
+                Row(k="b", lt=_ts("2024-01-01T08:00:00"), lv=3),  # only forward
+                Row(k="b", lt=_ts("2024-01-01T23:00:00"), lv=4),  # only backward
+                Row(k="c", lt=_ts("2024-01-01T09:00:00"), lv=5),  # no right rows
+            ]
+        )
+        right = spark.createDataFrame(
+            [
+                Row(k="a", rt=_ts("2024-01-01T09:00:00"), rv="x"),
+                Row(k="a", rt=_ts("2024-01-01T11:00:00"), rv="y"),
+                Row(k="b", rt=_ts("2024-01-01T12:00:00"), rv="z"),
+            ]
+        )
+        return left, right
+
+    def test_nearest_semantics(self, spark):
+        left, right = self._frames(spark)
+        got = {
+            r["lv"]: r["right_rv"]
+            for r in asof_join_nearest(left, right, ["k"], "lt", "rt").collect()
+        }
+        # lv=1: |10-9| == |11-10| → tie resolves BACKWARD (earlier).
+        assert got == {1: "x", 2: "y", 3: "z", 4: "z"}
+
+    def test_left_keeps_unmatched(self, spark):
+        left, right = self._frames(spark)
+        rows = asof_join_nearest(left, right, ["k"], "lt", "rt", how="left").collect()
+        assert len(rows) == 5
+        assert {r["lv"] for r in rows if r["right_rv"] is None} == {5}
+
+    def test_subsecond_tiebreak(self, spark):
+        # Distances differ only at microsecond precision — a
+        # seconds-truncating cast would see a tie and wrongly pick
+        # backward; the micros comparison must pick the closer forward.
+        left = spark.createDataFrame([Row(k="a", lt=_ts("2024-01-01T10:00:00"), lv=1)])
+        right = spark.createDataFrame(
+            [
+                Row(k="a", rt=_ts("2024-01-01T09:59:59.999900"), rv="b"),
+                Row(k="a", rt=_ts("2024-01-01T10:00:00.000099"), rv="f"),
+            ]
+        )
+        (row,) = asof_join_nearest(left, right, ["k"], "lt", "rt").collect()
+        assert row["right_rv"] == "f"
+
+    def test_equal_ts_matches_backward_at_zero(self, spark):
+        left = spark.createDataFrame([Row(k="a", lt=_ts("2024-01-01T10:00:00"), lv=1)])
+        right = spark.createDataFrame(
+            [
+                Row(k="a", rt=_ts("2024-01-01T10:00:00"), rv="same"),
+                Row(k="a", rt=_ts("2024-01-01T10:00:01"), rv="later"),
+            ]
+        )
+        (row,) = asof_join_nearest(left, right, ["k"], "lt", "rt").collect()
+        assert row["right_rv"] == "same"
+
+
+class TestDupSpanAudit:
+    def test_planted_shared_span(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        shared = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=shared + " tail alpha"),
+                Row(doc_id=2, text="lead " + shared),
+                Row(doc_id=3, text="totally different words with no overlap here ok"),
+                Row(doc_id=4, text="short text"),  # < 8 tokens → no spans
+            ]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = {r["doc_id"]: r.asDict() for r in datapipe.docs_dup_span_audit(spark, "_").collect()}
+        # doc1: 3 windows (10 tokens), windows starting at pos 1 is the
+        # shared 8-gram; doc2's window at pos 2 matches it.
+        assert got[1]["n_spans"] == 3 and got[1]["n_dup_spans"] == 1
+        assert got[2]["n_spans"] == 2 and got[2]["n_dup_spans"] == 1
+        assert got[3]["n_dup_spans"] == 0
+        assert got[4]["n_spans"] == 0 and got[4]["dup_span_ratio"] is None
+        assert abs(got[1]["dup_span_ratio"] - round(1 / 3, 4)) < 1e-9
+
+    def test_within_doc_repeat_counts_occurrences(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        span = "w1 w2 w3 w4 w5 w6 w7 w8"
+        docs = spark.createDataFrame(
+            [
+                # the shared span occurs twice in doc 1 (positions 1 and 10)
+                Row(doc_id=1, text=span + " break " + span),
+                Row(doc_id=2, text=span),
+            ]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = {r["doc_id"]: r.asDict() for r in datapipe.docs_dup_span_audit(spark, "_").collect()}
+        assert got[1]["n_dup_spans"] == 2  # both occurrences are dup surface
+        assert got[2]["n_dup_spans"] == 1
+
+
+class TestMinhashCalibration:
+    def test_planted_near_dup_pair(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base),
+                Row(doc_id=2, text=base + " extra"),
+                Row(doc_id=3, text=base),  # exact dup of 1 → collapses away
+                Row(doc_id=4, text="completely unrelated content with distinct words"),
+            ]
+        )
+        rows = minhash_estimate_calibration(docs).collect()
+        pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+        # reps-only: the exact duplicate (3) never appears.
+        assert all(3 not in p for p in pairs)
+        assert (1, 2) in pairs
+        r = pairs[(1, 2)]
+        assert 0.0 <= r["mh_estimate"] <= 1.0
+        assert 0.5 < r["jaccard"] < 1.0
+        assert abs(r["abs_err"] - round(abs(r["mh_estimate"] - r["jaccard"]), 4)) < 1e-9
+
+    def test_identical_pair_calibrates_exactly(self, spark):
+        # Two docs whose normalized texts differ (case) but shingle sets
+        # match after normalization → jaccard 1.0 and estimate 1.0:
+        # calibration error 0 on the easiest possible pair.
+        t = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text=t), Row(doc_id=2, text=t + " ")]
+        )
+        rows = minhash_estimate_calibration(docs).collect()
+        # trailing space normalizes away → exact-collapse leaves ONE rep
+        assert rows == []
+
+
+class TestTemperatureMix:
+    def test_weights_sum_to_one(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.curation import docs_temperature_mix
+
+        rows = docs_temperature_mix(spark, sf_smoke).collect()
+        assert len(rows) >= 2
+        assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-2
+        assert abs(sum(r["docs_per_1000"] for r in rows) - 1000.0) < 5
+
+    def test_sqrt_tempering_uprates_low_resource(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import curation as qc
+
+        docs = spark.createDataFrame(
+            [
+                Row(lang="hi", text="a " * 99 + "a", n_chars=0),   # 100 tokens
+                Row(lang="lo", text="b " * 24 + "b", n_chars=0),   # 25 tokens
+            ]
+        )
+        monkeypatch.setattr(qc, "load", lambda s, d, t: docs)
+        got = {r["lang"]: r for r in qc.docs_temperature_mix(spark, "_").collect()}
+        # raw share 100/125 = 0.8; sqrt-tempered 10/15 ≈ 0.6667 — the
+        # low-resource lang rises from 0.2 to 0.3333.
+        assert abs(got["hi"]["mix_weight"] - 0.6667) < 1e-9
+        assert abs(got["lo"]["mix_weight"] - 0.3333) < 1e-9
+        assert got["lo"]["docs_per_1000"] == 333.3
