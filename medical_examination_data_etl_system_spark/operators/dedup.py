@@ -215,6 +215,79 @@ def minhash_estimate_calibration(
     )
 
 
+def minhash_incremental_dedup(
+    docs: DataFrame,
+    split_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 9,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup dedup — the production ingest shape: docs
+    with ``id >= split_id`` are the NEW batch, everything below is the
+    already-deduped corpus whose MinHash state (band buckets + shingle
+    index) a real system keeps persisted. Per batch doc: the earlier
+    doc it duplicates, canonicalized deterministically — exact content
+    → its fingerprint group's representative at Jaccard 1.0, else the
+    min-id verified near-dup partner among the incrementally computed
+    pairs — or 'unique'. (Min-id across BOTH match kinds would need
+    the corpus's own historical near links; dedup-on-ingest keeps the
+    direct answer.)
+
+    Cost shape is the incremental contract: the corpus side feeds band
+    keys and the inverted shingle index only — candidate generation and
+    Jaccard verification are restricted to pairs whose later side is a
+    batch rep (``right_min_id`` pushdown in the shared kernel), so
+    per-batch work scales with the batch, never corpus². Exact-content
+    collapse runs over the union (corpus∪batch reps dedup the
+    signature work exactly as in :func:`minhash_md5_exact`). Canonical
+    TRANSITIVE representatives remain the connected-components query's
+    job (docs_semantic_dedup); dedup-on-ingest wants the direct match.
+    Same md5 determinism as the exact twin → full DuckDB oracle.
+    """
+    members, reps = _collapse_docs(docs, text_col, id_col)
+    pairs = _minhash_md5_rep_pairs(
+        reps,
+        text_col,
+        id_col,
+        shingle_k,
+        num_hashes,
+        bands,
+        threshold,
+        right_min_id=split_id,
+    )
+    near = pairs.groupBy(F.col("id_b").alias("_nid")).agg(
+        F.min("id_a").alias("_near_of"),
+        F.min_by("jaccard", "id_a").alias("_near_j"),
+    )
+    base = members.filter(F.col("_id") >= F.lit(split_id))
+    # Exact dups resolve to their group rep (jaccard 1.0); self-reps
+    # consult the restricted near pairs; neither → unique.
+    scored = (
+        base.join(near, base["_rep"] == F.col("_nid"), "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_id") != F.col("_rep"), F.col("_rep"))
+            .otherwise(F.col("_near_of"))
+            .alias("dup_of"),
+            F.when(F.col("_id") != F.col("_rep"), F.lit(1.0))
+            .otherwise(F.col("_near_j"))
+            .alias("jaccard"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "dup_of",
+        "jaccard",
+        F.when(F.col("dup_of").isNull(), "unique")
+        .when(F.col("dup_of") < F.lit(split_id), "dup_corpus")
+        .otherwise("dup_batch")
+        .alias("verdict"),
+    ).orderBy(id_col)
+
+
 def _minhash_md5_rep_pairs(
     docs: DataFrame,
     text_col: str,
@@ -224,6 +297,7 @@ def _minhash_md5_rep_pairs(
     bands: int,
     threshold: float,
     with_estimate: bool = False,
+    right_min_id: int | None = None,
 ) -> DataFrame:
     """The core md5-MinHash pipeline over (already exact-distinct)
     representative docs — see :func:`minhash_md5_exact`.
@@ -291,7 +365,14 @@ def _minhash_md5_rep_pairs(
     buckets = band_frames[0]
     for bf in band_frames[1:]:
         buckets = buckets.unionByName(bf)
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # Incremental restriction: only pairs whose LATER side is a new
+    # (>= right_min_id) doc — the corpus side contributes band keys and
+    # the shingle index (the persisted dedup state) but no corpus×corpus
+    # re-verification, so per-batch cost scales with the batch.
+    right = buckets if right_min_id is None else buckets.filter(
+        F.col("_id") >= F.lit(right_min_id)
+    )
+    a, b = buckets.alias("a"), right.alias("b")
     cand = persist_tracked(
         a.join(
             b,

@@ -133,6 +133,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_dup_span_audit",
     "docs_minhash_calibration",
     "docs_temperature_mix",
+    "docs_incremental_dedup",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -2011,8 +2011,99 @@ ORDER BY id_a, id_b
 """
 
 
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (dedup-on-ingest) MinHash near-dup: the last 20% of
+    the id range arrives as the NEW batch against the first 80% as the
+    persisted corpus; per batch doc, the earlier doc it duplicates —
+    exact content → its fingerprint rep at 1.0, else the min-id
+    verified near partner — or 'unique'. The corpus side contributes
+    dedup STATE only (band keys + shingle index); candidates and
+    verification are restricted to batch-side pairs, so per-batch cost
+    scales with the batch (operators/dedup.minhash_incremental_dedup).
+    The split boundary is the one bounded driver-side scalar (same
+    stance as the BFS source id)."""
+    from medical_examination_data_etl_system_spark.operators.dedup import minhash_incremental_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    split = int(0.8 * (max_id + 1))
+    return minhash_incremental_dedup(docs, split)
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH split AS (
+  SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS sp FROM documents
+), fp AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+), mem AS (
+  SELECT doc_id AS m_id, min(doc_id) OVER (PARTITION BY f) AS rep FROM fp
+), norm AS (
+  SELECT p.doc_id, regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g') AS t
+  FROM fp p JOIN mem m ON m.m_id = p.doc_id
+  WHERE m.rep = p.doc_id
+), sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(p AS INTEGER), 9) AS s
+  FROM norm, unnest(range(1, greatest(length(t) - 8, 1) + 1)) AS u(p)
+), hh AS (
+  SELECT doc_id,
+         md5('0:' || s) AS d0, md5('1:' || s) AS d1,
+         md5('2:' || s) AS d2, md5('3:' || s) AS d3
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         {{sig_cols}}
+  FROM hh GROUP BY doc_id
+), buckets AS (
+  {{band_selects}}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= (SELECT sp FROM split)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+), rep_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.i, 0)), 4) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+              / (sa.n + sb.n - COALESCE(i.i, 0)), 4) >= 0.5
+), near AS (
+  SELECT id_b, min(id_a) AS near_of, min_by(jaccard, id_a) AS near_j
+  FROM rep_pairs GROUP BY id_b
+), base AS (
+  SELECT m_id AS doc_id, rep FROM mem
+  WHERE m_id >= (SELECT sp FROM split)
+), scored AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id <> b.rep THEN b.rep ELSE n.near_of END AS dup_of,
+         CASE WHEN b.doc_id <> b.rep THEN 1.0 ELSE n.near_j END AS jaccard
+  FROM base b LEFT JOIN near n ON n.id_b = b.rep
+)
+SELECT doc_id, dup_of, jaccard,
+       CASE WHEN dup_of IS NULL THEN 'unique'
+            WHEN dup_of < (SELECT sp FROM split) THEN 'dup_corpus'
+            ELSE 'dup_batch' END AS verdict
+FROM scored
+ORDER BY doc_id
+""".format(sig_cols=_mh_sig_cols(), band_selects=_mh_band_selects())
+
+
 QUERIES = {
     "docs_dup_span_audit": QueryDef(docs_dup_span_audit, DUP_SPAN_SQL),
+    "docs_incremental_dedup": QueryDef(docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "docs_minhash_calibration": QueryDef(docs_minhash_calibration, MINHASH_CALIBRATION_SQL),
     "docs_ngram_novelty": QueryDef(docs_ngram_novelty, NGRAM_NOVELTY_SQL),
     "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),

@@ -146,6 +146,7 @@ HEAVY_EXTENSION = [
     "docs_dup_span_audit",
     "docs_minhash_calibration",
     "docs_temperature_mix",
+    "docs_incremental_dedup",
 ]
 
 

@@ -155,6 +155,83 @@ class TestMinhashCalibration:
         assert rows == []
 
 
+class TestIncrementalDedup:
+    BASE = "the quick brown fox jumps over the lazy dog again and again"
+    OTHER = "completely different content about distributed query engines here"
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                # corpus (< split 100)
+                Row(doc_id=10, text=self.BASE),
+                Row(doc_id=20, text=self.OTHER),
+                Row(doc_id=30, text="unrelated corpus filler words entirely disjoint tokens"),
+                # batch (>= 100)
+                Row(doc_id=100, text=self.BASE),            # exact dup of corpus 10
+                Row(doc_id=110, text=self.BASE + " extra"), # near dup of corpus 10
+                Row(doc_id=120, text="brand new unique snowflake paragraph nothing matches"),
+                Row(doc_id=130, text="brand new unique snowflake paragraph nothing matches"),
+                # 130 = exact dup of EARLIER BATCH doc 120
+            ]
+        )
+
+    def test_planted_verdicts(self, spark):
+        from medical_examination_data_etl_system_spark.operators.dedup import minhash_incremental_dedup
+
+        got = {r["doc_id"]: r.asDict() for r in minhash_incremental_dedup(self._docs(spark), 100).collect()}
+        assert set(got) == {100, 110, 120, 130}
+        assert got[100]["dup_of"] == 10 and got[100]["jaccard"] == 1.0
+        assert got[100]["verdict"] == "dup_corpus"
+        assert got[110]["dup_of"] == 10 and 0.5 <= got[110]["jaccard"] < 1.0
+        assert got[110]["verdict"] == "dup_corpus"
+        assert got[120]["dup_of"] is None and got[120]["verdict"] == "unique"
+        assert got[130]["dup_of"] == 120 and got[130]["verdict"] == "dup_batch"
+
+    def test_corpus_contributes_no_pairs(self, spark):
+        # Near-identical docs entirely INSIDE the corpus must produce
+        # no output rows and no verification work — the incremental
+        # restriction, not post-filtering, is what bounds the cost.
+        from medical_examination_data_etl_system_spark.operators.dedup import minhash_incremental_dedup
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=self.BASE),
+                Row(doc_id=2, text=self.BASE + " tail"),
+                Row(doc_id=100, text=self.OTHER),
+            ]
+        )
+        rows = minhash_incremental_dedup(docs, 100).collect()
+        assert [r["doc_id"] for r in rows] == [100]
+        assert rows[0]["verdict"] == "unique"
+
+    def test_restriction_matches_full_run(self, spark, sf_smoke):
+        # Pair-level equivalence: the incrementally computed verified
+        # pairs == the full run's rep pairs restricted to a batch-side
+        # later doc (the bucket-filter pushdown must not change what
+        # gets found).
+        from medical_examination_data_etl_system_spark.operators.dedup import (
+            _collapse_docs,
+            _minhash_md5_rep_pairs,
+        )
+        from medical_examination_data_etl_system_spark.queries import load
+
+        docs = load(spark, sf_smoke, "documents")
+        split = int(0.8 * (docs.agg(F.max("doc_id")).collect()[0][0] + 1))
+        _, reps = _collapse_docs(docs, "text", "doc_id")
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in _minhash_md5_rep_pairs(reps, "text", "doc_id", 9, 16, 4, 0.5).collect()
+            if r["id_b"] >= split
+        }
+        incr = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in _minhash_md5_rep_pairs(
+                reps, "text", "doc_id", 9, 16, 4, 0.5, right_min_id=split
+            ).collect()
+        }
+        assert incr == full
+
+
 class TestTemperatureMix:
     def test_weights_sum_to_one(self, spark, sf_smoke):
         from medical_examination_data_etl_system_spark.queries.curation import docs_temperature_mix
