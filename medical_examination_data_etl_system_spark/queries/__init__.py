@@ -134,6 +134,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_minhash_calibration",
     "docs_temperature_mix",
     "docs_incremental_dedup",
+    "events_ushape_attribution",
+    "agg_bitmap_distinct_parts",
+    "docs_quality_calibration",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

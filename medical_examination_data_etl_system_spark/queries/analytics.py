@@ -1079,6 +1079,104 @@ ORDER BY channel
 """
 
 
+def events_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch U-SHAPED (position-based) attribution — the third
+    of the classic attribution trio (as-of last-touch, linear, U):
+    first touch 40%, last touch 40%, middle touches share the
+    remaining 20% over a 24-hour lookback; 2 touches split 50/50, a
+    single touch keeps 100%.
+    Credits are integer ppm-cents with every split a deterministic
+    integer ``div`` (the linear query's exactness discipline — no
+    float summation anywhere), so per-(channel, role) totals are
+    order-free exact. Plan: one user-keyed join bounded by per-user
+    touch density, ONE purchase-partitioned window (row_number and
+    count share the frame), one aggregation."""
+    ev = load(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("ts_t"),
+        F.col("event_id").alias("touch_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_p"),
+        F.col("event_id").alias("purchase_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    paired = purchases.join(touches, "user_id").filter(
+        (F.col("ts_t") <= F.col("ts_p"))
+        & (F.col("ts_t") > F.col("ts_p") - F.expr("INTERVAL 24 HOUR"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy("ts_t", "touch_id")
+    wn = Window.partitionBy("purchase_id")
+    pos = paired.select(
+        "channel",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    role = (
+        F.when(F.col("n") == 1, "only")
+        .when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("n"), "last")
+        .otherwise("middle")
+    )
+    credit = F.expr(
+        "CASE WHEN n = 1 THEN cents * 1000000 "
+        "WHEN n = 2 THEN (cents * 1000000 * 50) div 100 "
+        "WHEN rn = 1 OR rn = n THEN (cents * 1000000 * 40) div 100 "
+        "ELSE ((cents * 1000000 * 20) div 100) div (n - 2) END"
+    )
+    return (
+        pos.select("channel", role.alias("role"), credit.alias("credit_ppm"))
+        .groupBy("channel", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_ppm").alias("credited_ppm_cents"),
+        )
+        .orderBy("channel", "role")
+    )
+
+
+USHAPE_ATTRIBUTION_SQL = """
+WITH touches AS (
+  SELECT user_id, event_type AS channel, ts AS ts_t, event_id AS touch_id
+  FROM events WHERE event_type IN ('view', 'click')
+), purchases AS (
+  SELECT user_id, ts AS ts_p, event_id AS purchase_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), paired AS (
+  SELECT t.channel, p.purchase_id, p.cents, t.ts_t, t.touch_id
+  FROM purchases p JOIN touches t USING (user_id)
+  WHERE t.ts_t <= p.ts_p AND t.ts_t > p.ts_p - INTERVAL 24 HOUR
+), pos AS (
+  SELECT channel, cents,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY ts_t, touch_id) AS rn,
+         count(*) OVER (PARTITION BY purchase_id) AS n
+  FROM paired
+), credited AS (
+  SELECT channel,
+         CASE WHEN n = 1 THEN 'only'
+              WHEN rn = 1 THEN 'first'
+              WHEN rn = n THEN 'last'
+              ELSE 'middle' END AS role,
+         CASE WHEN n = 1 THEN cents * 1000000
+              WHEN n = 2 THEN (cents * 1000000 * 50) // 100
+              WHEN rn = 1 OR rn = n THEN (cents * 1000000 * 40) // 100
+              ELSE ((cents * 1000000 * 20) // 100) // (n - 2) END AS credit_ppm
+  FROM pos
+)
+SELECT channel, role,
+       count(*) AS n_touches,
+       CAST(sum(credit_ppm) AS BIGINT) AS credited_ppm_cents
+FROM credited
+GROUP BY channel, role
+ORDER BY channel, role
+"""
+
+
 def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→purchase conversion latency: per user, seconds from first
     view to first STRICTLY-LATER purchase; exact interpolated p50/p90
@@ -2139,6 +2237,7 @@ QUERIES = {
     "events_histogram_equidepth": QueryDef(events_histogram_equidepth, HISTOGRAM_EQUIDEPTH_SQL),
     "lineitem_spearman_corr": QueryDef(lineitem_spearman_corr, SPEARMAN_SQL),
     "events_linear_attribution": QueryDef(events_linear_attribution, LINEAR_ATTRIBUTION_SQL),
+    "events_ushape_attribution": QueryDef(events_ushape_attribution, USHAPE_ATTRIBUTION_SQL),
     "events_conversion_latency": QueryDef(events_conversion_latency, CONVERSION_LATENCY_SQL),
     "events_holt_forecast": QueryDef(events_holt_forecast, HOLT_SQL),
     "customer_spend_trend": QueryDef(customer_spend_trend, SPEND_TREND_SQL),

@@ -162,6 +162,45 @@ def agg_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bitmap_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates — the scalable
+    alternative to COUNT(DISTINCT) when the key domain is dense
+    integers: rows partial-aggregate map-side into per-(group, 32k
+    bucket) bitmaps, so the shuffle carries ~|distinct|/8 BYTES per
+    group instead of one row per distinct value, and re-aggregation
+    (rollups, incremental refresh) is bitmap OR — mergeable like a
+    sketch but exact. Spark 3.5+ built-ins (bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_count), all
+    JVM-side. The oracle is plain COUNT(DISTINCT) — the point of the
+    query is that the bitmap path must reproduce it exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_bm_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(cnt) AS BIGINT) AS n_parts,
+               CAST(sum(nrows) AS BIGINT) AS n_rows
+        FROM (
+          SELECT l_returnflag, bitmap_bucket_number(l_partkey) AS bkt,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey))) AS cnt,
+                 count(*) AS nrows
+          FROM _bm_lineitem GROUP BY 1, 2
+        )
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+AGG_BITMAP_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 AGG_DISTINCT_SQL = """
 SELECT c_mktsegment,
        count(DISTINCT c_nationkey)  AS n_nations,
@@ -1698,6 +1737,7 @@ QUERIES = {
     "join_range_ship_lag": QueryDef(join_range_ship_lag, JOIN_RANGE_SQL),
     "join_bucketed_colocated": QueryDef(join_bucketed_colocated, BUCKETED_JOIN_SQL),
     "agg_distinct_per_segment": QueryDef(agg_distinct_per_segment, AGG_DISTINCT_SQL),
+    "agg_bitmap_distinct_parts": QueryDef(agg_bitmap_distinct_parts, AGG_BITMAP_DISTINCT_SQL),
     "agg_rollup_region_nation": QueryDef(agg_rollup_region_nation, AGG_ROLLUP_SQL),
     "agg_cube_status_priority": QueryDef(agg_cube_status_priority, AGG_CUBE_SQL),
     "agg_approx_distinct_parts": QueryDef(agg_approx_distinct_parts, None),

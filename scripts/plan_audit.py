@@ -54,6 +54,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "docs_heavy_hitter_terms": "frame = MG candidates, <= capacity x partitions rows",
     "docs_vocab_growth": "frame = the fixed 20-bucket spine",
     "docs_length_buckets": "offset window = distinct token-count domain",
+    "docs_quality_calibration": "offset window = distinct round(quality,4) domain, <=10^4+1 values",
     "docs_epoch_shuffle": "frame = the 100-row post-limit head per epoch",
     "events_top_paths": "frame = |event_type|^3 path-count rows",
     "customer_rfm_segments": "frame = one row per customer (dimension-bounded; exact global quartiles need a total order)",

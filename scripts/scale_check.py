@@ -147,6 +147,9 @@ HEAVY_EXTENSION = [
     "docs_minhash_calibration",
     "docs_temperature_mix",
     "docs_incremental_dedup",
+    "events_ushape_attribution",
+    "agg_bitmap_distinct_parts",
+    "docs_quality_calibration",
 ]
 
 

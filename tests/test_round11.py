@@ -232,6 +232,89 @@ class TestIncrementalDedup:
         assert incr == full
 
 
+class TestUshapeAttribution:
+    def test_planted_credit_math(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        t0 = _ts("2024-01-01T10:00:00")
+        rows = [
+            # user 1: 3 touches before one 100.00 purchase → 40/20/40
+            Row(event_id=1, ts=_ts("2024-01-01T09:00:00"), user_id=1, event_type="view", value=0.0, props=""),
+            Row(event_id=2, ts=_ts("2024-01-01T09:10:00"), user_id=1, event_type="click", value=0.0, props=""),
+            Row(event_id=3, ts=_ts("2024-01-01T09:20:00"), user_id=1, event_type="view", value=0.0, props=""),
+            Row(event_id=4, ts=t0, user_id=1, event_type="purchase", value=100.0, props=""),
+            # user 2: single touch → 100%
+            Row(event_id=5, ts=_ts("2024-01-01T09:00:00"), user_id=2, event_type="click", value=0.0, props=""),
+            Row(event_id=6, ts=t0, user_id=2, event_type="purchase", value=10.0, props=""),
+        ]
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        got = {
+            (r["channel"], r["role"]): r["credited_ppm_cents"]
+            for r in qa.events_ushape_attribution(spark, "_").collect()
+        }
+        base = 10000 * 1_000_000  # 100.00 in ppm-cents
+        assert got[("view", "first")] == base * 40 // 100
+        assert got[("view", "last")] == base * 40 // 100
+        # the 09:10 click is the single middle → keeps the whole 20%
+        assert got[("click", "middle")] == base * 20 // 100
+        assert got[("click", "only")] == 1000 * 1_000_000
+
+    def test_two_touch_split(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        rows = [
+            Row(event_id=1, ts=_ts("2024-01-01T09:00:00"), user_id=1, event_type="view", value=0.0, props=""),
+            Row(event_id=2, ts=_ts("2024-01-01T09:30:00"), user_id=1, event_type="click", value=0.0, props=""),
+            Row(event_id=3, ts=_ts("2024-01-01T10:00:00"), user_id=1, event_type="purchase", value=50.0, props=""),
+        ]
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        got = {
+            (r["channel"], r["role"]): r["credited_ppm_cents"]
+            for r in qa.events_ushape_attribution(spark, "_").collect()
+        }
+        half = 5000 * 1_000_000 * 50 // 100
+        assert got == {("view", "first"): half, ("click", "last"): half}
+
+
+class TestBitmapDistinct:
+    def test_matches_count_distinct(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.relational import (
+            agg_bitmap_distinct_parts,
+        )
+        from medical_examination_data_etl_system_spark.queries import load
+
+        got = {
+            r["l_returnflag"]: (r["n_parts"], r["n_rows"])
+            for r in agg_bitmap_distinct_parts(spark, sf_smoke).collect()
+        }
+        li = load(spark, sf_smoke, "lineitem")
+        exp = {
+            r["l_returnflag"]: (r["d"], r["c"])
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("d"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        }
+        assert got == exp
+
+
+class TestQualityCalibration:
+    def test_decile_shape(self, spark, sf_oracle):
+        from medical_examination_data_etl_system_spark.queries.datapipe import docs_quality_calibration
+
+        rows = docs_quality_calibration(spark, sf_oracle).collect()
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        assert sum(r["n_docs"] for r in rows) == 500
+        # equi-depth: bucket sizes differ by at most 1
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1
+        # deciles are ordered by quality: ranges must not overlap
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo["max_quality"] <= hi["min_quality"]
+
+
 class TestTemperatureMix:
     def test_weights_sum_to_one(self, spark, sf_smoke):
         from medical_examination_data_etl_system_spark.queries.curation import docs_temperature_mix
