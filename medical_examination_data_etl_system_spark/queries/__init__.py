@@ -137,6 +137,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_ushape_attribution",
     "agg_bitmap_distinct_parts",
     "docs_quality_calibration",
+    "emb_ann_recall_report",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -1190,6 +1190,124 @@ ORDER BY query_id, rnk
 """
 
 
+def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY as a driver-checked query (the embedding twin of
+    docs_minhash_calibration): recall@5 of the IVF nprobe=2 path
+    against the brute-force exact top-5, per query vector. Both sides
+    run integer-exact (the same quantized-L2 construction as
+    emb_ivf_topk_exact, which this reuses verbatim for the ANN side),
+    so the recall numbers themselves sit under the exact-hash oracle —
+    the eval a user runs before trusting nprobe at corpus scale.
+    Brute force scans the corpus once against 5 broadcast query rows;
+    the per-query top-5 window partitions by query."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
+    ivf = emb_ivf_topk_exact(spark, sf_dir).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.select("vec_id", quantize_fixed_point("embedding", 1_000_000).alias("qv"))
+    head = qdf.orderBy("vec_id").limit(5).collect()
+    probes = spark.createDataFrame(
+        [(int(r["vec_id"]), [int(x) for x in r["qv"]]) for r in head],
+        "query_id long, q_vec array<long>",
+    )
+    dist = F.aggregate(
+        F.zip_with("q_vec", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qdf.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("b_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("b_dist", "vec_id")
+    exact5 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return (
+        exact5.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cq AS (
+  SELECT c.cidx, v.dim, v.qv AS qc
+  FROM cent c JOIN vq v ON v.vec_id = c.cid
+), vdist AS (
+  SELECT v.vec_id, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq c USING (dim)
+  GROUP BY 1, 2
+), assigned AS (
+  SELECT vec_id, cidx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY qd, cidx) AS rn
+    FROM vdist) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5
+), probes AS (
+  SELECT query_id, cidx AS cluster FROM (
+    SELECT q.query_id, d.cidx,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY d.qd, d.cidx) AS prn
+    FROM queries q JOIN vdist d ON d.vec_id = q.query_id)
+  WHERE prn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p USING (cluster)
+  WHERE a.vec_id <> p.query_id
+), ivf_scored AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(sum((qv1.qv - qv2.qv) * (qv1.qv - qv2.qv)) AS BIGINT) AS q_dist
+  FROM cand c
+  JOIN vq qv1 ON qv1.vec_id = c.query_id
+  JOIN vq qv2 ON qv2.vec_id = c.vec_id AND qv2.dim = qv1.dim
+  GROUP BY 1, 2
+), ivf5 AS (
+  SELECT query_id, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY q_dist, vec_id) AS rnk
+        FROM ivf_scored)
+  WHERE rnk <= 5
+), brute AS (
+  SELECT q.query_id, qv2.vec_id,
+         CAST(sum((qv1.qv - qv2.qv) * (qv1.qv - qv2.qv)) AS BIGINT) AS b_dist
+  FROM queries q
+  JOIN vq qv1 ON qv1.vec_id = q.query_id
+  JOIN vq qv2 ON qv2.dim = qv1.dim AND qv2.vec_id <> q.query_id
+  GROUP BY 1, 2
+), exact5 AS (
+  SELECT query_id, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY b_dist, vec_id) AS rnk
+        FROM brute)
+  WHERE rnk <= 5
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 4) AS recall_at_5
+FROM exact5 e
+LEFT JOIN ivf5 i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 def emb_srp_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN end-to-end under a FULL exact oracle — the
     bucket-join twin of emb_ivf_topk_exact: 6-plane quantized SRP
@@ -2205,6 +2323,7 @@ QUERIES = {
     "docs_dup_span_audit": QueryDef(docs_dup_span_audit, DUP_SPAN_SQL),
     "docs_incremental_dedup": QueryDef(docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "docs_quality_calibration": QueryDef(docs_quality_calibration, QUALITY_CALIBRATION_SQL),
+    "emb_ann_recall_report": QueryDef(emb_ann_recall_report, ANN_RECALL_SQL),
     "docs_minhash_calibration": QueryDef(docs_minhash_calibration, MINHASH_CALIBRATION_SQL),
     "docs_ngram_novelty": QueryDef(docs_ngram_novelty, NGRAM_NOVELTY_SQL),
     "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),

@@ -150,6 +150,7 @@ HEAVY_EXTENSION = [
     "events_ushape_attribution",
     "agg_bitmap_distinct_parts",
     "docs_quality_calibration",
+    "emb_ann_recall_report",
 ]
 
 

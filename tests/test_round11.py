@@ -315,6 +315,38 @@ class TestQualityCalibration:
             assert lo["max_quality"] <= hi["min_quality"]
 
 
+class TestAnnRecallReport:
+    def test_recall_matches_numpy(self, spark, sf_smoke):
+        import numpy as np
+
+        from medical_examination_data_etl_system_spark.queries.datapipe import (
+            emb_ann_recall_report,
+            emb_ivf_topk_exact,
+        )
+        from medical_examination_data_etl_system_spark.queries import load
+
+        got = {r["query_id"]: r for r in emb_ann_recall_report(spark, sf_smoke).collect()}
+        assert len(got) == 5
+        # NumPy ground truth over the same quantization
+        rows = load(spark, sf_smoke, "embeddings").select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000).astype(np.int64)
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        ivf = {}
+        for r in emb_ivf_topk_exact(spark, sf_smoke).collect():
+            ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for qi in range(5):
+            d = ((V - V[qi][None, :]) ** 2).sum(axis=1)
+            d[qi] = np.iinfo(np.int64).max  # exclude self
+            top = ids[np.lexsort((ids, d))[:5]]
+            hits = len(set(int(x) for x in top) & ivf[int(ids[qi])])
+            r = got[int(ids[qi])]
+            assert r["n_exact"] == 5
+            assert r["n_hits"] == hits
+            assert abs(r["recall_at_5"] - round(hits / 5, 4)) < 1e-9
+
+
 class TestTemperatureMix:
     def test_weights_sum_to_one(self, spark, sf_smoke):
         from medical_examination_data_etl_system_spark.queries.curation import docs_temperature_mix
