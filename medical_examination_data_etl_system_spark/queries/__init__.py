@@ -138,6 +138,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_bitmap_distinct_parts",
     "docs_quality_calibration",
     "emb_ann_recall_report",
+    "stream_bitmap_distinct_users",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -368,7 +368,52 @@ def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting maintained AS STREAMING STATE: the
+    per-(event_type, 32k-bucket) bitmaps of agg_bitmap_distinct_parts'
+    construction accumulate as a streaming aggregation — a bitmap is a
+    mergeable summary, so the state update is bitmap OR and the drained
+    state equals one built from scratch (the CMS query's contract, for
+    a lossless summary). After the complete-mode drain, bitmap_count +
+    a per-type sum read the exact distinct-user totals. Oracle: plain
+    batch COUNT(DISTINCT) — streaming maintenance must reproduce it
+    bit-for-bit."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    coords = stream.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    bitmaps = run_available_now(
+        coords.groupBy("event_type", "bkt").agg(
+            F.expr("bitmap_construct_agg(pos)").alias("bm"),
+            F.count(F.lit(1)).alias("nrows"),
+        ),
+        "q_stream_bitmap",
+        output_mode="complete",
+    )
+    return (
+        bitmaps.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"),
+            F.sum("nrows").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_BITMAP_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "stream_bitmap_distinct_users": QueryDef(stream_bitmap_distinct_users, STREAM_BITMAP_SQL),
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_static_enrich": QueryDef(stream_static_enrich, STREAM_STATIC_SQL),
     "stream_sliding_halfhour": QueryDef(stream_sliding_halfhour, STREAM_SLIDING_SQL),

@@ -151,6 +151,7 @@ HEAVY_EXTENSION = [
     "agg_bitmap_distinct_parts",
     "docs_quality_calibration",
     "emb_ann_recall_report",
+    "stream_bitmap_distinct_users",
 ]
 
 
