@@ -139,6 +139,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_quality_calibration",
     "emb_ann_recall_report",
     "stream_bitmap_distinct_users",
+    "multimodal_chunk_dedup",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

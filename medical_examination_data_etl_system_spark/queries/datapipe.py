@@ -1907,6 +1907,75 @@ GROUP BY emb.label ORDER BY emb.label
 """
 
 
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level media dedup — the storage-dedup primitive for binary
+    columns (fixed-size cousin of content-defined chunking): each
+    payload splits into 64-byte chunks, chunks travel as md5 digests,
+    and a chunk present in ≥2 distinct media is shared surface. Per
+    media: chunk count, shared-chunk count, dedup ratio — what a 100 TB
+    media lake measures before enabling block-level dedup. All
+    chunking runs JVM-side on the BINARY column (substring on bytes,
+    positions from one sequence explode — no codec, no Python); one
+    digest-keyed shuffle + one media-keyed aggregate, corpus-linear.
+    Oracle replays chunking on the source text (payloads are its UTF-8
+    bytes — ASCII ⇒ byte == char, the multimodal family's stub
+    equivalence)."""
+    from medical_examination_data_etl_system_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    media = mm.synthesize_media_from_documents(docs)
+    chunks = (
+        media.select(
+            "media_id",
+            F.col("payload"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("payload"), F.lit(1)), F.lit(64))
+            ).alias("_pos"),
+        )
+        .select(
+            "media_id",
+            F.md5(F.substring(F.col("payload"), F.col("_pos"), 64)).alias("_d"),
+        )
+    )
+    shared = chunks.distinct().groupBy("_d").agg(F.count(F.lit(1)).alias("_nm"))
+    return (
+        chunks.join(shared, "_d")
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_nm") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            F.round(
+                F.sum(F.when(F.col("_nm") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("shared_ratio"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_CHUNK_DEDUP_SQL = """
+WITH chunks AS (
+  SELECT doc_id AS media_id, md5(substr(text, CAST(p AS INTEGER), 64)) AS d
+  FROM documents,
+       unnest(range(1, greatest(len(text), 1) + 1, 64)) AS u(p)
+), shared AS (
+  SELECT d, count(*) AS nm
+  FROM (SELECT DISTINCT media_id, d FROM chunks) GROUP BY d
+)
+SELECT c.media_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN s.nm >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       round(CAST(sum(CASE WHEN s.nm >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS shared_ratio
+FROM chunks c JOIN shared s USING (d)
+GROUP BY c.media_id
+ORDER BY c.media_id
+"""
+
+
 def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram NOVELTY — the incremental-value curation metric:
     what fraction of a doc's distinct word bigrams first appear in THIS
@@ -2324,6 +2393,7 @@ QUERIES = {
     "docs_incremental_dedup": QueryDef(docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "docs_quality_calibration": QueryDef(docs_quality_calibration, QUALITY_CALIBRATION_SQL),
     "emb_ann_recall_report": QueryDef(emb_ann_recall_report, ANN_RECALL_SQL),
+    "multimodal_chunk_dedup": QueryDef(multimodal_chunk_dedup, MULTIMODAL_CHUNK_DEDUP_SQL),
     "docs_minhash_calibration": QueryDef(docs_minhash_calibration, MINHASH_CALIBRATION_SQL),
     "docs_ngram_novelty": QueryDef(docs_ngram_novelty, NGRAM_NOVELTY_SQL),
     "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),

@@ -152,6 +152,7 @@ HEAVY_EXTENSION = [
     "docs_quality_calibration",
     "emb_ann_recall_report",
     "stream_bitmap_distinct_users",
+    "multimodal_chunk_dedup",
 ]
 
 

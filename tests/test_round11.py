@@ -347,6 +347,28 @@ class TestAnnRecallReport:
             assert abs(r["recall_at_5"] - round(hits / 5, 4)) < 1e-9
 
 
+class TestMultimodalChunkDedup:
+    def test_aligned_sharing_and_shift_miss(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        base = ("abcdefgh" * 8) * 3  # 192 bytes = 3 aligned 64-byte chunks
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text=base, n_chars=len(base)),
+                Row(doc_id=1, text=base, n_chars=len(base)),  # identical → all shared
+                # one-byte prefix shifts every chunk boundary → fixed-size
+                # chunking shares NOTHING (the CDC-vs-fixed trade, pinned)
+                Row(doc_id=2, text="X" + base, n_chars=len(base) + 1),
+            ]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = {r["media_id"]: r.asDict() for r in datapipe.multimodal_chunk_dedup(spark, "_").collect()}
+        assert got[0]["n_chunks"] == 3 and got[0]["n_shared_chunks"] == 3
+        assert got[0]["shared_ratio"] == 1.0
+        assert got[1]["n_shared_chunks"] == 3
+        assert got[2]["n_chunks"] == 4 and got[2]["n_shared_chunks"] == 0
+
+
 class TestTemperatureMix:
     def test_weights_sum_to_one(self, spark, sf_smoke):
         from medical_examination_data_etl_system_spark.queries.curation import docs_temperature_mix
