@@ -72,28 +72,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1). Round 9 (driver r07) rotation — VERDICT r6 #1 executed
-# verbatim, computed against CORRECTNESS_r{01,03,04,05,06}.json:
-# (1) the 7 queries ADDED this round (the composed-pipeline pair that
-# puts the real mapInPandas LLM stage and the ingest→enrich→clean
-# front half under the hash gate — VERDICT r6 #2/#3 — and the exact-
-# oracle k-means assignment kernel and SRP bucket profile — VERDICT
-# r6 #6 — plus pipeline_e2e_reports, the WHOLE pipeline composed
-# ingest→enrich→clean→LLM→render under one hash row);
-# (2) all 16 round-8 queries that landed after the r06 window froze and
-# carry ZERO driver rows (each hash-green in pytest's oracle-parity
-# replica and individually 100×-checked when added);
-# (3) all 27 rows whose newest driver evidence is r03 — the displaced
-# multimodal family, both CC variants, both approximate-ANN paths, the
-# 17 remaining r03 TPC-H queries, and both skew demos;
-# (4) the seven mid-round exact-oracle chips (graph_pagerank_int3,
-# emb_kmeans_iter2_exact, emb_power_iteration_exact,
-# agg_kmv_overlap_exact, agg_hll_md5_rollup_exact,
-# docs_minhash_md5_exact, docs_simhash_md5_exact) enter at the head;
-# q15-q19 + both skew demos slip past position 50 and rotate with r08.
-# After this round every registered query's evidence is r04+ except the
-# 44 remaining r04/r05 rows plus the seven displaced names above — r08
-# rotates those in.
+# r3 #1). The r07 window, finalized in rounds 9-11: every zero-driver-row
+# query first — the seven round-10 exact-oracle chips, the round-9
+# composed-pipeline and ANN/assignment rows, the 16 round-8 late
+# queries, then the 11 round-11 additions — followed by the r03-stale
+# refreshes VERDICT r6 #1 named (multimodal family, CC variants, both
+# approximate-ANN paths, q1/q10/q11). Every in-window name is
+# hash-green in pytest's oracle-parity replica and 100×-checked when
+# added. The TPC-H rows q2-q22 and both skew demos sit past position 50
+# (stable since r03, locally green) and rotate with r08 alongside the
+# remaining r04/r05-stale rows.
 # Every name is asserted against the registry below (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
     "graph_pagerank_int3",
@@ -140,6 +128,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ann_recall_report",
     "stream_bitmap_distinct_users",
     "multimodal_chunk_dedup",
+    "docs_cdc_chunk_dedup",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

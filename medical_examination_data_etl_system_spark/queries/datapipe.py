@@ -1976,6 +1976,120 @@ ORDER BY c.media_id
 """
 
 
+def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking dedup — the Rabin-style counterpart to
+    multimodal_chunk_dedup's fixed-size chunks: a chunk boundary opens
+    after any 2-byte window whose value ≡ 0 (mod 61), so boundaries
+    depend only on local content and a shifted copy RE-SYNCHRONIZES
+    after the first boundary (the trade the fixed-size test pins from
+    the other side). Per doc: chunk count, chunks shared with ≥1 other
+    doc, shared ratio, mean chunk length. Boundary detection is a
+    map-side codegen filter over exploded positions (two ascii() + one
+    mod — no hashing in the hot loop, ~1/61 survive); chunk extents
+    come from one doc-keyed lead() window over the surviving starts;
+    digests shuffle once. The 2-byte rolling window is deliberately
+    engine-neutral arithmetic (ascii/ord + mod), so DuckDB replays
+    boundaries, chunks, and sharing value-exactly."""
+    docs = load(spark, sf_dir, "documents")
+    # One pass per doc: the char array is built once and adjacent pairs
+    # come from zipped slices — per-position substring(text, p, 1)
+    # would rescan the string from the head each time (UTF8String
+    # offsets are char-counted), turning the boundary scan O(len²) per
+    # doc: measured 358 s at 100× vs 44.8 s for this form.
+    arr = F.split(F.col("text"), "")
+    n_pairs = F.greatest(F.length("text") - 1, F.lit(0))
+    zipped = F.when(
+        F.length("text") >= 2,
+        F.arrays_zip(F.slice(arr, 1, n_pairs), F.slice(arr, 2, n_pairs)),
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+    pos = docs.select(
+        "doc_id",
+        F.length("text").alias("_tlen"),
+        F.posexplode(zipped).alias("_i", "_pair"),
+    )
+    # pair i (0-based) covers chars (i+1, i+2) 1-based → p = i + 2
+    win_val = F.ascii(F.col("_pair")["0"]) * 256 + F.ascii(F.col("_pair")["1"])
+    starts = (
+        pos.filter((win_val % 61 == 0) & (F.col("_i") + 2 < F.col("_tlen")))
+        .select("doc_id", (F.col("_i") + 3).alias("start"))
+        .unionByName(docs.select("doc_id", F.lit(1).alias("start")))
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    chunks = (
+        starts.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.md5(
+                F.substring(
+                    F.col("text"),
+                    F.col("start"),
+                    F.coalesce(F.lead("start").over(w), F.length("text") + 1)
+                    - F.col("start"),
+                )
+            ).alias("_d"),
+            (
+                F.coalesce(F.lead("start").over(w), F.length("text") + 1)
+                - F.col("start")
+            ).alias("_len"),
+        )
+    )
+    shared = chunks.select("doc_id", "_d").distinct().groupBy("_d").agg(
+        F.count(F.lit(1)).alias("_nm")
+    )
+    return (
+        chunks.join(shared, "_d")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_nm") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            F.round(
+                F.sum(F.when(F.col("_nm") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("shared_ratio"),
+            F.round(F.avg("_len"), 2).alias("avg_chunk_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CDC_CHUNK_DEDUP_SQL = """
+WITH starts AS (
+  SELECT doc_id, CAST(p + 1 AS INTEGER) AS start
+  FROM documents, unnest(range(2, greatest(len(text), 1) + 1)) AS u(p)
+  WHERE (ord(substr(text, CAST(p - 1 AS INTEGER), 1)) * 256
+         + ord(substr(text, CAST(p AS INTEGER), 1))) % 61 = 0
+    AND p < len(text)
+  UNION ALL
+  SELECT doc_id, 1 FROM documents
+), extents AS (
+  SELECT s.doc_id, s.start,
+         coalesce(lead(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start),
+                  len(d.text) + 1) - s.start AS clen
+  FROM starts s JOIN documents d USING (doc_id)
+), chunks AS (
+  SELECT e.doc_id,
+         md5(substr(d.text, e.start, e.clen)) AS dg,
+         e.clen
+  FROM extents e JOIN documents d USING (doc_id)
+), shared AS (
+  SELECT dg, count(*) AS nm
+  FROM (SELECT DISTINCT doc_id, dg FROM chunks) GROUP BY dg
+)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN s.nm >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       round(CAST(sum(CASE WHEN s.nm >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS shared_ratio,
+       round(avg(c.clen), 2) AS avg_chunk_len
+FROM chunks c JOIN shared s ON s.dg = c.dg
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram NOVELTY — the incremental-value curation metric:
     what fraction of a doc's distinct word bigrams first appear in THIS
@@ -2394,6 +2508,7 @@ QUERIES = {
     "docs_quality_calibration": QueryDef(docs_quality_calibration, QUALITY_CALIBRATION_SQL),
     "emb_ann_recall_report": QueryDef(emb_ann_recall_report, ANN_RECALL_SQL),
     "multimodal_chunk_dedup": QueryDef(multimodal_chunk_dedup, MULTIMODAL_CHUNK_DEDUP_SQL),
+    "docs_cdc_chunk_dedup": QueryDef(docs_cdc_chunk_dedup, CDC_CHUNK_DEDUP_SQL),
     "docs_minhash_calibration": QueryDef(docs_minhash_calibration, MINHASH_CALIBRATION_SQL),
     "docs_ngram_novelty": QueryDef(docs_ngram_novelty, NGRAM_NOVELTY_SQL),
     "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),

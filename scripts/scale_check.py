@@ -153,6 +153,7 @@ HEAVY_EXTENSION = [
     "emb_ann_recall_report",
     "stream_bitmap_distinct_users",
     "multimodal_chunk_dedup",
+    "docs_cdc_chunk_dedup",
 ]
 
 

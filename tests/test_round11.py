@@ -369,6 +369,46 @@ class TestMultimodalChunkDedup:
         assert got[2]["n_chunks"] == 4 and got[2]["n_shared_chunks"] == 0
 
 
+class TestCdcChunkDedup:
+    def test_shifted_copy_resynchronizes(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        import random
+
+        rng = random.Random(7)
+        base = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(400))
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text=base),
+                Row(doc_id=1, text=base),          # identical → all chunks shared
+                Row(doc_id=2, text="PREFIX " + base),  # shifted → resyncs after 1st boundary
+                Row(doc_id=3, text="zq" * 200),    # unrelated
+            ]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = {r["doc_id"]: r.asDict() for r in datapipe.docs_cdc_chunk_dedup(spark, "_").collect()}
+        assert got[0]["shared_ratio"] == 1.0 and got[1]["shared_ratio"] == 1.0
+        # content-defined boundaries re-synchronize: the shifted copy
+        # still shares most chunks (fixed-size chunking shares zero —
+        # TestMultimodalChunkDedup pins that side of the trade)
+        assert got[2]["n_shared_chunks"] >= got[2]["n_chunks"] - 2
+        assert got[2]["n_shared_chunks"] > 0
+        assert got[3]["n_shared_chunks"] == 0
+
+    def test_chunks_reassemble_exactly(self, spark, monkeypatch):
+        # boundary bookkeeping: chunk lengths per doc must sum to the
+        # doc length (no gaps, no overlaps)
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(["", "x", "hello world " * 30])]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = {r["doc_id"]: r.asDict() for r in datapipe.docs_cdc_chunk_dedup(spark, "_").collect()}
+        for i, t in enumerate(["", "x", "hello world " * 30]):
+            assert round(got[i]["avg_chunk_len"] * got[i]["n_chunks"]) == len(t)
+
+
 class TestTemperatureMix:
     def test_weights_sum_to_one(self, spark, sf_smoke):
         from medical_examination_data_etl_system_spark.queries.curation import docs_temperature_mix
