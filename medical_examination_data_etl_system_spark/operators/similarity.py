@@ -865,6 +865,78 @@ def kmeans_assign_round1_quantized(
     )
 
 
+def pq_encode_quantized(
+    vectors: DataFrame,
+    n_sub: int = 4,
+    k: int = 8,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ENCODING — the vector-compression primitive
+    ANN indexes store instead of raw vectors: the dimension axis splits
+    into ``n_sub`` subspaces, each with its own ``k``-entry codebook
+    (the k lowest-id vectors' sub-vectors — the SQL-expressible seeding
+    convention of :func:`kmeans_assign_round1_quantized`), and every
+    vector encodes as one code per subspace plus the exact int64
+    reconstruction error (sum of per-subspace argmin distances, ties →
+    lower code). Memory story at 100 TB: n_sub bytes per vector instead
+    of 4·d — the reason PQ exists.
+
+    ONE map-only ``mapInPandas`` BLAS pass computes all subspace codes
+    and the error together against the broadcast codebooks — no
+    shuffle at all before the consumer, same plumbing contract as the
+    assignment kernel. Integer distances (v·v − 2·v·c + c·c per
+    subspace) keep every value engine-exact, so the full encoding
+    sits under a DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        quantize_fixed_point(vec_col, scale).alias("_v"),
+    )
+    seeds = base.orderBy("_id").limit(k).collect()
+    cq_full = np.array([list(r["_v"]) for r in seeds], dtype=np.int64)
+    dim = cq_full.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    books = [cq_full[:, s * d_sub : (s + 1) * d_sub] for s in range(n_sub)]
+    books_sq = [(b * b).sum(axis=1) for b in books]
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType(), False)]
+        + [T.StructField(f"code{s}", T.IntegerType(), False) for s in range(n_sub)]
+        + [T.StructField("recon_err", T.LongType(), False)]
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vq = np.array([list(v) for v in pdf["_v"]], dtype=np.int64)
+            out = {id_col: pdf["_id"].to_numpy(dtype=np.int64)}
+            err = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(n_sub):
+                sub = vq[:, s * d_sub : (s + 1) * d_sub]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2 * (sub @ books[s].T)
+                    + books_sq[s][None, :]
+                )
+                cl = np.argmin(d, axis=1)  # stable: ties → lower code
+                out[f"code{s}"] = cl.astype("int32")
+                err += d[np.arange(len(cl)), cl]
+            out["recon_err"] = err
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(_encode, schema=out_schema)
+
+
 def _quantized_assign(base: DataFrame, cq, cluster_ids=None) -> DataFrame:
     """Map-only BLAS assignment of quantized ``(_id, _v)`` vectors
     against a driver-side k×d int64 centroid matrix: one ``mapInPandas``

@@ -129,6 +129,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_bitmap_distinct_users",
     "multimodal_chunk_dedup",
     "docs_cdc_chunk_dedup",
+    "emb_pq_encode",
+    "emb_pq_adc_topk",
+    "docs_bm25_search",
+    "docs_langid_confusion",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -723,6 +723,143 @@ ORDER BY doc_id, rnk
 """
 
 
+_BM25_TERMS = ["spark", "table", "hash"]
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1 = 1.2, b = 0.75, Lucene's +1 IDF) for
+    a fixed 3-term query — the relevance function search engines run,
+    as one declarative plan: term-filtered token explode (the inverted-
+    index probe; only query-term postings survive the map side), tf per
+    (doc, term), df per term and the global avgdl as broadcast
+    single-rows, per-term score summed per doc, top-20 window. Float
+    enters once per (doc, term) and the 3-term sum rounds to 4 — the
+    tfidf/entropy determinism stance."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = toks.filter(F.col("term").isin(_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        (F.col("n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    per_term = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum("_s"), 4).alias("bm25"),
+    )
+    # top-20 via orderBy+limit (TakeOrderedAndProject — no global
+    # window over every matching doc); ranks assigned post-limit on
+    # the 20-row frame (the pagerank top-20 discipline).
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("doc_id", "n_terms_matched", "bm25", "rnk")
+        .orderBy("rnk")
+    )
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), toks_ne AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks_ne GROUP BY doc_id
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks_ne WHERE term IN ('spark', 'table', 'hash')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS _df FROM tf GROUP BY term
+), per_term AS (
+  SELECT t.doc_id,
+         ln((s.n_docs - d._df + 0.5) / (d._df + 0.5) + 1.0)
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, count(*) AS n_terms_matched, round(sum(sc), 4) AS bm25
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched, bm25, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM scored)
+WHERE rnk <= 20
+ORDER BY rnk
+"""
+
+
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION in-engine: the n-gram language-ID
+    heuristic against the labeled ``lang`` column as a confusion
+    matrix — (label, prediction, count, row-share). The eval a corpus
+    pipeline runs before trusting lang-based filtering/mixing. One
+    map-side predict + one (label, pred) aggregate; share =
+    count / label total via a window over the ≤|langs|² matrix."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    m = (
+        docs.select(F.col("lang").alias("label"), lang_id(F.col("text")).alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("label")
+    return (
+        m.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 4))
+        .orderBy("label", "pred")
+    )
+
+
+LANGID_CONFUSION_SQL = """
+WITH p AS (
+  SELECT lang AS label,
+         CASE WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+              WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+              WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+              WHEN regexp_matches(text, '[àâçéèêëîïôùûüÿœæ]') THEN 'fr'
+              WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+              WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+              ELSE 'en' END AS pred
+  FROM documents
+), m AS (
+  SELECT label, pred, count(*) AS n FROM p GROUP BY 1, 2
+)
+SELECT label, pred, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY label), 4) AS share
+FROM m
+ORDER BY label, pred
+"""
+
+
 def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram entropy + type-token ratio quality gate."""
     docs = load(spark, sf_dir, "documents")
@@ -1401,6 +1538,158 @@ WITH vq AS (
 )
 SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, q_dist
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY q_dist, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding under a FULL exact oracle: 4
+    subspaces × 8-entry codebooks (k lowest-id seeding), per-vector
+    codes + exact int64 reconstruction error — the compressed
+    representation an ANN index stores (operators/similarity.
+    pq_encode_quantized; one map-only BLAS pass, no shuffle)."""
+    from medical_examination_data_etl_system_spark.operators.similarity import pq_encode_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_encode_quantized(emb, n_sub=4, k=8).orderBy("vec_id")
+
+
+PQ_ENCODE_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cq AS (
+  SELECT c.cidx, v.dim, v.qv AS qc
+  FROM cent c JOIN vq v ON v.vec_id = c.cid
+), sdist AS (
+  SELECT v.vec_id, CAST(v.dim // 16 AS INTEGER) AS sub, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq c ON c.dim = v.dim
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, sub, cidx AS code, qd FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY qd, cidx) AS rn
+    FROM sdist) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
+       CAST(max(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
+       CAST(max(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
+       CAST(max(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
+       CAST(sum(qd) AS BIGINT) AS recon_err
+FROM best
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ SEARCH path completing emb_pq_encode: asymmetric distance
+    computation (ADC) top-5 for the 5 lowest-id query vectors. Each
+    query precomputes a 4×8 integer lookup table (exact query-subvector
+    → codebook-entry distances, derived driver-side from the same
+    bounded collects as the encoder); database vectors are scanned via
+    their CODES ONLY — per vector the ADC distance is four LUT lookups
+    summed, never a d-dimensional computation. That's the PQ memory/
+    compute story an ANN index runs at scale: the scan touches n_sub
+    bytes per vector. Codes melt to (vec_id, sub, code), one broadcast
+    LUT join, one (query, vec) sum, one per-query top-5 window — all
+    integer-exact, full DuckDB oracle."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+    from medical_examination_data_etl_system_spark.operators.similarity import pq_encode_quantized
+
+    n_sub, k, d_sub = 4, 8, 16
+    emb = load(spark, sf_dir, "embeddings")
+    codes = pq_encode_quantized(emb, n_sub=n_sub, k=k)
+
+    qdf = emb.select("vec_id", quantize_fixed_point("embedding", 1_000_000).alias("qv"))
+    head = qdf.orderBy("vec_id").limit(max(k, 5)).collect()
+    cq = np.array([list(r["qv"]) for r in head[:k]], dtype=np.int64)
+    lut_rows = []
+    for r in head[:5]:
+        v = np.array(list(r["qv"]), dtype=np.int64)
+        for s in range(n_sub):
+            sub = v[s * d_sub : (s + 1) * d_sub]
+            d = ((cq[:, s * d_sub : (s + 1) * d_sub] - sub[None, :]) ** 2).sum(axis=1)
+            for code in range(k):
+                lut_rows.append((int(r["vec_id"]), s, code, int(d[code])))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, sub int, code int, d long"
+    )
+
+    melted = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.col(f"code{s}").alias("code"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("c"),
+    ).select("vec_id", "c.sub", "c.code")
+    scored = (
+        melted.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "adc_dist")
+        .orderBy("query_id", "rnk")
+    )
+
+
+PQ_ADC_TOPK_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cq AS (
+  SELECT c.cidx, v.dim, v.qv AS qc
+  FROM cent c JOIN vq v ON v.vec_id = c.cid
+), sdist AS (
+  SELECT v.vec_id, CAST(v.dim // 16 AS INTEGER) AS sub, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq c ON c.dim = v.dim
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, sub, cidx AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY qd, cidx) AS rn
+    FROM sdist) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5
+), lut AS (
+  SELECT s.vec_id AS query_id, s.sub, s.cidx AS code, s.qd AS d
+  FROM sdist s JOIN queries q ON q.query_id = s.vec_id
+), scored AS (
+  SELECT l.query_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
       FROM scored)
 WHERE rnk <= 5
 ORDER BY query_id, rnk
@@ -2509,6 +2798,10 @@ QUERIES = {
     "emb_ann_recall_report": QueryDef(emb_ann_recall_report, ANN_RECALL_SQL),
     "multimodal_chunk_dedup": QueryDef(multimodal_chunk_dedup, MULTIMODAL_CHUNK_DEDUP_SQL),
     "docs_cdc_chunk_dedup": QueryDef(docs_cdc_chunk_dedup, CDC_CHUNK_DEDUP_SQL),
+    "emb_pq_encode": QueryDef(emb_pq_encode, PQ_ENCODE_SQL),
+    "emb_pq_adc_topk": QueryDef(emb_pq_adc_topk, PQ_ADC_TOPK_SQL),
+    "docs_bm25_search": QueryDef(docs_bm25_search, BM25_SQL),
+    "docs_langid_confusion": QueryDef(docs_langid_confusion, LANGID_CONFUSION_SQL),
     "docs_minhash_calibration": QueryDef(docs_minhash_calibration, MINHASH_CALIBRATION_SQL),
     "docs_ngram_novelty": QueryDef(docs_ngram_novelty, NGRAM_NOVELTY_SQL),
     "docs_semantic_dedup": QueryDef(docs_semantic_dedup, SEMANTIC_DEDUP_SQL),

@@ -55,6 +55,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "docs_vocab_growth": "frame = the fixed 20-bucket spine",
     "docs_length_buckets": "offset window = distinct token-count domain",
     "docs_quality_calibration": "offset window = distinct round(quality,4) domain, <=10^4+1 values",
+    "docs_bm25_search": "rank window runs post-limit on the 20-row TakeOrdered head",
     "docs_epoch_shuffle": "frame = the 100-row post-limit head per epoch",
     "events_top_paths": "frame = |event_type|^3 path-count rows",
     "customer_rfm_segments": "frame = one row per customer (dimension-bounded; exact global quartiles need a total order)",

@@ -18,7 +18,9 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-CHANGED = {"docs_length_buckets"}
+# (Round 11: no pre-existing query's plan changed — the 12 new queries
+# enter at their fresh measurements by construction.)
+CHANGED: set[str] = set()
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 path = os.path.join(repo, "bench_queries.json")

@@ -154,6 +154,10 @@ HEAVY_EXTENSION = [
     "stream_bitmap_distinct_users",
     "multimodal_chunk_dedup",
     "docs_cdc_chunk_dedup",
+    "emb_pq_encode",
+    "emb_pq_adc_topk",
+    "docs_bm25_search",
+    "docs_langid_confusion",
 ]
 
 

@@ -409,6 +409,160 @@ class TestCdcChunkDedup:
             assert round(got[i]["avg_chunk_len"] * got[i]["n_chunks"]) == len(t)
 
 
+class TestPqEncode:
+    def test_seeds_encode_to_themselves(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.operators.similarity import pq_encode_quantized
+
+        emb = load(spark, sf_smoke, "embeddings")
+        got = {r["vec_id"]: r.asDict() for r in pq_encode_quantized(emb, n_sub=4, k=8).collect()}
+        seed_ids = sorted(got)[:8]
+        for i, vid in enumerate(seed_ids):
+            r = got[vid]
+            # a codebook vector reconstructs exactly from its own entry
+            assert [r["code0"], r["code1"], r["code2"], r["code3"]] == [i] * 4
+            assert r["recon_err"] == 0
+        assert all(
+            0 <= r[f"code{s}"] < 8 for r in got.values() for s in range(4)
+        )
+
+    def test_matches_numpy(self, spark, sf_smoke):
+        import numpy as np
+
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.operators.similarity import pq_encode_quantized
+
+        rows = load(spark, sf_smoke, "embeddings").select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000).astype(np.int64)
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        got = {
+            r["vec_id"]: r.asDict()
+            for r in pq_encode_quantized(
+                load(spark, sf_smoke, "embeddings"), n_sub=4, k=8
+            ).collect()
+        }
+        books = [V[:8, s * 16 : (s + 1) * 16] for s in range(4)]
+        for qi in range(len(ids)):
+            err = 0
+            for s in range(4):
+                sub = V[qi, s * 16 : (s + 1) * 16]
+                d = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
+                code = int(np.argmin(d))
+                assert got[int(ids[qi])][f"code{s}"] == code
+                err += int(d[code])
+            assert got[int(ids[qi])]["recon_err"] == err
+
+
+class TestPqAdcTopk:
+    def test_matches_numpy_adc(self, spark, sf_smoke):
+        import numpy as np
+
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.datapipe import emb_pq_adc_topk
+
+        got = {}
+        for r in emb_pq_adc_topk(spark, sf_smoke).collect():
+            got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"], r["adc_dist"]))
+        rows = load(spark, sf_smoke, "embeddings").select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000).astype(np.int64)
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        books = [V[:8, s * 16 : (s + 1) * 16] for s in range(4)]
+        # encode everything, then ADC per query
+        codes = np.zeros((len(ids), 4), dtype=np.int64)
+        for s in range(4):
+            sub = V[:, s * 16 : (s + 1) * 16]
+            d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1)
+        for qi in range(5):
+            lut = np.stack(
+                [((books[s] - V[qi, s * 16 : (s + 1) * 16][None, :]) ** 2).sum(axis=1) for s in range(4)]
+            )  # (4, 8)
+            adc = lut[np.arange(4)[:, None], codes.T].sum(axis=0)
+            adc[qi] = np.iinfo(np.int64).max
+            top = np.lexsort((ids, adc))[:5]
+            expect = [(int(ids[i]), int(adc[i])) for i in top]
+            have = [(v, d) for _, v, d in sorted(got[int(ids[qi])])]
+            assert have == expect
+
+
+class TestBm25Search:
+    def test_hand_computed_corpus(self, spark, monkeypatch):
+        import math
+
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="spark spark table"),
+                Row(doc_id=1, text="hash join"),
+                Row(doc_id=2, text="nothing relevant here"),
+            ]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = {r["doc_id"]: r.asDict() for r in datapipe.docs_bm25_search(spark, "_").collect()}
+        assert set(got) == {0, 1}  # doc 2 matches no query term
+        k1, b, avgdl, n = 1.2, 0.75, 8 / 3, 3
+
+        def bm25(tf, df, dl):
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        assert got[0]["n_terms_matched"] == 2
+        assert got[0]["bm25"] == round(bm25(2, 1, 3) + bm25(1, 1, 3), 4)
+        assert got[1]["n_terms_matched"] == 1
+        assert got[1]["bm25"] == round(bm25(1, 1, 2), 4)
+        # rank order follows score descending
+        ranked = sorted(got.values(), key=lambda r: r["rnk"])
+        assert [r["bm25"] for r in ranked] == sorted(
+            (r["bm25"] for r in ranked), reverse=True
+        )
+
+    def test_topk_bounded_and_ranked(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.datapipe import docs_bm25_search
+
+        rows = docs_bm25_search(spark, sf_smoke).collect()
+        assert 0 < len(rows) <= 20
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["bm25"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(1 <= r["n_terms_matched"] <= 3 for r in rows)
+
+
+class TestLangidConfusion:
+    def test_shares_sum_to_one_per_label(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.datapipe import docs_langid_confusion
+
+        rows = docs_langid_confusion(spark, sf_smoke).collect()
+        assert rows
+        by_label = {}
+        for r in rows:
+            by_label.setdefault(r["label"], []).append(r)
+        for label, group in by_label.items():
+            assert abs(sum(g["share"] for g in group) - 1.0) < 1e-2
+            assert all(g["n"] > 0 for g in group)
+
+    def test_pure_marker_corpus_is_diagonal(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, lang="de", text="die große straße ä ö ß"),
+                Row(doc_id=1, lang="fr", text="déjà été à côté"),
+                Row(doc_id=2, lang="en", text="plain ascii text"),
+            ]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = datapipe.docs_langid_confusion(spark, "_").collect()
+        assert {(r["label"], r["pred"]) for r in got} == {
+            ("de", "de"), ("fr", "fr"), ("en", "en"),
+        }
+        assert all(r["share"] == 1.0 for r in got)
+
+
 class TestTemperatureMix:
     def test_weights_sum_to_one(self, spark, sf_smoke):
         from medical_examination_data_etl_system_spark.queries.curation import docs_temperature_mix
