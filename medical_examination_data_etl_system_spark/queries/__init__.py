@@ -133,6 +133,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_pq_adc_topk",
     "docs_bm25_search",
     "docs_langid_confusion",
+    "emb_ivfpq_topk",
+    "docs_lm_quality",
+    "docs_bpe_pair_merges",
+    "events_watermark_late_audit",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -891,6 +891,151 @@ ORDER BY d.doc_id
 """
 
 
+def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style LANGUAGE-MODEL quality filter in-engine: an
+    add-one-smoothed unigram LM is fit on the corpus itself (term
+    counts + vocab + total — all exact integers), every document is
+    scored by its cross-entropy under that LM, and docs above the
+    corpus-average cross-entropy are flagged — the filter that ranks
+    "fluent" text above gibberish before training. Distinct from
+    docs_token_entropy (a doc scored by its OWN distribution): this
+    scores against the GLOBAL distribution, so boilerplate scores low
+    and noise scores high.
+
+    Plan: one token explode, per-(doc, term) counts, a vocabulary-
+    sized term-probability table joined back ON TERM (vocabulary is
+    content-bounded — a shuffle join that never scales with corpus
+    rows; the 1-row global totals broadcast). Float enters once per
+    (doc, term) as c·ln p(t) and per-doc sums round to 4 — the
+    entropy/tfidf determinism stance."""
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    # persisted: the corpus-wide token explode feeds BOTH the LM fit
+    # (term totals) and the per-doc scoring join — without the barrier
+    # the explode runs twice over the full corpus.
+    counts = persist_tracked(
+        toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = counts.groupBy("t").agg(F.sum("c").alias("cnt"))
+    gl = terms.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    lp = terms.crossJoin(F.broadcast(gl)).select(
+        "t",
+        F.log((F.col("cnt") + 1.0) / (F.col("n_total") + F.col("vocab"))).alias("_lp"),
+    )
+    per_doc = (
+        counts.join(lp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(-F.sum(F.col("c") * F.col("_lp")) / F.sum("c"), 4).alias("xent"),
+        )
+    )
+    avg = per_doc.agg(F.round(F.avg("xent"), 4).alias("corpus_avg_xent"))
+    return (
+        per_doc.crossJoin(F.broadcast(avg))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "xent",
+            F.round(F.exp("xent"), 2).alias("ppl"),
+            (F.col("xent") > F.col("corpus_avg_xent")).alias("above_avg"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id, t, count(*) AS c FROM toks WHERE t <> '' GROUP BY 1, 2
+), terms AS (
+  SELECT t, sum(c) AS cnt FROM counts GROUP BY t
+), gl AS (
+  SELECT sum(cnt) AS n_total, count(*) AS vocab FROM terms
+), lp AS (
+  SELECT t, ln((cnt + 1.0) / (g.n_total + g.vocab)) AS _lp
+  FROM terms CROSS JOIN gl g
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         round(-sum(c * _lp) / sum(c), 4) AS xent
+  FROM counts JOIN lp USING (t)
+  GROUP BY doc_id
+), avg_x AS (
+  SELECT round(avg(xent), 4) AS corpus_avg_xent FROM per_doc
+)
+SELECT doc_id, n_tokens, xent, round(exp(xent), 2) AS ppl,
+       xent > corpus_avg_xent AS above_avg
+FROM per_doc CROSS JOIN avg_x
+ORDER BY doc_id
+"""
+
+
+def docs_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKENIZER-TRAINING primitive: the first BPE merge round —
+    adjacent character-pair frequencies over the corpus, weighted by
+    word frequency, top-20 merge candidates ranked. The inner loop of
+    byte-pair-encoding training (count pairs → merge the argmax),
+    expressed as the exact-collapse discipline demands: pairs are
+    enumerated per DISTINCT word (the word-frequency table, content-
+    bounded) and weighted by the exact word count — the corpus token
+    volume is touched exactly once, in the word count itself. Top-20
+    via orderBy+limit; ranks assigned post-limit on the 20-row head."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wcount"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "wcount",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wcount").alias("n"))
+    )
+    top = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("rnk", "pair", "n")
+        .orderBy("rnk")
+    )
+
+
+BPE_PAIR_MERGES_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, count(*) AS wcount FROM words WHERE w <> '' GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, sum(wcount) AS n
+  FROM wc, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2
+  GROUP BY 1
+)
+SELECT CAST(rnk AS INTEGER) AS rnk, pair, CAST(n AS BIGINT) AS n
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rnk FROM pairs)
+WHERE rnk <= 20
+ORDER BY rnk
+"""
+
+
 def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 corpus terms via Misra-Gries candidates + exact recount —
     the vocabulary-scale frequent-items path (candidates shuffle, raw
@@ -1686,6 +1831,147 @@ WITH vq AS (
   FROM codes c
   JOIN lut l ON l.sub = c.sub AND l.code = c.code
   WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION vector-index layout end-to-end — IVF coarse
+    pruning composed with PQ asymmetric-distance scoring (the FAISS
+    IVFPQ shape), built entirely from the two driver-hash-verified
+    kernels: coarse assignment to the 8 lowest-id centroids
+    (kmeans_assign_round1_quantized), nprobe=2 list selection per
+    query, then ADC over the probed lists only — candidates scanned
+    via their 4-byte PQ CODES (pq_encode_quantized), never their raw
+    vectors. PQ encodes raw vectors (not residuals), the variant whose
+    every stage stays integer-exact and therefore sits under a full
+    DuckDB oracle.
+
+    100 TB shape: the probe table is 10 broadcast rows; candidates are
+    ~nprobe/nlist of the corpus joined by id to a 4-int code table
+    (the memory story: the scan never touches d floats); the LUT join
+    is a 160-row broadcast; the top-5 window partitions by query. The
+    only driver-side work is the same bounded 8+5 head collect both
+    parent kernels already make."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+    from medical_examination_data_etl_system_spark.operators.similarity import (
+        kmeans_assign_round1_quantized,
+        pq_encode_quantized,
+    )
+
+    n_sub, k, d_sub, nprobe = 4, 8, 16, 2
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign_round1_quantized(emb, k=k).select("vec_id", "cluster")
+    codes = pq_encode_quantized(emb, n_sub=n_sub, k=k)
+
+    qdf = emb.select("vec_id", quantize_fixed_point("embedding", 1_000_000).alias("qv"))
+    head = qdf.orderBy("vec_id").limit(max(k, 5)).collect()
+    cq = np.array([list(r["qv"]) for r in head[:k]], dtype=np.int64)
+    probe_rows, lut_rows = [], []
+    for r in head[:5]:
+        v = np.array(list(r["qv"]), dtype=np.int64)
+        cd = ((cq - v[None, :]) ** 2).sum(axis=1)
+        for pl in np.lexsort((np.arange(len(cd)), cd))[:nprobe]:  # ties → lower list
+            probe_rows.append((int(r["vec_id"]), int(pl)))
+        for s in range(n_sub):
+            sub = v[s * d_sub : (s + 1) * d_sub]
+            d = ((cq[:, s * d_sub : (s + 1) * d_sub] - sub[None, :]) ** 2).sum(axis=1)
+            for code in range(k):
+                lut_rows.append((int(r["vec_id"]), s, code, int(d[code])))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    lut = spark.createDataFrame(lut_rows, "query_id long, sub int, code int, d long")
+
+    cand = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    melted = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.col(f"code{s}").alias("code"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("c"),
+    ).select("vec_id", "c.sub", "c.code")
+    scored = (
+        cand.join(melted, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "vec_id", "adc_dist")
+        .orderBy("query_id", "rnk")
+    )
+
+
+IVFPQ_TOPK_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cq AS (
+  SELECT c.cidx, v.dim, v.qv AS qc
+  FROM cent c JOIN vq v ON v.vec_id = c.cid
+), vdist AS (
+  SELECT v.vec_id, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq c USING (dim)
+  GROUP BY 1, 2
+), assigned AS (
+  SELECT vec_id, cidx AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY qd, cidx) AS rn
+    FROM vdist) WHERE rn = 1
+), sdist AS (
+  SELECT v.vec_id, CAST(v.dim // 16 AS INTEGER) AS sub, c.cidx,
+         CAST(sum((v.qv - c.qc) * (v.qv - c.qc)) AS BIGINT) AS qd
+  FROM vq v JOIN cq c ON c.dim = v.dim
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, sub, cidx AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY qd, cidx) AS rn
+    FROM sdist) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5
+), probes AS (
+  SELECT query_id, cidx AS cluster FROM (
+    SELECT q.query_id, d.cidx,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY d.qd, d.cidx) AS prn
+    FROM queries q JOIN vdist d ON d.vec_id = q.query_id)
+  WHERE prn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p USING (cluster)
+  WHERE a.vec_id <> p.query_id
+), lut AS (
+  SELECT s.vec_id AS query_id, s.sub, s.cidx AS code, s.qd AS d
+  FROM sdist s JOIN queries q ON q.query_id = s.vec_id
+), scored AS (
+  SELECT cd.query_id, cd.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.vec_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.sub = c.sub AND l.code = c.code
   GROUP BY 1, 2
 )
 SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, adc_dist
@@ -2800,6 +3086,9 @@ QUERIES = {
     "docs_cdc_chunk_dedup": QueryDef(docs_cdc_chunk_dedup, CDC_CHUNK_DEDUP_SQL),
     "emb_pq_encode": QueryDef(emb_pq_encode, PQ_ENCODE_SQL),
     "emb_pq_adc_topk": QueryDef(emb_pq_adc_topk, PQ_ADC_TOPK_SQL),
+    "emb_ivfpq_topk": QueryDef(emb_ivfpq_topk, IVFPQ_TOPK_SQL),
+    "docs_lm_quality": QueryDef(docs_lm_quality, LM_QUALITY_SQL),
+    "docs_bpe_pair_merges": QueryDef(docs_bpe_pair_merges, BPE_PAIR_MERGES_SQL),
     "docs_bm25_search": QueryDef(docs_bm25_search, BM25_SQL),
     "docs_langid_confusion": QueryDef(docs_langid_confusion, LANGID_CONFUSION_SQL),
     "docs_minhash_calibration": QueryDef(docs_minhash_calibration, MINHASH_CALIBRATION_SQL),

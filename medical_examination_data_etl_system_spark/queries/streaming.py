@@ -412,7 +412,99 @@ ORDER BY event_type
 """
 
 
+def events_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SEMANTICS as an auditable batch replay: exactly which
+    events a streaming job with ``withWatermark("ts", "2 minutes")``
+    would DROP, and how late they were — the audit a pipeline runs
+    before trusting its watermark delay. The testdata's events arrive
+    in event-time order, so out-of-orderness is induced by a
+    deterministic md5 network delay in [0, 300) s per event (the
+    engine-independent hash_bucket convention); arrival then groups
+    into 10-minute micro-batches, and Spark's actual watermark algebra
+    is replayed exactly: wm(batch k) = max event-time seen in batches
+    < k, minus the 2-minute delay; an event is dropped iff its
+    event-time < wm of its arrival batch.
+
+    Scale shape: the delay/batch assignment is map-only integer
+    arithmetic on unix seconds; per-batch maxima aggregate
+    distributed; the running-max window runs over ONE ROW PER
+    MICRO-BATCH (time-bounded domain — ~52k rows/year at any corpus
+    size); the watermark table broadcasts back onto events. All
+    integer-exact → full DuckDB oracle."""
+    from medical_examination_data_etl_system_spark.operators.curation import hash_bucket
+    from medical_examination_data_etl_system_spark.queries import load
+    from pyspark.sql import Window
+
+    delay_s, batch_s, wm_delay_s = 300, 600, 120
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("et"),
+    )
+    arr = ev.withColumn(
+        "batch",
+        F.floor(
+            (F.col("et") + hash_bucket(F.col("event_id"), delay_s)) / batch_s
+        ),
+    )
+    bmax = arr.groupBy("batch").agg(F.max("et").alias("bmax"))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.select(
+        "batch", (F.max("bmax").over(w) - wm_delay_s).alias("wm")
+    )
+    flagged = arr.join(F.broadcast(wm), "batch").select(
+        "event_type",
+        F.when(F.col("et") < F.col("wm"), F.lit(1)).otherwise(F.lit(0)).alias("late"),
+        F.when(F.col("et") < F.col("wm"), F.col("wm") - F.col("et")).alias("late_by"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("late").alias("n_late"),
+            F.round(F.sum("late") / F.count(F.lit(1)), 4).alias("late_share"),
+            F.max("late_by").alias("max_late_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WATERMARK_LATE_AUDIT_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS et
+  FROM events
+), arr AS (
+  SELECT *,
+         CAST(floor((et + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 300)) / 600.0) AS BIGINT) AS batch
+  FROM e
+), bmax AS (
+  SELECT batch, max(et) AS bmax FROM arr GROUP BY batch
+), wm AS (
+  SELECT batch,
+         max(bmax) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 120 AS wm
+  FROM bmax
+), flagged AS (
+  SELECT a.event_type,
+         CASE WHEN a.et < w.wm THEN 1 ELSE 0 END AS late,
+         CASE WHEN a.et < w.wm THEN w.wm - a.et END AS late_by
+  FROM arr a JOIN wm w USING (batch)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       round(CAST(sum(late) AS DOUBLE) / count(*), 4) AS late_share,
+       CAST(max(late_by) AS BIGINT) AS max_late_s
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_watermark_late_audit": QueryDef(
+        events_watermark_late_audit, WATERMARK_LATE_AUDIT_SQL
+    ),
     "stream_bitmap_distinct_users": QueryDef(stream_bitmap_distinct_users, STREAM_BITMAP_SQL),
     "stream_tumbling_hourly": QueryDef(stream_tumbling_hourly, STREAM_TUMBLING_SQL),
     "stream_static_enrich": QueryDef(stream_static_enrich, STREAM_STATIC_SQL),

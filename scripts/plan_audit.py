@@ -56,6 +56,8 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "docs_length_buckets": "offset window = distinct token-count domain",
     "docs_quality_calibration": "offset window = distinct round(quality,4) domain, <=10^4+1 values",
     "docs_bm25_search": "rank window runs post-limit on the 20-row TakeOrdered head",
+    "docs_bpe_pair_merges": "rank window runs post-limit on the 20-row TakeOrdered head",
+    "events_watermark_late_audit": "running-max frame = one row per 10-min micro-batch (time-bounded domain)",
     "docs_epoch_shuffle": "frame = the 100-row post-limit head per epoch",
     "events_top_paths": "frame = |event_type|^3 path-count rows",
     "customer_rfm_segments": "frame = one row per customer (dimension-bounded; exact global quartiles need a total order)",

@@ -158,6 +158,10 @@ HEAVY_EXTENSION = [
     "emb_pq_adc_topk",
     "docs_bm25_search",
     "docs_langid_confusion",
+    "emb_ivfpq_topk",
+    "docs_lm_quality",
+    "docs_bpe_pair_merges",
+    "events_watermark_late_audit",
 ]
 
 

@@ -489,6 +489,148 @@ class TestPqAdcTopk:
             assert have == expect
 
 
+class TestIvfPqTopk:
+    def test_subset_of_probed_lists_and_adc_exact(self, spark, sf_smoke):
+        import numpy as np
+
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.datapipe import emb_ivfpq_topk
+
+        got = {}
+        for r in emb_ivfpq_topk(spark, sf_smoke).collect():
+            got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"], r["adc_dist"]))
+        rows = load(spark, sf_smoke, "embeddings").select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000).astype(np.int64)
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        cents = V[:8]
+        # coarse assignment + PQ codes
+        cd = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(cd, axis=1)
+        books = [V[:8, s * 16 : (s + 1) * 16] for s in range(4)]
+        codes = np.zeros((len(ids), 4), dtype=np.int64)
+        for s in range(4):
+            sub = V[:, s * 16 : (s + 1) * 16]
+            d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1)
+        for qi in range(5):
+            qcd = ((cents - V[qi][None, :]) ** 2).sum(axis=1)
+            probed = set(np.lexsort((np.arange(8), qcd))[:2])
+            lut = np.stack(
+                [((books[s] - V[qi, s * 16 : (s + 1) * 16][None, :]) ** 2).sum(axis=1) for s in range(4)]
+            )
+            adc = lut[np.arange(4)[:, None], codes.T].sum(axis=0)
+            mask = np.array([assign[i] in probed and ids[i] != ids[qi] for i in range(len(ids))])
+            adc_m = np.where(mask, adc, np.iinfo(np.int64).max)
+            top = np.lexsort((ids, adc_m))[:5]
+            expect = [(int(ids[i]), int(adc_m[i])) for i in top]
+            have = [(v, d) for _, v, d in sorted(got[int(ids[qi])])]
+            assert have == expect
+            # every result really sits in a probed list
+            id_to_row = {int(ids[i]): i for i in range(len(ids))}
+            assert all(assign[id_to_row[v]] in probed for v, _ in have)
+
+
+class TestLmQuality:
+    def test_hand_computed_corpus(self, spark, monkeypatch):
+        import math
+
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="a a b"),
+                Row(doc_id=1, text="c"),
+            ]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = {r["doc_id"]: r.asDict() for r in datapipe.docs_lm_quality(spark, "_").collect()}
+        # corpus: a:2 b:1 c:1, N=4, V=3 → p(a)=3/7, p(b)=p(c)=2/7
+        xent0 = -(2 * math.log(3 / 7) + math.log(2 / 7)) / 3
+        xent1 = -math.log(2 / 7)
+        assert got[0]["xent"] == round(xent0, 4)
+        assert got[1]["xent"] == round(xent1, 4)
+        # the rare-token doc scores worse than the common-token doc
+        assert got[1]["xent"] > got[0]["xent"]
+        assert got[1]["above_avg"] and not got[0]["above_avg"]
+
+    def test_corpus_scoring_sane(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.datapipe import docs_lm_quality
+
+        rows = docs_lm_quality(spark, sf_smoke).collect()
+        assert rows
+        assert all(r["xent"] > 0 and r["ppl"] > 1 for r in rows)
+        n_above = sum(r["above_avg"] for r in rows)
+        assert 0 < n_above < len(rows)
+
+
+class TestBpePairMerges:
+    def test_hand_computed_corpus(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import datapipe
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="abab ab"),
+                Row(doc_id=1, text="ab x"),
+            ]
+        )
+        monkeypatch.setattr(datapipe, "load", lambda s, d, t: docs)
+        got = [(r["pair"], r["n"]) for r in datapipe.docs_bpe_pair_merges(spark, "_").collect()]
+        # words: abab×1 (pairs ab, ba, ab), ab×2 (pair ab), x×1 (no pair)
+        assert got == [("ab", 4), ("ba", 1)]
+
+    def test_top20_ranked(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.datapipe import docs_bpe_pair_merges
+
+        rows = docs_bpe_pair_merges(spark, sf_smoke).collect()
+        assert len(rows) == 20
+        assert [r["rnk"] for r in rows] == list(range(1, 21))
+        ns = [r["n"] for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        assert all(len(r["pair"]) == 2 for r in rows)
+
+
+class TestWatermarkLateAudit:
+    def test_replay_matches_brute_force(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.streaming import (
+            events_watermark_late_audit,
+        )
+
+        got = {r["event_type"]: r.asDict() for r in events_watermark_late_audit(spark, sf_smoke).collect()}
+        # brute-force replay in Python over the same md5 delays
+        import hashlib
+
+        rows = load(spark, sf_smoke, "events").select("event_id", "event_type", "ts").collect()
+        evs = []
+        for r in rows:
+            delay = int(hashlib.md5(str(r["event_id"]).encode()).hexdigest()[:8], 16) % 300
+            et = int(r["ts"].timestamp())
+            evs.append((r["event_type"], et, (et + delay) // 600))
+        bmax = {}
+        for _, et, b in evs:
+            bmax[b] = max(bmax.get(b, 0), et)
+        wm = {}
+        run = None
+        for b in sorted(bmax):
+            wm[b] = None if run is None else run - 120
+            run = bmax[b] if run is None else max(run, bmax[b])
+        agg = {}
+        for t, et, b in evs:
+            a = agg.setdefault(t, [0, 0, None])
+            a[0] += 1
+            if wm[b] is not None and et < wm[b]:
+                a[1] += 1
+                late = wm[b] - et
+                a[2] = late if a[2] is None else max(a[2], late)
+        for t, (n, late, mx) in agg.items():
+            assert got[t]["n_events"] == n
+            assert got[t]["n_late"] == late
+            assert got[t]["max_late_s"] == mx
+            assert got[t]["late_share"] == round(late / n, 4)
+
+
 class TestBm25Search:
     def test_hand_computed_corpus(self, spark, monkeypatch):
         import math
