@@ -137,6 +137,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_lm_quality",
     "docs_bpe_pair_merges",
     "events_watermark_late_audit",
+    "docs_gopher_quality_rules",
+    "docs_feature_hashing",
+    "customer_k_anonymity",
+    "orders_revenue_acf",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -2205,7 +2205,179 @@ ORDER BY price_cents
 """
 
 
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVACY audit before data release: k-anonymity of the customer
+    table under the quasi-identifier (nation, market segment, account-
+    balance bucket) — how many customers sit in QI groups smaller than
+    k=5 (re-identifiable), and how much GENERALIZATION (coarsening the
+    balance bucket 1000→5000) repairs it. The standard governance
+    check, and the generalization column is the standard fix, shown as
+    one report per (nation, segment).
+
+    Exact-cents bucketing (round(acctbal·100) → integer floor-division
+    by the bucket width) so both engines draw identical bucket edges.
+    Two bounded aggregations over a map-only base — group counts are
+    QI-domain-bounded, never row-scaled."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def risk(bucket_cents: int, suffix: str) -> DataFrame:
+        g = (
+            base.withColumn("bal_b", F.floor(F.col("cents") / F.lit(float(bucket_cents))))
+            .groupBy("c_nationkey", "c_mktsegment", "bal_b")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        return g.groupBy("c_nationkey", "c_mktsegment").agg(
+            F.count(F.lit(1)).alias(f"n_groups_{suffix}"),
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)).alias(
+                f"at_risk_{suffix}"
+            ),
+            F.sum("sz").alias(f"_n_{suffix}"),
+        )
+
+    fine = risk(100_000, "fine")  # $1000 buckets
+    coarse = risk(500_000, "coarse")  # $5000 buckets
+    return (
+        fine.join(coarse, ["c_nationkey", "c_mktsegment"])
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("_n_fine").alias("n_customers"),
+            "n_groups_fine",
+            "at_risk_fine",
+            F.round(F.col("at_risk_fine") / F.col("_n_fine"), 4).alias("risk_share_fine"),
+            "n_groups_coarse",
+            "at_risk_coarse",
+            F.round(F.col("at_risk_coarse") / F.col("_n_coarse"), 4).alias(
+                "risk_share_coarse"
+            ),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+K_ANONYMITY_SQL = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), fine_g AS (
+  SELECT c_nationkey, c_mktsegment, floor(cents / 100000.0) AS bal_b, count(*) AS sz
+  FROM base GROUP BY 1, 2, 3
+), fine AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_groups_fine,
+         CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS at_risk_fine,
+         CAST(sum(sz) AS BIGINT) AS n_customers
+  FROM fine_g GROUP BY 1, 2
+), coarse_g AS (
+  SELECT c_nationkey, c_mktsegment, floor(cents / 500000.0) AS bal_b, count(*) AS sz
+  FROM base GROUP BY 1, 2, 3
+), coarse AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_groups_coarse,
+         CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS at_risk_coarse,
+         CAST(sum(sz) AS BIGINT) AS _nc
+  FROM coarse_g GROUP BY 1, 2
+)
+SELECT f.c_nationkey, f.c_mktsegment, f.n_customers,
+       f.n_groups_fine, f.at_risk_fine,
+       round(CAST(f.at_risk_fine AS DOUBLE) / f.n_customers, 4) AS risk_share_fine,
+       c.n_groups_coarse, c.at_risk_coarse,
+       round(CAST(c.at_risk_coarse AS DOUBLE) / c._nc, 4) AS risk_share_coarse
+FROM fine f JOIN coarse c USING (c_nationkey, c_mktsegment)
+ORDER BY f.c_nationkey, f.c_mktsegment
+"""
+
+
+def orders_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION of the daily-revenue series at lags 1–7 — the
+    seasonality diagnostic run before choosing a forecast model (a
+    weekly cycle shows as a lag-7 peak). Pearson r computed from EXACT
+    integer moments: daily revenue in exact cents, all six sums
+    (n, Σx, Σy, Σxy, Σxx, Σyy) accumulated in decimal(38,0) —
+    order-independent — and the float enters ONCE per lag in the final
+    closed form, rounded to 4. Identical algebra in DuckDB (HUGEINT).
+
+    Scale shape: the fact table collapses to one row per day in the
+    first aggregate; the day index, the 7-lag fan-out, the self-join
+    and the per-lag moments all run on the day domain (time-bounded at
+    any corpus size — the value-domain discipline)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    idx = daily.select("cents", F.row_number().over(w).alias("i"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = idx.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("i") - F.col("lag")).alias("j"), F.col("cents").alias("x")
+    )
+    b = idx.select(F.col("i").alias("j"), F.col("cents").alias("y"))
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    m = (
+        a.join(b, "j")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dx).alias("sx"),
+            F.sum(dy).alias("sy"),
+            F.sum(dx * dy).alias("sxy"),
+            F.sum(dx * dx).alias("sxx"),
+            F.sum(dy * dy).alias("syy"),
+        )
+    )
+    cov = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        m.select(
+            "lag",
+            "n_pairs",
+            F.round(cov / F.sqrt(vx * vy), 4).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+REVENUE_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT cents, row_number() OVER (ORDER BY day) AS i FROM daily
+), pairs AS (
+  SELECT l.lag, a.cents AS x, b.cents AS y
+  FROM idx a
+  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+  JOIN idx b ON b.i = a.i - l.lag
+), m AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+       round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 4) AS acf
+FROM m
+ORDER BY lag
+"""
+
+
 QUERIES = {
+    "customer_k_anonymity": QueryDef(customer_k_anonymity, K_ANONYMITY_SQL),
+    "orders_revenue_acf": QueryDef(orders_revenue_acf, REVENUE_ACF_SQL),
     "graph_bfs_depths": QueryDef(graph_bfs_depths, BFS_SQL),
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
     "lineitem_weighted_median": QueryDef(lineitem_weighted_median, WEIGHTED_MEDIAN_SQL),

@@ -744,7 +744,124 @@ ORDER BY lang
 """
 
 
+_STOPWORDS = ["a", "the", "and", "of", "to", "in"]
+
+
+def docs_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText RULE-BASED quality filter as one
+    composite gate — the checklist production corpora run before any
+    model-based scoring: token-count bounds, mean-word-length bounds,
+    minimum share of alphabetic words, minimum stopword evidence,
+    minimum type-token ratio. Per doc: every signal, every rule
+    verdict, and the conjunction (`keep`), so the report doubles as a
+    per-rule rejection breakdown.
+
+    One token explode → ONE per-doc aggregate computes all five
+    signals together (counts, length sum, alpha/stopword counts,
+    distinct terms). Ratios are exact integer divisions rounded to 4;
+    rule thresholds compare the rounded values — full DuckDB oracle."""
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    sig = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum(F.length("w")) / F.count(F.lit(1)), 4).alias("mean_wlen"),
+        F.round(
+            F.sum(F.when(F.col("w").rlike("[a-z]"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("alpha_share"),
+        F.sum(F.when(F.col("w").isin(_STOPWORDS), 1).otherwise(0)).alias("n_stopwords"),
+        F.round(F.countDistinct("w") / F.count(F.lit(1)), 4).alias("ttr"),
+    )
+    rules = sig.select(
+        "*",
+        (F.col("n_tokens").between(50, 100_000)).alias("r_len"),
+        (F.col("mean_wlen").between(3.0, 10.0)).alias("r_wlen"),
+        (F.col("alpha_share") >= 0.8).alias("r_alpha"),
+        (F.col("n_stopwords") >= 2).alias("r_stop"),
+        (F.col("ttr") >= 0.2).alias("r_ttr"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("r_len") & F.col("r_wlen") & F.col("r_alpha") & F.col("r_stop") & F.col("r_ttr"),
+    ).orderBy("doc_id")
+
+
+GOPHER_RULES_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(length(w)) AS DOUBLE) / count(*), 4) AS mean_wlen,
+         round(CAST(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS alpha_share,
+         CAST(sum(CASE WHEN w IN ('a','the','and','of','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+         round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 4) AS ttr
+  FROM toks WHERE w <> ''
+  GROUP BY doc_id
+)
+SELECT *,
+       (r_len AND r_wlen AND r_alpha AND r_stop AND r_ttr) AS keep
+FROM (
+  SELECT *,
+         n_tokens BETWEEN 50 AND 100000 AS r_len,
+         mean_wlen BETWEEN 3.0 AND 10.0 AS r_wlen,
+         alpha_share >= 0.8 AS r_alpha,
+         n_stopwords >= 2 AS r_stop,
+         ttr >= 0.2 AS r_ttr
+  FROM sig)
+ORDER BY doc_id
+"""
+
+
+def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING-TRICK vectorizer (Vowpal/sklearn
+    HashingVectorizer): every term maps to one of 64 buckets via the
+    engine-independent md5 bucket, and each document becomes its
+    sparse bucket→count vector — the fixed-width featurization that
+    needs NO vocabulary pass, the reason the trick exists at corpus
+    scale. Emitted exploded as (doc_id, bucket, cnt) — map-side
+    bucket assignment, one (doc, bucket) aggregate, nothing global."""
+    docs = load(spark, sf_dir, "documents")
+    from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        toks.select("doc_id", curation.hash_bucket(F.col("w"), 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+FEATURE_HASHING_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       (('0x' || substr(md5(w), 1, 8))::BIGINT % 64) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM toks WHERE w <> ''
+GROUP BY 1, 2
+ORDER BY doc_id, bucket
+"""
+
+
 QUERIES = {
+    "docs_gopher_quality_rules": QueryDef(docs_gopher_quality_rules, GOPHER_RULES_SQL),
+    "docs_feature_hashing": QueryDef(docs_feature_hashing, FEATURE_HASHING_SQL),
     "docs_temperature_mix": QueryDef(docs_temperature_mix, TEMPERATURE_MIX_SQL),
     "docs_blocklist_filter": QueryDef(docs_blocklist_filter, BLOCKLIST_SQL),
     "docs_hash_sample": QueryDef(docs_hash_sample, HASH_SAMPLE_SQL),

@@ -162,6 +162,10 @@ HEAVY_EXTENSION = [
     "docs_lm_quality",
     "docs_bpe_pair_merges",
     "events_watermark_late_audit",
+    "docs_gopher_quality_rules",
+    "docs_feature_hashing",
+    "customer_k_anonymity",
+    "orders_revenue_acf",
 ]
 
 

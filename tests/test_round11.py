@@ -489,6 +489,122 @@ class TestPqAdcTopk:
             assert have == expect
 
 
+class TestGopherQualityRules:
+    def test_hand_computed_rules(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import curation as qc
+
+        docs = spark.createDataFrame(
+            [
+                # 60 tokens, all alpha, stopwords present, diverse → keep
+                Row(doc_id=0, text="the quick brown fox of doom " + " ".join(f"wording{i}" for i in range(54))),
+                # too short
+                Row(doc_id=1, text="the a short of text"),
+                # long enough but one token repeated → fails ttr + stopwords
+                Row(doc_id=2, text="zzz " * 60),
+            ]
+        )
+        monkeypatch.setattr(qc, "load", lambda s, d, t: docs)
+        got = {r["doc_id"]: r.asDict() for r in qc.docs_gopher_quality_rules(spark, "_").collect()}
+        assert got[0]["keep"] is True
+        assert got[1]["r_len"] is False and got[1]["keep"] is False
+        assert got[2]["r_ttr"] is False and got[2]["r_stop"] is False
+        assert got[2]["keep"] is False
+
+    def test_signal_ranges(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.curation import docs_gopher_quality_rules
+
+        rows = docs_gopher_quality_rules(spark, sf_smoke).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r["ttr"] <= 1 and 0 <= r["alpha_share"] <= 1
+            assert r["keep"] == (
+                r["r_len"] and r["r_wlen"] and r["r_alpha"] and r["r_stop"] and r["r_ttr"]
+            )
+
+
+class TestFeatureHashing:
+    def test_counts_reassemble_token_totals(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.curation import docs_feature_hashing
+        from medical_examination_data_etl_system_spark.operators.text_analysis import normalized_text
+
+        rows = docs_feature_hashing(spark, sf_smoke).collect()
+        assert all(0 <= r["bucket"] < 64 for r in rows)
+        per_doc = {}
+        for r in rows:
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["cnt"]
+        docs = load(spark, sf_smoke, "documents")
+        toks = docs.select(
+            "doc_id", F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w")
+        ).filter(F.col("w") != "").groupBy("doc_id").count().collect()
+        for t in toks:
+            assert per_doc[t["doc_id"]] == t["count"]
+
+    def test_same_term_same_bucket(self, spark, monkeypatch):
+        import hashlib
+
+        from medical_examination_data_etl_system_spark.queries import curation as qc
+
+        docs = spark.createDataFrame([Row(doc_id=0, text="alpha beta alpha")])
+        monkeypatch.setattr(qc, "load", lambda s, d, t: docs)
+        got = {r["bucket"]: r["cnt"] for r in qc.docs_feature_hashing(spark, "_").collect()}
+        b_alpha = int(hashlib.md5(b"alpha").hexdigest()[:8], 16) % 64
+        b_beta = int(hashlib.md5(b"beta").hexdigest()[:8], 16) % 64
+        assert got[b_alpha] == 2 and got[b_beta] == 1
+
+
+class TestKAnonymity:
+    def test_generalization_reduces_risk(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.analytics import customer_k_anonymity
+
+        rows = customer_k_anonymity(spark, sf_smoke).collect()
+        assert rows
+        for r in rows:
+            assert r["at_risk_coarse"] <= r["at_risk_fine"] or r["n_groups_coarse"] <= r["n_groups_fine"]
+            assert 0 <= r["risk_share_fine"] <= 1
+            assert r["at_risk_fine"] <= r["n_customers"]
+        # coarsening can never create MORE groups in total
+        assert sum(r["n_groups_coarse"] for r in rows) <= sum(r["n_groups_fine"] for r in rows)
+
+    def test_small_group_accounting(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # 6 customers in one $1000 bucket (safe), 2 in another (at risk)
+        cust = spark.createDataFrame(
+            [Row(c_custkey=i, c_nationkey=1, c_mktsegment="S", c_acctbal=500.0) for i in range(6)]
+            + [Row(c_custkey=10 + i, c_nationkey=1, c_mktsegment="S", c_acctbal=1500.0) for i in range(2)]
+        )
+        monkeypatch.setattr(qa, "load", lambda s, d, t: cust)
+        r = qa.customer_k_anonymity(spark, "_").collect()[0]
+        assert r["n_customers"] == 8
+        assert r["n_groups_fine"] == 2 and r["at_risk_fine"] == 2
+        # $5000 bucket merges both → one group of 8, nothing at risk
+        assert r["n_groups_coarse"] == 1 and r["at_risk_coarse"] == 0
+
+
+class TestRevenueAcf:
+    def test_matches_numpy_pearson(self, spark, sf_smoke):
+        import numpy as np
+
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.analytics import orders_revenue_acf
+
+        got = {r["lag"]: r for r in orders_revenue_acf(spark, sf_smoke).collect()}
+        daily = (
+            load(spark, sf_smoke, "orders")
+            .groupBy(F.to_date("o_orderdate").alias("day"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+            .orderBy("day")
+            .collect()
+        )
+        s = np.array([r["cents"] for r in daily], dtype=np.float64)
+        for lag in range(1, 8):
+            x, y = s[lag:], s[:-lag]
+            expect = np.corrcoef(x, y)[0, 1]
+            assert got[lag]["n_pairs"] == len(x)
+            assert abs(got[lag]["acf"] - expect) < 5e-4
+
+
 class TestIvfPqTopk:
     def test_subset_of_probed_lists_and_adc_exact(self, spark, sf_smoke):
         import numpy as np
