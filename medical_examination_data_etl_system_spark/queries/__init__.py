@@ -141,6 +141,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_feature_hashing",
     "customer_k_anonymity",
     "orders_revenue_acf",
+    "customer_survival_km",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -2375,7 +2375,110 @@ ORDER BY lag
 """
 
 
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVAL ANALYSIS in-engine: the Kaplan-Meier estimator of
+    time-to-next-order, with right-censoring done properly — every
+    inter-order gap is an event interval, and each customer's tail
+    (last order → corpus end) enters as a CENSORED interval instead of
+    being dropped, the statistical point of KM. Emits the survival
+    curve S(t) at each distinct event time ≤ 120 days with risk-set
+    sizes — the repurchase-curve report a retention team reads.
+
+    Scale shape: per-customer lead() builds intervals (partitioned
+    window); intervals collapse to the distinct-gap-day DOMAIN (≤ max
+    gap, time-bounded) in one aggregate; risk sets and the product-
+    limit both run as windows over that domain (allowlisted bounded
+    frame). The KM product is exp(Σ ln(1−d/n)) over a FIXED ascending
+    order, so both engines add identical doubles in identical order —
+    deterministic, rounded to 4."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_custkey", F.to_date("o_orderdate").alias("day"))
+    mx = base.agg(F.max("day").alias("max_day"))
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    iv = (
+        base.withColumn("nxt", F.lead("day").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "day"))
+            .otherwise(F.datediff("max_day", "day"))
+            .alias("t"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    per_t = iv.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(1 - F.col("ev")).alias("c"),
+    )
+    total = iv.agg(F.count(F.lit(1)).alias("n_total"))
+    wt = Window.orderBy("t")
+    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0)),
+        )
+        .withColumn(
+            # the terminal row can have d == n_risk (everyone at risk
+            # dies): its factor is exactly 0, outside ln — contribute 0
+            # to the log-sum and pin surv to 0 on that row instead.
+            "_term",
+            F.when(F.col("d") < F.col("n_risk"), F.log(1.0 - F.col("d") / F.col("n_risk"))).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "surv",
+            F.when(F.col("d") >= F.col("n_risk"), F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(F.sum("_term").over(wt.rowsBetween(Window.unboundedPreceding, 0))),
+                    4,
+                )
+            ),
+        )
+    )
+    return (
+        curve.filter((F.col("d") > 0) & (F.col("t") <= 120))
+        .select("t", "n_risk", "d", "c", "surv")
+        .orderBy("t")
+    )
+
+
+SURVIVAL_KM_SQL = """
+WITH base AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+), mx AS (
+  SELECT max(day) AS max_day FROM base
+), iv AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', day, nxt)
+              ELSE date_diff('day', day, max_day) END AS t,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM (SELECT day, lead(day) OVER (PARTITION BY o_custkey ORDER BY day) AS nxt
+        FROM base) CROSS JOIN mx
+), per_t AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM iv GROUP BY t
+), total AS (
+  SELECT count(*) AS n_total FROM iv
+), risk AS (
+  SELECT t, d, c,
+         n_total - coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t CROSS JOIN total
+), curve AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d >= n_risk THEN 0.0 ELSE
+           round(exp(sum(CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+         END AS surv
+  FROM risk
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c, surv
+FROM curve
+WHERE d > 0 AND t <= 120
+ORDER BY t
+"""
+
+
 QUERIES = {
+    "customer_survival_km": QueryDef(customer_survival_km, SURVIVAL_KM_SQL),
     "customer_k_anonymity": QueryDef(customer_k_anonymity, K_ANONYMITY_SQL),
     "orders_revenue_acf": QueryDef(orders_revenue_acf, REVENUE_ACF_SQL),
     "graph_bfs_depths": QueryDef(graph_bfs_depths, BFS_SQL),

@@ -166,6 +166,7 @@ HEAVY_EXTENSION = [
     "docs_feature_hashing",
     "customer_k_anonymity",
     "orders_revenue_acf",
+    "customer_survival_km",
 ]
 
 

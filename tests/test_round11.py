@@ -582,6 +582,48 @@ class TestKAnonymity:
         assert r["n_groups_coarse"] == 1 and r["at_risk_coarse"] == 0
 
 
+class TestSurvivalKm:
+    def test_hand_computed_curve(self, spark, monkeypatch):
+        from datetime import date
+
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # customer 1: orders day 0, 10, 30 → gaps 10, 20, censored 70
+        # customer 2: orders day 0, 10     → gap 10, censored 90
+        # customer 3: order day 100        → censored 0 (at corpus end)
+        orders = spark.createDataFrame(
+            [
+                Row(o_custkey=1, o_orderdate=date(2024, 1, 1)),
+                Row(o_custkey=1, o_orderdate=date(2024, 1, 11)),
+                Row(o_custkey=1, o_orderdate=date(2024, 1, 31)),
+                Row(o_custkey=2, o_orderdate=date(2024, 1, 1)),
+                Row(o_custkey=2, o_orderdate=date(2024, 1, 11)),
+                Row(o_custkey=3, o_orderdate=date(2024, 4, 10)),
+            ]
+        )
+        monkeypatch.setattr(qa, "load", lambda s, d, t: orders)
+        got = {r["t"]: r.asDict() for r in qa.customer_survival_km(spark, "_").collect()}
+        # intervals: events t=10 (x2), t=20; censored t=0, 70, 90 → total 6
+        # t=10: n_risk = 6 - 1(censored at 0) = 5, d=2 → S = 1 - 2/5 = 0.6
+        # t=20: n_risk = 3, d=1 → S = 0.6 * (1 - 1/3) = 0.4
+        assert set(got) == {10, 20}
+        assert got[10]["n_risk"] == 5 and got[10]["d"] == 2
+        assert got[10]["surv"] == 0.6
+        assert got[20]["n_risk"] == 3 and got[20]["d"] == 1
+        assert got[20]["surv"] == 0.4
+
+    def test_curve_monotone_nonincreasing(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.analytics import customer_survival_km
+
+        rows = customer_survival_km(spark, sf_smoke).collect()
+        assert rows
+        survs = [r["surv"] for r in rows]
+        assert all(a >= b for a, b in zip(survs, survs[1:]))
+        assert all(0 <= s <= 1 for s in survs)
+        risks = [r["n_risk"] for r in rows]
+        assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
 class TestRevenueAcf:
     def test_matches_numpy_pearson(self, spark, sf_smoke):
         import numpy as np
