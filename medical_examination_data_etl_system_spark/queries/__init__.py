@@ -142,6 +142,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "customer_k_anonymity",
     "orders_revenue_acf",
     "customer_survival_km",
+    "events_bot_detection",
+    "emb_label_noise_audit",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

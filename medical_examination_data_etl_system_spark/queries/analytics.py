@@ -2477,7 +2477,86 @@ ORDER BY t
 """
 
 
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT/SPAM traffic audit — the behavioral filter a training-data
+    pipeline runs before trusting clickstream-derived labels: per user,
+    event volume, request rate, and the REGULARITY of inter-arrival
+    gaps (coefficient of variation — machine traffic is too regular,
+    cv ≪ 1, where human/Poisson traffic has cv ≈ 1). Flags
+    `too_regular` (cv < 0.3), `too_fast` (> 60 events/active-hour),
+    and the `is_bot` union.
+
+    Gap moments accumulate as exact integers (unix-second gaps,
+    Σ and Σ² in decimal(38,0)): cv = √(n·Σxx − Σx²)/Σx and the rate
+    are exact-integer algebra with ONE float entry each, rounded to 4
+    — both engines agree bit-for-bit. One partitioned lag window over
+    events, one per-user aggregate; nothing global."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("et")
+    )
+    w = Window.partitionBy("user_id").orderBy("et", "event_id")
+    gaps = ev.withColumn("gap", F.col("et") - F.lag("et").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    dg = F.col("gap").cast("decimal(38,0)")
+    m = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dg).alias("sx"),
+        F.sum(dg * dg).alias("sxx"),
+    )
+    var_num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    rate = F.round(F.col("n_events") * 3600.0 / F.col("sx").cast("double"), 4)
+    cv = F.round(F.sqrt(var_num) / F.col("sx").cast("double"), 4)
+    out = m.select(
+        "user_id",
+        "n_events",
+        F.col("sx").cast("long").alias("span_s"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 4).alias("mean_gap_s"),
+        cv.alias("gap_cv"),
+        rate.alias("events_per_hour"),
+    ).select(
+        "*",
+        (F.col("gap_cv") < 0.3).alias("too_regular"),
+        (F.col("events_per_hour") > 60.0).alias("too_fast"),
+    )
+    return out.withColumn(
+        "is_bot", F.col("too_regular") | F.col("too_fast")
+    ).orderBy("user_id")
+
+
+BOT_DETECTION_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+  FROM events
+), m AS (
+  SELECT user_id,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         count(*) AS n,
+         sum(CAST(gap AS HUGEINT)) AS sx,
+         sum(CAST(gap AS HUGEINT) * gap) AS sxx
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id
+), s AS (
+  SELECT user_id, n_events,
+         CAST(sx AS BIGINT) AS span_s,
+         round(CAST(sx AS DOUBLE) / n, 4) AS mean_gap_s,
+         round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(sx AS DOUBLE), 4) AS gap_cv,
+         round(n_events * 3600.0 / CAST(sx AS DOUBLE), 4) AS events_per_hour
+  FROM m
+)
+SELECT *,
+       (too_regular OR too_fast) AS is_bot
+FROM (SELECT *, gap_cv < 0.3 AS too_regular, events_per_hour > 60.0 AS too_fast FROM s)
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_bot_detection": QueryDef(events_bot_detection, BOT_DETECTION_SQL),
     "customer_survival_km": QueryDef(customer_survival_km, SURVIVAL_KM_SQL),
     "customer_k_anonymity": QueryDef(customer_k_anonymity, K_ANONYMITY_SQL),
     "orders_revenue_acf": QueryDef(orders_revenue_acf, REVENUE_ACF_SQL),

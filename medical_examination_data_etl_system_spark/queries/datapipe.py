@@ -1982,6 +1982,162 @@ ORDER BY query_id, rnk
 """
 
 
+def emb_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-NOISE detection (confident-learning-lite) — the dataset
+    debugging pass run before training a classifier: a vector whose
+    nearest CLASS PROTOTYPE is not its own label is a suspected
+    mislabel. Per label: cohort size, suspected-noise count and share,
+    plus the label it is most confused with.
+
+    Everything is engine-exact: per-(label, dim) int64 quantized sums
+    aggregate distributed (|labels|·d scalar rows, corpus-independent
+    shuffle), centroids quantize as floor(S/n) (exact in double up to
+    2^53 — identical both engines), and distances are exact int64. The
+    distance scan is ONE map-only mapInPandas BLAS pass against the
+    broadcast |labels|×d centroid matrix — the relational equivalent
+    (n·|labels|·d exploded rows) is what the DuckDB oracle replays at
+    sf0.01, and exactly what this plan avoids at scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "label", quantize_fixed_point("embedding", 1_000_000).alias("_v")
+    )
+    sums = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("qx", F.round(F.col("x").cast("double") * 1_000_000).cast("long"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("cq"),
+        )
+        .collect()
+    )
+    labels = sorted({r["label"] for r in sums})
+    lidx = {l: i for i, l in enumerate(labels)}
+    d = max(r["dim"] for r in sums) + 1
+    C = np.zeros((len(labels), d), dtype=np.int64)
+    for r in sums:
+        C[lidx[r["label"]], r["dim"]] = r["cq"]
+    c_sq = (C * C).sum(axis=1)
+    lab_arr = np.array(labels, dtype=np.int64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType(), False),
+            T.StructField("noisy", T.IntegerType(), False),
+            T.StructField("confused_with", T.IntegerType(), False),
+        ]
+    )
+
+    def _audit(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf["_v"]], dtype=np.int64)
+            own = np.array([lidx[l] for l in pdf["label"]], dtype=np.int64)
+            D = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + c_sq[None, :]
+            d_own = D[np.arange(len(X)), own]
+            D_masked = D.copy()
+            D_masked[np.arange(len(X)), own] = np.iinfo(np.int64).max
+            # ties → lower label index (argmin is first-minimum)
+            nearest_other = np.argmin(D_masked, axis=1)
+            d_other = D_masked[np.arange(len(X)), nearest_other]
+            noisy = (d_other < d_own).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"].to_numpy(dtype="int32"),
+                    "noisy": noisy,
+                    "confused_with": np.where(
+                        noisy == 1, lab_arr[nearest_other], -1
+                    ).astype("int32"),
+                }
+            )
+
+    flagged = base.mapInPandas(_audit, schema=out_schema)
+    per_label = flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("noisy").alias("n_noisy"),
+        F.round(F.sum("noisy") / F.count(F.lit(1)), 4).alias("noise_share"),
+    )
+    top_conf = (
+        flagged.filter(F.col("noisy") == 1)
+        .groupBy("label", "confused_with")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("label").orderBy(F.desc("cnt"), F.asc("confused_with"))
+    top1 = (
+        top_conf.withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") == 1)
+        .select("label", F.col("confused_with").alias("most_confused_with"))
+    )
+    return (
+        per_label.join(top1, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            "n_noisy",
+            "noise_share",
+            F.coalesce("most_confused_with", F.lit(-1)).alias("most_confused_with"),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_NOISE_SQL = """
+WITH vq AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM vq GROUP BY 1, 2
+), dist AS (
+  SELECT v.vec_id, v.label AS own_label, c.label AS cand_label,
+         CAST(sum((v.qv - c.cq) * (v.qv - c.cq)) AS BIGINT) AS qd
+  FROM vq v JOIN cent c USING (dim)
+  GROUP BY 1, 2, 3
+), per_vec AS (
+  SELECT vec_id, own_label,
+         max(CASE WHEN cand_label = own_label THEN qd END) AS d_own,
+         min(CASE WHEN cand_label <> own_label THEN qd END) AS d_other
+  FROM dist GROUP BY 1, 2
+), nearest_other AS (
+  SELECT vec_id, cand_label FROM (
+    SELECT d.vec_id, d.cand_label,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.qd, d.cand_label) AS rn
+    FROM dist d WHERE d.cand_label <> d.own_label) WHERE rn = 1
+), flagged AS (
+  SELECT p.own_label AS label,
+         CASE WHEN p.d_other < p.d_own THEN 1 ELSE 0 END AS noisy,
+         CASE WHEN p.d_other < p.d_own THEN n.cand_label ELSE -1 END AS confused_with
+  FROM per_vec p JOIN nearest_other n USING (vec_id)
+), per_label AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(noisy) AS BIGINT) AS n_noisy,
+         round(CAST(sum(noisy) AS DOUBLE) / count(*), 4) AS noise_share
+  FROM flagged GROUP BY label
+), top1 AS (
+  SELECT label, confused_with AS most_confused_with FROM (
+    SELECT label, confused_with, row_number()
+           OVER (PARTITION BY label ORDER BY count(*) DESC, confused_with) AS rn
+    FROM flagged WHERE noisy = 1 GROUP BY label, confused_with) WHERE rn = 1
+)
+SELECT p.label, p.n_vectors, p.n_noisy, p.noise_share,
+       coalesce(t.most_confused_with, -1) AS most_confused_with
+FROM per_label p LEFT JOIN top1 t USING (label)
+ORDER BY p.label
+"""
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact d×d Gram matrix of the embedding corpus (upper triangle)
     in fixed-point int64 (operators/linalg.quantized_gram_matrix): one
@@ -3087,6 +3243,7 @@ QUERIES = {
     "emb_pq_encode": QueryDef(emb_pq_encode, PQ_ENCODE_SQL),
     "emb_pq_adc_topk": QueryDef(emb_pq_adc_topk, PQ_ADC_TOPK_SQL),
     "emb_ivfpq_topk": QueryDef(emb_ivfpq_topk, IVFPQ_TOPK_SQL),
+    "emb_label_noise_audit": QueryDef(emb_label_noise_audit, LABEL_NOISE_SQL),
     "docs_lm_quality": QueryDef(docs_lm_quality, LM_QUALITY_SQL),
     "docs_bpe_pair_merges": QueryDef(docs_bpe_pair_merges, BPE_PAIR_MERGES_SQL),
     "docs_bm25_search": QueryDef(docs_bm25_search, BM25_SQL),

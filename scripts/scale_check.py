@@ -167,6 +167,8 @@ HEAVY_EXTENSION = [
     "customer_k_anonymity",
     "orders_revenue_acf",
     "customer_survival_km",
+    "events_bot_detection",
+    "emb_label_noise_audit",
 ]
 
 

@@ -624,6 +624,70 @@ class TestSurvivalKm:
         assert all(a >= b for a, b in zip(risks, risks[1:]))
 
 
+class TestBotDetection:
+    def test_synthetic_bot_flagged(self, spark, monkeypatch):
+        from datetime import datetime, timedelta
+
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        # bot: perfectly regular 10s cadence → cv = 0
+        for i in range(20):
+            rows.append(Row(user_id=1, event_id=i, ts=t0 + timedelta(seconds=10 * i)))
+        # human-ish: irregular gaps, slow
+        for i, s in enumerate([0, 700, 1500, 5000, 12000, 30000]):
+            rows.append(Row(user_id=2, event_id=100 + i, ts=t0 + timedelta(seconds=s)))
+        ev = spark.createDataFrame(rows)
+        monkeypatch.setattr(qa, "load", lambda s, d, t: ev)
+        got = {r["user_id"]: r.asDict() for r in qa.events_bot_detection(spark, "_").collect()}
+        assert got[1]["gap_cv"] == 0.0 and got[1]["too_regular"] and got[1]["is_bot"]
+        assert got[1]["too_fast"]  # 20 events in 190s
+        assert not got[2]["is_bot"]
+        assert got[2]["gap_cv"] > 0.3
+
+    def test_corpus_poisson_traffic_unflagged(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.analytics import events_bot_detection
+
+        rows = events_bot_detection(spark, sf_smoke).collect()
+        assert rows
+        # synthetic traffic is Poisson-ish: cv near 1, nothing bot-like
+        import statistics
+
+        cvs = [r["gap_cv"] for r in rows]
+        assert 0.5 < statistics.median(cvs) < 1.5
+        assert all(r["is_bot"] == (r["too_regular"] or r["too_fast"]) for r in rows)
+
+
+class TestLabelNoiseAudit:
+    def test_matches_numpy(self, spark, sf_smoke):
+        import numpy as np
+
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.datapipe import emb_label_noise_audit
+
+        got = {r["label"]: r.asDict() for r in emb_label_noise_audit(spark, sf_smoke).collect()}
+        rows = load(spark, sf_smoke, "embeddings").select("vec_id", "label", "embedding").collect()
+        V = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000).astype(np.int64)
+        labs = np.array([r["label"] for r in rows])
+        labels = np.array(sorted(set(labs.tolist())))
+        C = np.stack([
+            np.floor(V[labs == l].sum(axis=0).astype(np.float64) / (labs == l).sum()).astype(np.int64)
+            for l in labels
+        ])
+        n_noisy = {int(l): 0 for l in labels}
+        for i in range(len(V)):
+            D = ((C - V[i][None, :]) ** 2).sum(axis=1)
+            own_ix = int(np.where(labels == labs[i])[0][0])
+            d_own = D[own_ix]
+            D[own_ix] = np.iinfo(np.int64).max
+            if D.min() < d_own:
+                n_noisy[int(labs[i])] += 1
+        for l in labels:
+            assert got[int(l)]["n_noisy"] == n_noisy[int(l)]
+            assert got[int(l)]["n_vectors"] == int((labs == l).sum())
+
+
 class TestRevenueAcf:
     def test_matches_numpy_pearson(self, spark, sf_smoke):
         import numpy as np
