@@ -144,6 +144,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "customer_survival_km",
     "events_bot_detection",
     "emb_label_noise_audit",
+    "docs_dataset_card",
+    "graph_link_prediction",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -2555,7 +2555,98 @@ ORDER BY user_id
 """
 
 
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by common-neighbor counting — the classic
+    graph-ML baseline: the top-10 NON-adjacent part pairs sharing the
+    most co-purchase wedge centers (the "customers also bought" pairs
+    most likely to become edges). Two scale guards, both part of the
+    query's DEFINITION so the oracle replays them exactly: an explicit
+    degree cap (256) on wedge centers — the hub-exclusion bound that
+    keeps per-center fan-out ≤ cap² under any skew — and a
+    deterministic md5 CENTER SAMPLE (1-in-5): wedge volume is Σdeg²
+    over centers, the one quantity in this battery that grows with
+    graph size times density, and center sampling is the standard
+    unbiased estimator (each pair's expected sampled count = common/5;
+    the top of the ranking is preserved by concentration). `common_w`
+    is therefore the SAMPLED wedge count — the DuckDB oracle draws the
+    identical sample, so the gate is still exact-hash. Candidate pairs
+    anti-join the edge set, top-10 via TakeOrdered, ranks post-limit."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return _link_prediction(li, center_sample_mod=5)
+
+
+def _link_prediction(li: DataFrame, center_sample_mod: int | None) -> DataFrame:
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+    from medical_examination_data_etl_system_spark.operators.curation import hash_bucket
+
+    a, b = li.alias("a"), li.alias("b")
+    # persisted: the distinct co-purchase edge set feeds the adjacency
+    # union (twice), the degree count, and the final anti-join — four
+    # consumers of one expensive self-join + distinct.
+    und = persist_tracked(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
+        und.select(F.col("v").alias("c"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    small = adj.join(deg.filter(F.col("d") <= 256).select("c"), "c")
+    if center_sample_mod is not None:
+        small = small.filter(hash_bucket(F.col("c"), center_sample_mod) == 0)
+    wa, wb = small.alias("wa"), small.alias("wb")
+    pairs = (
+        wa.join(
+            wb,
+            (F.col("wa.c") == F.col("wb.c")) & (F.col("wa.n") < F.col("wb.n")),
+        )
+        .groupBy(F.col("wa.n").alias("u"), F.col("wb.n").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_w"))
+    )
+    cand = pairs.join(und, ["u", "v"], "left_anti")
+    top = cand.orderBy(F.desc("common_w"), F.asc("u"), F.asc("v")).limit(10)
+    w = Window.orderBy(F.desc("common_w"), F.asc("u"), F.asc("v"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("rnk", "u", "v", "common_w")
+        .orderBy("rnk")
+    )
+
+
+LINK_PREDICTION_SQL = """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), adj AS (
+  SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und
+), deg AS (
+  SELECT c, count(*) AS d FROM adj GROUP BY c
+), small AS (
+  SELECT a.c, a.n FROM adj a JOIN deg USING (c)
+  WHERE d <= 256
+    AND (('0x' || substr(md5(CAST(a.c AS VARCHAR)), 1, 8))::BIGINT % 5) = 0
+), pairs AS (
+  SELECT wa.n AS u, wb.n AS v, CAST(count(*) AS BIGINT) AS common_w
+  FROM small wa JOIN small wb ON wa.c = wb.c AND wa.n < wb.n
+  GROUP BY 1, 2
+), cand AS (
+  SELECT p.* FROM pairs p ANTI JOIN und e ON p.u = e.u AND p.v = e.v
+)
+SELECT CAST(rnk AS INTEGER) AS rnk, u, v, common_w
+FROM (SELECT *, row_number() OVER (ORDER BY common_w DESC, u, v) AS rnk FROM cand)
+WHERE rnk <= 10
+ORDER BY rnk
+"""
+
+
 QUERIES = {
+    "graph_link_prediction": QueryDef(graph_link_prediction, LINK_PREDICTION_SQL),
     "events_bot_detection": QueryDef(events_bot_detection, BOT_DETECTION_SQL),
     "customer_survival_km": QueryDef(customer_survival_km, SURVIVAL_KM_SQL),
     "customer_k_anonymity": QueryDef(customer_k_anonymity, K_ANONYMITY_SQL),

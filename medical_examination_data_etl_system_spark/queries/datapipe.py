@@ -1036,6 +1036,115 @@ ORDER BY rnk
 """
 
 
+def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD generator — the one-page corpus summary a
+    training-data release ships with (datasheets-for-datasets):
+    volume (docs/tokens/chars), diversity (languages, sources, and the
+    head share of each), exact-duplicate rate, and the token-length
+    distribution (exact interpolated p10/p50/p90), as tidy
+    (metric, value, detail) rows.
+
+    One map pass derives per-doc (tokens, fingerprint); ONE global
+    aggregate computes every count/sum/distinct/percentile together
+    (the percentile is Spark's exact sort-based one — identical
+    definition to DuckDB's quantile_cont on integer token counts);
+    top-lang/top-source are 1-row TakeOrdered heads off bounded
+    (lang)/(source) aggregates. Everything broadcast-assembled, no
+    fact-table shuffle beyond the aggregates."""
+    from medical_examination_data_etl_system_spark.operators.text_analysis import (
+        content_fingerprint,
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        token_count(F.col("text")).alias("n_toks"),
+        content_fingerprint(F.col("text")).alias("fp"),
+    )
+    g = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.percentile("n_toks", F.lit(0.1)).alias("p10"),
+        F.percentile("n_toks", F.lit(0.5)).alias("p50"),
+        F.percentile("n_toks", F.lit(0.9)).alias("p90"),
+    )
+    top_lang = (
+        per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+        .orderBy(F.desc("nl"), F.asc("lang")).limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("nl").alias("top_lang_n"))
+    )
+    top_src = (
+        per_doc.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+        .orderBy(F.desc("ns"), F.asc("source")).limit(1)
+        .select(F.col("source").alias("top_source"), F.col("ns").alias("top_source_n"))
+    )
+    card = g.crossJoin(F.broadcast(top_lang)).crossJoin(F.broadcast(top_src))
+    row = card.select(
+        F.expr(
+            """stack(10,
+            'n_docs', CAST(n_docs AS DOUBLE), CAST(NULL AS STRING),
+            'n_tokens', CAST(n_tokens AS DOUBLE), CAST(NULL AS STRING),
+            'n_chars', CAST(n_chars AS DOUBLE), CAST(NULL AS STRING),
+            'n_languages', CAST(n_langs AS DOUBLE), CAST(NULL AS STRING),
+            'n_sources', CAST(n_sources AS DOUBLE), CAST(NULL AS STRING),
+            'exact_dup_rate', round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4), CAST(NULL AS STRING),
+            'top_language_share', round(CAST(top_lang_n AS DOUBLE) / n_docs, 4), top_lang,
+            'top_source_share', round(CAST(top_source_n AS DOUBLE) / n_docs, 4), top_source,
+            'token_len_p10_p50', round(p10, 2), CAST(round(p50, 2) AS STRING),
+            'token_len_p90', round(p90, 2), CAST(NULL AS STRING)
+            ) AS (metric, value, detail)"""
+        )
+    )
+    return row.orderBy("metric")
+
+
+DATASET_CARD_SQL = """
+WITH per_doc AS (
+  SELECT lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_toks,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), g AS (
+  SELECT count(*) AS n_docs, sum(n_toks) AS n_tokens, sum(n_chars) AS n_chars,
+         count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,
+         count(DISTINCT fp) AS n_unique,
+         quantile_cont(n_toks, 0.1) AS p10,
+         quantile_cont(n_toks, 0.5) AS p50,
+         quantile_cont(n_toks, 0.9) AS p90
+  FROM per_doc
+), top_lang AS (
+  SELECT lang AS top_lang, count(*) AS top_lang_n FROM per_doc
+  GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+), top_src AS (
+  SELECT source AS top_source, count(*) AS top_source_n FROM per_doc
+  GROUP BY source ORDER BY count(*) DESC, source LIMIT 1
+), card AS (
+  SELECT * FROM g CROSS JOIN top_lang CROSS JOIN top_src
+)
+SELECT metric, value, detail FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS detail FROM card
+  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE), NULL FROM card
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE), NULL FROM card
+  UNION ALL SELECT 'n_languages', CAST(n_langs AS DOUBLE), NULL FROM card
+  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE), NULL FROM card
+  UNION ALL SELECT 'exact_dup_rate', round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4), NULL FROM card
+  UNION ALL SELECT 'top_language_share', round(CAST(top_lang_n AS DOUBLE) / n_docs, 4), top_lang FROM card
+  UNION ALL SELECT 'top_source_share', round(CAST(top_source_n AS DOUBLE) / n_docs, 4), top_source FROM card
+  UNION ALL SELECT 'token_len_p10_p50', round(p10, 2), CAST(round(p50, 2) AS VARCHAR) FROM card
+  UNION ALL SELECT 'token_len_p90', round(p90, 2), NULL FROM card
+)
+ORDER BY metric
+"""
+
+
 def docs_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 corpus terms via Misra-Gries candidates + exact recount —
     the vocabulary-scale frequent-items path (candidates shuffle, raw
@@ -3244,6 +3353,7 @@ QUERIES = {
     "emb_pq_adc_topk": QueryDef(emb_pq_adc_topk, PQ_ADC_TOPK_SQL),
     "emb_ivfpq_topk": QueryDef(emb_ivfpq_topk, IVFPQ_TOPK_SQL),
     "emb_label_noise_audit": QueryDef(emb_label_noise_audit, LABEL_NOISE_SQL),
+    "docs_dataset_card": QueryDef(docs_dataset_card, DATASET_CARD_SQL),
     "docs_lm_quality": QueryDef(docs_lm_quality, LM_QUALITY_SQL),
     "docs_bpe_pair_merges": QueryDef(docs_bpe_pair_merges, BPE_PAIR_MERGES_SQL),
     "docs_bm25_search": QueryDef(docs_bm25_search, BM25_SQL),

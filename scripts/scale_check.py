@@ -169,6 +169,8 @@ HEAVY_EXTENSION = [
     "customer_survival_km",
     "events_bot_detection",
     "emb_label_noise_audit",
+    "docs_dataset_card",
+    "graph_link_prediction",
 ]
 
 

@@ -624,6 +624,68 @@ class TestSurvivalKm:
         assert all(a >= b for a, b in zip(risks, risks[1:]))
 
 
+class TestDatasetCard:
+    def test_card_metrics_consistent(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.datapipe import docs_dataset_card
+
+        got = {r["metric"]: r.asDict() for r in docs_dataset_card(spark, sf_smoke).collect()}
+        n_docs = load(spark, sf_smoke, "documents").count()
+        assert got["n_docs"]["value"] == float(n_docs)
+        assert 0 <= got["exact_dup_rate"]["value"] < 1
+        assert 0 < got["top_language_share"]["value"] <= 1
+        assert got["top_language_share"]["detail"]  # the lang name rides along
+        assert got["token_len_p10_p50"]["value"] <= float(got["token_len_p10_p50"]["detail"]) <= got["token_len_p90"]["value"]
+        assert got["n_tokens"]["value"] > got["n_docs"]["value"]
+
+
+class TestLinkPrediction:
+    def test_hand_computed_graph(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # orders: {1,2,3}, {1,2,4}, {3,4} → edges 12,13,23,14,24,34
+        # complete graph on 4 nodes → no non-adjacent pairs at all
+        # add node 5 sharing orders with 1 and 2 only: order {1,5},{2,5}
+        rows = []
+        for ok, parts in enumerate([[1, 2, 3], [1, 2, 4], [3, 4], [1, 5], [2, 5]]):
+            for p in parts:
+                rows.append(Row(l_orderkey=ok, l_partkey=p))
+        li = spark.createDataFrame(rows)
+        # unsampled core: exact common-neighbor counts
+        got = [
+            (r["u"], r["v"], r["common_w"])
+            for r in qa._link_prediction(li, center_sample_mod=None).collect()
+        ]
+        # non-adjacent pairs: (3,5): neighbors(3)={1,2,4} ∩ neighbors(5)={1,2} → 2
+        # (4,5): neighbors(4)={1,2,3} ∩ {1,2} = 2
+        assert got == [(3, 5, 2), (4, 5, 2)]
+
+    def test_sampled_is_subcount_of_exact(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        li = load(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey")
+        exact = {
+            (r["u"], r["v"]): r["common_w"]
+            for r in qa._link_prediction(li, center_sample_mod=None).collect()
+        }
+        sampled = qa._link_prediction(li, center_sample_mod=5).collect()
+        for r in sampled:
+            full = exact.get((r["u"], r["v"]))
+            # sampled wedge count can never exceed the exact count
+            if full is not None:
+                assert r["common_w"] <= full
+
+    def test_topk_on_corpus(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.analytics import graph_link_prediction
+
+        rows = graph_link_prediction(spark, sf_smoke).collect()
+        assert 0 < len(rows) <= 10
+        cs = [r["common_w"] for r in rows]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r["u"] < r["v"] for r in rows)
+
+
 class TestBotDetection:
     def test_synthetic_bot_flagged(self, spark, monkeypatch):
         from datetime import datetime, timedelta
