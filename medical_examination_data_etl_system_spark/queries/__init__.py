@@ -146,6 +146,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_label_noise_audit",
     "docs_dataset_card",
     "graph_link_prediction",
+    "emb_mmr_diversify",
+    "part_trigram_search",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

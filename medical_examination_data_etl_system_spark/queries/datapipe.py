@@ -2247,6 +2247,125 @@ ORDER BY p.label
 """
 
 
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking — the DIVERSIFICATION
+    step a retrieval stack runs after top-k: from the exact top-20
+    nearest to the lowest-id query vector, greedily select 5 results
+    trading relevance against redundancy. λ=0.7 is scaled to INTEGER
+    weights (score = −7·d(q,x) + 3·min over selected d(x,s), ties →
+    lower id), so the greedy is exact integer arithmetic end-to-end
+    and the whole re-rank sits under a full DuckDB oracle (the 5
+    greedy steps unrolled as SQL stages).
+
+    Scale shape: the top-20 candidate scan is the distributed exact
+    kernel (zip_with/aggregate int64 L2 against the broadcast query —
+    JVM codegen, no Python); the greedy itself is O(k·20) on the
+    BOUNDED 20-row head, computed driver-side like every other
+    bounded-head collect, and the result re-enters the plan as a
+    5-row broadcast join against the candidate frame."""
+    import numpy as np
+
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.select("vec_id", quantize_fixed_point("embedding", 1_000_000).alias("qv"))
+    qrow = qdf.orderBy("vec_id").limit(1).collect()[0]
+    q_vec = spark.createDataFrame([([int(x) for x in qrow["qv"]],)], "q_vec array<long>")
+    dist = F.aggregate(
+        F.zip_with("q_vec", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        qdf.filter(F.col("vec_id") != qrow["vec_id"])
+        .crossJoin(F.broadcast(q_vec))
+        .select("vec_id", "qv", dist.alias("q_dist"))
+        .orderBy("q_dist", "vec_id")
+        .limit(20)
+    )
+    rows = cand.collect()
+    ids = [r["vec_id"] for r in rows]
+    qd = {r["vec_id"]: r["q_dist"] for r in rows}
+    V = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
+    P = ((V[:, None, :] - V[None, :, :]) ** 2).sum(axis=2)
+    sel, sel_ix, picks = [], [], []
+    for step in range(5):
+        best = None
+        for i, vid in enumerate(ids):
+            if vid in sel:
+                continue
+            score = -7 * qd[vid] + (3 * int(P[i, sel_ix].min()) if sel_ix else 0)
+            key = (score, -vid)
+            if best is None or key > best[0]:
+                best = (key, i, vid, score)
+        sel.append(best[2])
+        sel_ix.append(best[1])
+        picks.append((step + 1, best[2], int(best[3])))
+    selection = spark.createDataFrame(picks, "rnk int, vec_id long, mmr_score long")
+    return (
+        cand.join(F.broadcast(selection), "vec_id")
+        .select("rnk", "vec_id", "q_dist", "mmr_score")
+        .orderBy("rnk")
+    )
+
+
+# The 5 greedy steps unrolled: sel_k picks the argmax of
+# -7*qd + 3*min(dist to sel_{<k}) among the remaining candidates.
+_MMR_STAGE = """
+, sel{k} AS (
+  SELECT c.vec_id, c.qd,
+         -7 * c.qd + 3 * (SELECT min(p.d) FROM pd p
+                          WHERE p.x = c.vec_id
+                            AND p.y IN (SELECT vec_id FROM picked{prev})) AS score
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{prev})
+  ORDER BY score DESC, c.vec_id LIMIT 1
+), picked{k} AS (
+  SELECT vec_id FROM picked{prev} UNION ALL SELECT vec_id FROM sel{k}
+)"""
+
+MMR_SQL = (
+    """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1
+), dq AS (
+  SELECT v.vec_id, CAST(sum((v.qv - w.qv) * (v.qv - w.qv)) AS BIGINT) AS qd
+  FROM vq v JOIN q ON v.vec_id <> q.qid
+  JOIN vq w ON w.vec_id = q.qid AND w.dim = v.dim
+  GROUP BY v.vec_id
+), cand AS (
+  SELECT vec_id, qd FROM dq ORDER BY qd, vec_id LIMIT 20
+), pd AS (
+  SELECT a.vec_id AS x, b.vec_id AS y,
+         CAST(sum((va.qv - vb.qv) * (va.qv - vb.qv)) AS BIGINT) AS d
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN vq va ON va.vec_id = a.vec_id
+  JOIN vq vb ON vb.vec_id = b.vec_id AND vb.dim = va.dim
+  GROUP BY 1, 2
+), sel1 AS (
+  SELECT vec_id, qd, -7 * qd AS score FROM cand ORDER BY qd, vec_id LIMIT 1
+), picked1 AS (
+  SELECT vec_id FROM sel1
+)"""
+    + "".join(_MMR_STAGE.format(k=k, prev=k - 1) for k in range(2, 6))
+    + """
+SELECT CAST(rnk AS INTEGER) AS rnk, vec_id, qd AS q_dist, CAST(score AS BIGINT) AS mmr_score
+FROM (
+  SELECT 1 AS rnk, vec_id, qd, score FROM sel1
+  UNION ALL SELECT 2, vec_id, qd, score FROM sel2
+  UNION ALL SELECT 3, vec_id, qd, score FROM sel3
+  UNION ALL SELECT 4, vec_id, qd, score FROM sel4
+  UNION ALL SELECT 5, vec_id, qd, score FROM sel5
+)
+ORDER BY rnk
+"""
+)
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact d×d Gram matrix of the embedding corpus (upper triangle)
     in fixed-point int64 (operators/linalg.quantized_gram_matrix): one
@@ -3354,6 +3473,7 @@ QUERIES = {
     "emb_ivfpq_topk": QueryDef(emb_ivfpq_topk, IVFPQ_TOPK_SQL),
     "emb_label_noise_audit": QueryDef(emb_label_noise_audit, LABEL_NOISE_SQL),
     "docs_dataset_card": QueryDef(docs_dataset_card, DATASET_CARD_SQL),
+    "emb_mmr_diversify": QueryDef(emb_mmr_diversify, MMR_SQL),
     "docs_lm_quality": QueryDef(docs_lm_quality, LM_QUALITY_SQL),
     "docs_bpe_pair_merges": QueryDef(docs_bpe_pair_merges, BPE_PAIR_MERGES_SQL),
     "docs_bm25_search": QueryDef(docs_bm25_search, BM25_SQL),

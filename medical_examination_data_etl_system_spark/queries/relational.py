@@ -1725,7 +1725,65 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-UR
 """
 
 
+_TRIGRAM_PATTERN = "ring"
+
+
+def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through an INVERTED TRIGRAM INDEX (the pg_trgm
+    technique): `LIKE '%ring%'` answered by first pruning to names
+    whose trigram set covers ALL the pattern's trigrams, then exact-
+    verifying the survivors — the lossless two-phase plan a text index
+    executes, demonstrated as one query whose oracle is the direct
+    LIKE scan (equality IS the losslessness proof).
+
+    Exact-collapse: trigrams enumerate per DISTINCT name (the name
+    dictionary, content-bounded); the fact table is touched only by
+    the final broadcast semi-join of verified names. The candidate
+    check is a covering join (name×pattern-trigram, HAVING count =
+    |pattern trigrams|), never a scan of raw rows."""
+    pat = _TRIGRAM_PATTERN
+    pat_tris = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
+    parts = load(spark, sf_dir, "part")
+    names = parts.select("p_name").distinct()
+    tris = names.select(
+        "p_name",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(p_name) - 2, 0)), i -> substring(p_name, i, 3))")
+        ).alias("tri"),
+    ).distinct()
+    covered = (
+        tris.filter(F.col("tri").isin(pat_tris))
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == len(pat_tris))
+    )
+    verified = covered.filter(F.col("p_name").contains(pat)).select("p_name")
+    return (
+        parts.join(F.broadcast(verified), "p_name")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_name").alias("n_names"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# The oracle is the DIRECT LIKE scan — matching it exactly is the proof
+# that the trigram candidate set is lossless.
+TRIGRAM_SEARCH_SQL = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
+FROM part
+WHERE p_name LIKE '%ring%'
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
+    "part_trigram_search": QueryDef(part_trigram_search, TRIGRAM_SEARCH_SQL),
     "agg_p90_outlier_orders": QueryDef(agg_p90_outlier_orders, P90_OUTLIER_SQL),
     "layout_partition_prune": QueryDef(layout_partition_prune, LAYOUT_PRUNE_SQL),
     "layout_zorder_cluster": QueryDef(layout_zorder_cluster, LAYOUT_ZORDER_SQL),

@@ -171,6 +171,8 @@ HEAVY_EXTENSION = [
     "emb_label_noise_audit",
     "docs_dataset_card",
     "graph_link_prediction",
+    "emb_mmr_diversify",
+    "part_trigram_search",
 ]
 
 

@@ -686,6 +686,82 @@ class TestLinkPrediction:
         assert all(r["u"] < r["v"] for r in rows)
 
 
+class TestMmrDiversify:
+    def test_matches_numpy_greedy(self, spark, sf_smoke):
+        import numpy as np
+
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.datapipe import emb_mmr_diversify
+
+        got = [(r["rnk"], r["vec_id"], r["q_dist"], r["mmr_score"]) for r in emb_mmr_diversify(spark, sf_smoke).collect()]
+        rows = load(spark, sf_smoke, "embeddings").select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000).astype(np.int64)
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        q = V[0]
+        dq = ((V - q[None, :]) ** 2).sum(axis=1)
+        dq[0] = np.iinfo(np.int64).max
+        top = np.lexsort((ids, dq))[:20]
+        cids, cdq, CV = ids[top], dq[top], V[top]
+        P = ((CV[:, None, :] - CV[None, :, :]) ** 2).sum(axis=2)
+        sel_ix, expect = [], []
+        for step in range(5):
+            best = None
+            for i in range(20):
+                if i in sel_ix:
+                    continue
+                score = -7 * int(cdq[i]) + (3 * int(P[i, sel_ix].min()) if sel_ix else 0)
+                key = (score, -int(cids[i]))
+                if best is None or key > best[0]:
+                    best = (key, i)
+            sel_ix.append(best[1])
+            expect.append((step + 1, int(cids[best[1]]), int(cdq[best[1]]), best[0][0]))
+        assert got == expect
+
+    def test_first_pick_is_nearest_and_diverse(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.datapipe import emb_mmr_diversify
+
+        rows = emb_mmr_diversify(spark, sf_smoke).collect()
+        assert len(rows) == 5
+        assert rows[0]["q_dist"] == min(r["q_dist"] for r in rows)
+        assert len({r["vec_id"] for r in rows}) == 5
+
+
+class TestTrigramSearch:
+    def test_equals_direct_like(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.relational import part_trigram_search
+
+        got = {r["p_brand"]: (r["n_parts"], r["n_names"]) for r in part_trigram_search(spark, sf_smoke).collect()}
+        direct = (
+            load(spark, sf_smoke, "part")
+            .filter(F.col("p_name").contains("ring"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("p_name").alias("d"))
+            .collect()
+        )
+        expect = {r["p_brand"]: (r["n"], r["d"]) for r in direct}
+        assert got == expect and got
+
+    def test_covering_prunes_partial_matches(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import relational as qr
+
+        parts = spark.createDataFrame(
+            [
+                Row(p_partkey=1, p_name="spring thing", p_brand="A"),   # has rin+ing AND substring
+                Row(p_partkey=2, p_name="rinse singer", p_brand="B"),   # has rin AND ing but NOT 'ring'
+                Row(p_partkey=3, p_name="boring", p_brand="C"),         # match
+                Row(p_partkey=4, p_name="rinrin", p_brand="D"),         # rin only → pruned by covering
+            ]
+        )
+        monkeypatch.setattr(qr, "load", lambda s, d, t: parts)
+        got = {r["p_brand"] for r in qr.part_trigram_search(spark, "_").collect()}
+        # B survives the trigram covering but dies at exact verify;
+        # D never reaches verify (covering test fails)
+        assert got == {"A", "C"}
+
+
 class TestBotDetection:
     def test_synthetic_bot_flagged(self, spark, monkeypatch):
         from datetime import datetime, timedelta
