@@ -148,6 +148,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "graph_link_prediction",
     "emb_mmr_diversify",
     "part_trigram_search",
+    "orders_benford_audit",
+    "orders_bootstrap_ci",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

@@ -2645,7 +2645,183 @@ ORDER BY rnk
 """
 
 
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORENSIC data-quality audit: first-significant-digit
+    distribution of order totals vs Benford's law — the fraud/
+    fabrication screen auditors run on financial facts. Per digit
+    1–9: observed count, observed share, Benford expectation
+    log10(1+1/d), and the signed deviation; plus the chi-square
+    statistic replicated onto every row (the single-number verdict).
+
+    First digit extracted by STRING algebra on exact cents (no float
+    log-floor edge cases): substring of the cents cast. One map +
+    one 9-key aggregate; Benford constants enter as exact literals,
+    shares round to 4."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digits = orders.select(
+        F.substring(F.abs(cents).cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") >= 1)
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("n_total"))
+    scored = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("n_total"), 4).alias("obs_share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_share"),
+    )
+    scored = scored.withColumn(
+        "deviation", F.round(F.col("obs_share") - F.col("benford_share"), 4)
+    )
+    chi = scored.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("obs_share") - F.col("benford_share"))
+            * (F.col("obs_share") - F.col("benford_share"))
+            / F.col("benford_share")
+            * F.col("n_total")
+        ).alias("_c")
+    ).agg(F.round(F.sum("_c"), 4).alias("chi_square"))
+    return (
+        scored.crossJoin(F.broadcast(chi))
+        .select("digit", "n", "obs_share", "benford_share", "deviation", "chi_square")
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+), obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits WHERE digit >= 1 GROUP BY digit
+), tot AS (
+  SELECT sum(n) AS n_total FROM obs
+), scored AS (
+  SELECT digit, n,
+         round(CAST(n AS DOUBLE) / n_total, 4) AS obs_share,
+         round(log10(1.0 + 1.0 / digit), 4) AS benford_share
+  FROM obs CROSS JOIN tot
+), chi AS (
+  SELECT round(sum((obs_share - benford_share) * (obs_share - benford_share)
+                   / benford_share * n_total), 4) AS chi_square
+  FROM scored CROSS JOIN tot
+)
+SELECT digit, n, obs_share, benford_share,
+       round(obs_share - benford_share, 4) AS deviation, chi_square
+FROM scored CROSS JOIN chi
+ORDER BY digit
+"""
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative, exact literals shared
+# by both engines): P(K<=k) for k = 0..5; weights cap at 6.
+_POIS_CDF = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563, 0.9994058151824183]
+
+
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POISSON BOOTSTRAP — the resampling method that actually
+    works on distributed data (per-element independent Poisson(1)
+    weights instead of a global multinomial draw): a 95% CI for MEAN
+    DAILY REVENUE from 100 deterministic replicates. Uniforms come
+    from md5(day, replicate) (the engine-independent hash convention)
+    and map through exact Poisson(1) inverse-CDF literal thresholds,
+    so both engines draw byte-identical weight matrices; replicate
+    means use exact integer cents sums; the CI takes the 3rd and 98th
+    order statistics of the 100 replicate means by explicit
+    row_number (no quantile-definition ambiguity).
+
+    Scale shape: the fact table collapses to day rows first; the
+    100-replicate fan-out, weighting, and order statistics all run on
+    the bounded day×replicate domain."""
+    from medical_examination_data_etl_system_spark.operators.curation import hash_bucket
+
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    reps = spark.range(1, 101).select(F.col("id").cast("int").alias("rep"))
+    u = hash_bucket(
+        F.concat(F.col("day").cast("string"), F.lit("#"), F.col("rep").cast("string")),
+        1_000_000,
+    ) / 1_000_000.0
+    wexpr = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wexpr = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wexpr)
+    weighted = daily.crossJoin(F.broadcast(reps)).select(
+        "rep", wexpr.alias("w"), "cents"
+    )
+    means = (
+        weighted.groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w")
+            ).alias("m")
+        )
+    )
+    from pyspark.sql import Window
+
+    wn = Window.orderBy("m")
+    ranked = means.select("m", F.row_number().over(wn).alias("r"))
+    point = daily.agg((F.sum("cents").cast("double") / F.count(F.lit(1))).alias("point"))
+    ci = ranked.filter(F.col("r").isin(3, 98)).groupBy().agg(
+        F.round(F.min("m"), 2).alias("ci_lo"),
+        F.round(F.max("m"), 2).alias("ci_hi"),
+    )
+    return (
+        point.crossJoin(F.broadcast(ci))
+        .select(
+            F.lit("mean_daily_revenue_cents").alias("metric"),
+            F.round("point", 2).alias("point"),
+            "ci_lo",
+            "ci_hi",
+            F.lit(100).cast("int").alias("n_replicates"),
+        )
+    )
+
+
+BOOTSTRAP_CI_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), reps AS (
+  SELECT CAST(unnest(range(1, 101)) AS INTEGER) AS rep
+), u AS (
+  SELECT d.day, d.cents, r.rep,
+         ((('0x' || substr(md5(CAST(d.day AS VARCHAR) || '#' || CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT % 1000000) / 1000000.0) AS uu
+  FROM daily d CROSS JOIN reps r
+), w AS (
+  SELECT rep, cents,
+         CASE WHEN uu < 0.36787944117144233 THEN 0
+              WHEN uu < 0.7357588823428847 THEN 1
+              WHEN uu < 0.9196986029286058 THEN 2
+              WHEN uu < 0.9810118431238462 THEN 3
+              WHEN uu < 0.9963401531726563 THEN 4
+              WHEN uu < 0.9994058151824183 THEN 5
+              ELSE 6 END AS w
+  FROM u
+), means AS (
+  SELECT rep, CAST(sum(w * cents) AS DOUBLE) / sum(w) AS m
+  FROM w GROUP BY rep
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS r FROM means
+), ci AS (
+  SELECT round(min(m), 2) AS ci_lo, round(max(m), 2) AS ci_hi
+  FROM ranked WHERE r IN (3, 98)
+), pt AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS point FROM daily
+)
+SELECT 'mean_daily_revenue_cents' AS metric, round(point, 2) AS point,
+       ci_lo, ci_hi, CAST(100 AS INTEGER) AS n_replicates
+FROM pt CROSS JOIN ci
+"""
+
+
 QUERIES = {
+    "orders_benford_audit": QueryDef(orders_benford_audit, BENFORD_SQL),
+    "orders_bootstrap_ci": QueryDef(orders_bootstrap_ci, BOOTSTRAP_CI_SQL),
     "graph_link_prediction": QueryDef(graph_link_prediction, LINK_PREDICTION_SQL),
     "events_bot_detection": QueryDef(events_bot_detection, BOT_DETECTION_SQL),
     "customer_survival_km": QueryDef(customer_survival_km, SURVIVAL_KM_SQL),

@@ -173,6 +173,8 @@ HEAVY_EXTENSION = [
     "graph_link_prediction",
     "emb_mmr_diversify",
     "part_trigram_search",
+    "orders_benford_audit",
+    "orders_bootstrap_ci",
 ]
 
 

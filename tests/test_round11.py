@@ -686,6 +686,57 @@ class TestLinkPrediction:
         assert all(r["u"] < r["v"] for r in rows)
 
 
+class TestBenfordAudit:
+    def test_benford_constants_and_chi(self, spark, sf_smoke):
+        import math
+
+        from medical_examination_data_etl_system_spark.queries.analytics import orders_benford_audit
+
+        rows = orders_benford_audit(spark, sf_smoke).collect()
+        assert [r["digit"] for r in rows] == list(range(1, 10))
+        for r in rows:
+            assert r["benford_share"] == round(math.log10(1 + 1 / r["digit"]), 4)
+            assert r["deviation"] == round(r["obs_share"] - r["benford_share"], 4)
+        assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 0.01
+        chis = {r["chi_square"] for r in rows}
+        assert len(chis) == 1 and chis.pop() >= 0
+
+    def test_benford_distributed_input_passes(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # exponential-ish magnitudes follow Benford closely
+        vals = [1.0 * (1.17 ** (i % 140)) * (1 + 0.0003 * i) for i in range(400)]
+        orders = spark.createDataFrame([Row(o_totalprice=v) for v in vals])
+        monkeypatch.setattr(qa, "load", lambda s, d, t: orders)
+        rows = qa.orders_benford_audit(spark, "_").collect()
+        got1 = [r for r in rows if r["digit"] == 1][0]
+        assert abs(got1["obs_share"] - 0.301) < 0.05
+        assert rows[0]["chi_square"] < 50
+
+
+class TestBootstrapCi:
+    def test_ci_brackets_point(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.analytics import orders_bootstrap_ci
+
+        r = orders_bootstrap_ci(spark, sf_smoke).collect()[0]
+        assert r["ci_lo"] <= r["point"] <= r["ci_hi"]
+        assert r["ci_lo"] < r["ci_hi"]
+        assert r["n_replicates"] == 100
+
+    def test_constant_series_collapses_ci(self, spark, monkeypatch):
+        from datetime import date, timedelta
+
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # identical daily revenue → every replicate mean equals it
+        orders = spark.createDataFrame(
+            [Row(o_orderdate=date(2024, 1, 1) + timedelta(days=i), o_totalprice=100.0) for i in range(50)]
+        )
+        monkeypatch.setattr(qa, "load", lambda s, d, t: orders)
+        r = qa.orders_bootstrap_ci(spark, "_").collect()[0]
+        assert r["ci_lo"] == r["ci_hi"] == r["point"] == 10000.0
+
+
 class TestMmrDiversify:
     def test_matches_numpy_greedy(self, spark, sf_smoke):
         import numpy as np
