@@ -150,6 +150,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "part_trigram_search",
     "orders_benford_audit",
     "orders_bootstrap_ci",
+    "orders_churn_training_set",
+    "events_cusum_changepoint",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

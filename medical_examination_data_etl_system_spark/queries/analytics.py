@@ -2819,7 +2819,148 @@ FROM pt CROSS JOIN ci
 """
 
 
+def orders_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-CORRECT training-set generation — the leakage
+    discipline every churn/propensity model needs and most pipelines
+    get wrong: a cutoff at (max date − 180 d) splits time; FEATURES
+    (order count, spend, recency, tenure) come STRICTLY from before
+    the cutoff, the LABEL (churned = no order within 180 d after)
+    strictly from after. Nothing computed on the feature side can see
+    the label window — the temporal contract is structural (two
+    disjoint date filters), not a convention.
+
+    One broadcast cutoff row; one pre-cutoff per-customer aggregate
+    (exact cents); one post-cutoff DISTINCT customer set anti-joined
+    for the label. Summarized-at-the-end nothing: the result IS the
+    per-customer training table."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cut = base.agg(F.date_sub(F.max("day"), 180).alias("cutoff"))
+    pre = (
+        base.crossJoin(F.broadcast(cut))
+        .filter(F.col("day") <= F.col("cutoff"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+            F.max("day").alias("last_order"),
+            F.min("day").alias("first_order"),
+            F.first("cutoff").alias("cutoff"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            "total_cents",
+            F.datediff("cutoff", "last_order").alias("recency_d"),
+            F.datediff("cutoff", "first_order").alias("tenure_d"),
+            "cutoff",
+        )
+    )
+    post = (
+        base.crossJoin(F.broadcast(cut))
+        .filter(F.col("day") > F.col("cutoff"))
+        .select("o_custkey")
+        .distinct()
+        .withColumn("_active", F.lit(1))
+    )
+    return (
+        pre.join(post, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "n_orders",
+            "total_cents",
+            "recency_d",
+            "tenure_d",
+            F.when(F.col("_active").isNull(), True).otherwise(False).alias("churned"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+CHURN_TRAINING_SQL = """
+WITH base AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), cut AS (
+  SELECT max(day) - INTERVAL 180 DAY AS cutoff FROM base
+), pre AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(date_diff('day', max(day), (SELECT cutoff FROM cut)) AS INTEGER) AS recency_d,
+         CAST(date_diff('day', min(day), (SELECT cutoff FROM cut)) AS INTEGER) AS tenure_d
+  FROM base WHERE day <= (SELECT cutoff FROM cut)
+  GROUP BY o_custkey
+), post AS (
+  SELECT DISTINCT o_custkey FROM base WHERE day > (SELECT cutoff FROM cut)
+)
+SELECT p.o_custkey, p.n_orders, p.total_cents, p.recency_d, p.tenure_d,
+       (a.o_custkey IS NULL) AS churned
+FROM pre p LEFT JOIN post a ON p.o_custkey = a.o_custkey
+ORDER BY p.o_custkey
+"""
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT detection on the daily event-count series —
+    the monitoring primitive behind drift alarms: the cumulative sum
+    of deviations from the global mean peaks (in |·|) at the most
+    likely level shift. Emits the 10 largest-|CUSUM| days with their
+    running statistic.
+
+    Shape: the fact table collapses to one row per day; mean = exact
+    n_events/n_days division; the running sum is sequential over the
+    bounded day domain in a FIXED ascending order (identical double
+    additions both engines); top-10 via TakeOrdered on |cusum|."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = daily.agg(
+        F.sum("cnt").alias("n_events"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cus = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("mean", F.col("n_events") / F.col("n_days"))
+        .withColumn("cusum", F.round(F.sum(F.col("cnt") - F.col("mean")).over(w), 4))
+    )
+    top = cus.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("day")).limit(10)
+    wr = Window.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("day"))
+    return (
+        top.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .select("rnk", "day", "cnt", "cusum")
+        .orderBy("rnk")
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS n_events, count(*) AS n_days FROM daily
+), cus AS (
+  SELECT day, cnt,
+         round(sum(cnt - CAST(n_events AS DOUBLE) / n_days)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cusum
+  FROM daily CROSS JOIN tot
+)
+SELECT CAST(rnk AS INTEGER) AS rnk, day, cnt, cusum
+FROM (SELECT *, row_number() OVER (ORDER BY abs(cusum) DESC, day) AS rnk FROM cus)
+WHERE rnk <= 10
+ORDER BY rnk
+"""
+
+
 QUERIES = {
+    "orders_churn_training_set": QueryDef(orders_churn_training_set, CHURN_TRAINING_SQL),
+    "events_cusum_changepoint": QueryDef(events_cusum_changepoint, CUSUM_SQL),
     "orders_benford_audit": QueryDef(orders_benford_audit, BENFORD_SQL),
     "orders_bootstrap_ci": QueryDef(orders_bootstrap_ci, BOOTSTRAP_CI_SQL),
     "graph_link_prediction": QueryDef(graph_link_prediction, LINK_PREDICTION_SQL),

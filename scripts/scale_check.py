@@ -175,6 +175,8 @@ HEAVY_EXTENSION = [
     "part_trigram_search",
     "orders_benford_audit",
     "orders_bootstrap_ci",
+    "orders_churn_training_set",
+    "events_cusum_changepoint",
 ]
 
 

@@ -686,6 +686,65 @@ class TestLinkPrediction:
         assert all(r["u"] < r["v"] for r in rows)
 
 
+class TestChurnTrainingSet:
+    def test_no_leakage_hand_corpus(self, spark, monkeypatch):
+        from datetime import date
+
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # max day = 2001-01-01 → cutoff = 2000-07-05
+        orders = spark.createDataFrame(
+            [
+                # customer 1: pre-cutoff orders only → churned
+                Row(o_custkey=1, o_orderdate=date(2000, 1, 1), o_totalprice=10.0),
+                Row(o_custkey=1, o_orderdate=date(2000, 6, 1), o_totalprice=20.0),
+                # customer 2: pre + post → retained
+                Row(o_custkey=2, o_orderdate=date(2000, 5, 1), o_totalprice=30.0),
+                Row(o_custkey=2, o_orderdate=date(2001, 1, 1), o_totalprice=99.0),
+                # customer 3: post-cutoff only → NOT in the training set
+                Row(o_custkey=3, o_orderdate=date(2000, 12, 1), o_totalprice=50.0),
+            ]
+        )
+        monkeypatch.setattr(qa, "load", lambda s, d, t: orders)
+        got = {r["o_custkey"]: r.asDict() for r in qa.orders_churn_training_set(spark, "_").collect()}
+        assert set(got) == {1, 2}
+        assert got[1]["churned"] is True and got[2]["churned"] is False
+        # features exclude post-cutoff rows: customer 2 spend = 3000 cents only
+        assert got[2]["n_orders"] == 1 and got[2]["total_cents"] == 3000
+        assert got[1]["total_cents"] == 3000  # 1000 + 2000
+
+    def test_corpus_labels_nontrivial(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.analytics import orders_churn_training_set
+
+        rows = orders_churn_training_set(spark, sf_smoke).collect()
+        assert rows
+        churned = sum(r["churned"] for r in rows)
+        assert 0 < churned < len(rows)
+        assert all(r["recency_d"] >= 0 and r["tenure_d"] >= r["recency_d"] for r in rows)
+
+
+class TestCusumChangepoint:
+    def test_matches_python_replay(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.analytics import events_cusum_changepoint
+
+        got = [(str(r["day"]), r["cnt"], r["cusum"]) for r in events_cusum_changepoint(spark, sf_smoke).collect()]
+        daily = (
+            load(spark, sf_smoke, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("day")
+            .collect()
+        )
+        mean = sum(r["cnt"] for r in daily) / len(daily)
+        run, cus = 0.0, {}
+        for r in daily:
+            run += r["cnt"] - mean
+            cus[str(r["day"])] = (r["cnt"], round(run, 4))
+        expect = sorted(cus.items(), key=lambda kv: (-abs(kv[1][1]), kv[0]))[:10]
+        assert got == [(d, c, s) for d, (c, s) in expect]
+
+
 class TestBenfordAudit:
     def test_benford_constants_and_chi(self, spark, sf_smoke):
         import math
