@@ -152,6 +152,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_bootstrap_ci",
     "orders_churn_training_set",
     "events_cusum_changepoint",
+    "emb_drift_monitor",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

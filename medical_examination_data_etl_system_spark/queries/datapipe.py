@@ -2366,6 +2366,81 @@ ORDER BY rnk
 )
 
 
+def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT monitoring — the ML-ops check run between two
+    snapshots of a vector store (here the deterministic vec_id-parity
+    split standing in for old/new): per-dimension mean shift, the 10
+    most-drifted dimensions, and the global drift L2 replicated onto
+    every row as the single-number alarm.
+
+    One posexplode → ONE (dim, parity) aggregate of exact int64
+    quantized sums; means divide exact sums by exact counts (identical
+    doubles both engines), diffs round to 6. The shuffle is 2·d rows
+    regardless of corpus size — the centroid-algebra scale shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).cast("int").alias("snap"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).withColumn("qx", F.round(F.col("x").cast("double") * 1_000_000).cast("long"))
+    per = q.groupBy("dim").agg(
+        (
+            F.sum(F.when(F.col("snap") == 0, F.col("qx")).otherwise(F.lit(0))).cast("double")
+            / F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        ).alias("_ma"),
+        (
+            F.sum(F.when(F.col("snap") == 1, F.col("qx")).otherwise(F.lit(0))).cast("double")
+            / F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        ).alias("_mb"),
+    )
+    scored = per.select(
+        "dim",
+        F.round(F.col("_ma") / 1_000_000, 6).alias("mean_a"),
+        F.round(F.col("_mb") / 1_000_000, 6).alias("mean_b"),
+        F.round(F.abs(F.col("_ma") - F.col("_mb")) / 1_000_000, 6).alias("abs_diff"),
+    )
+    l2 = scored.agg(
+        F.round(F.sqrt(F.sum(F.col("abs_diff") * F.col("abs_diff"))), 6).alias("drift_l2")
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("abs_diff"), F.asc("dim")).limit(10)
+    w = Window.orderBy(F.desc("abs_diff"), F.asc("dim"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(l2))
+        .select("rnk", "dim", "mean_a", "mean_b", "abs_diff", "drift_l2")
+        .orderBy("rnk")
+    )
+
+
+EMB_DRIFT_SQL = """
+WITH q AS (
+  SELECT CAST(vec_id % 2 AS INTEGER) AS snap,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qx
+  FROM embeddings
+), per AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN snap = 0 THEN qx ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS _ma,
+         CAST(sum(CASE WHEN snap = 1 THEN qx ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS _mb
+  FROM q GROUP BY dim
+), scored AS (
+  SELECT dim, round(_ma / 1000000, 6) AS mean_a, round(_mb / 1000000, 6) AS mean_b,
+         round(abs(_ma - _mb) / 1000000, 6) AS abs_diff
+  FROM per
+), l2 AS (
+  SELECT round(sqrt(sum(abs_diff * abs_diff)), 6) AS drift_l2 FROM scored
+)
+SELECT CAST(rnk AS INTEGER) AS rnk, dim, mean_a, mean_b, abs_diff, drift_l2
+FROM (SELECT *, row_number() OVER (ORDER BY abs_diff DESC, dim) AS rnk FROM scored)
+CROSS JOIN l2
+WHERE rnk <= 10
+ORDER BY rnk
+"""
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact d×d Gram matrix of the embedding corpus (upper triangle)
     in fixed-point int64 (operators/linalg.quantized_gram_matrix): one
@@ -3474,6 +3549,7 @@ QUERIES = {
     "emb_label_noise_audit": QueryDef(emb_label_noise_audit, LABEL_NOISE_SQL),
     "docs_dataset_card": QueryDef(docs_dataset_card, DATASET_CARD_SQL),
     "emb_mmr_diversify": QueryDef(emb_mmr_diversify, MMR_SQL),
+    "emb_drift_monitor": QueryDef(emb_drift_monitor, EMB_DRIFT_SQL),
     "docs_lm_quality": QueryDef(docs_lm_quality, LM_QUALITY_SQL),
     "docs_bpe_pair_merges": QueryDef(docs_bpe_pair_merges, BPE_PAIR_MERGES_SQL),
     "docs_bm25_search": QueryDef(docs_bm25_search, BM25_SQL),

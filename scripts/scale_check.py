@@ -177,6 +177,7 @@ HEAVY_EXTENSION = [
     "orders_bootstrap_ci",
     "orders_churn_training_set",
     "events_cusum_changepoint",
+    "emb_drift_monitor",
 ]
 
 

@@ -686,6 +686,27 @@ class TestLinkPrediction:
         assert all(r["u"] < r["v"] for r in rows)
 
 
+class TestEmbDriftMonitor:
+    def test_matches_numpy(self, spark, sf_smoke):
+        import numpy as np
+
+        from medical_examination_data_etl_system_spark.queries import load
+        from medical_examination_data_etl_system_spark.queries.datapipe import emb_drift_monitor
+
+        got = [(r["dim"], r["abs_diff"]) for r in emb_drift_monitor(spark, sf_smoke).collect()]
+        rows = load(spark, sf_smoke, "embeddings").select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000)
+        ma = V[ids % 2 == 0].sum(axis=0) / (ids % 2 == 0).sum()
+        mb = V[ids % 2 == 1].sum(axis=0) / (ids % 2 == 1).sum()
+        diff = np.round(np.abs(ma - mb) / 1_000_000, 6)
+        order = sorted(range(len(diff)), key=lambda d: (-diff[d], d))[:10]
+        assert got == [(d, float(diff[d])) for d in order]
+        # drift_l2 consistent on all rows
+        l2s = {r["drift_l2"] for r in emb_drift_monitor(spark, sf_smoke).collect()}
+        assert len(l2s) == 1
+
+
 class TestChurnTrainingSet:
     def test_no_leakage_hand_corpus(self, spark, monkeypatch):
         from datetime import date
