@@ -75,9 +75,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # r3 #1). The r07 window, finalized in rounds 9-11: every zero-driver-row
 # query first — the seven round-10 exact-oracle chips, the round-9
 # composed-pipeline and ANN/assignment rows, the 16 round-8 late
-# queries, then the 11 round-11 additions — followed by the r03-stale
-# refreshes VERDICT r6 #1 named (multimodal family, CC variants, both
-# approximate-ANN paths, q1/q10/q11). Every in-window name is
+# queries, then the round-11 additions in commit order (the window cuts
+# at 50: round-11 entries past the cut — gopher/feature-hashing/
+# k-anonymity/ACF/KM/bot/label-noise/dataset-card/link-prediction/MMR/
+# trigram/Benford/bootstrap/churn/CUSUM/drift — are hash-green in the
+# local oracle-parity replica and rotate into r08 first, ahead of the
+# r03-stale refreshes VERDICT r6 #1 named, multimodal family, CC
+# variants, both approximate-ANN paths, q1/q10/q11). Every name here is
 # hash-green in pytest's oracle-parity replica and 100×-checked when
 # added. The TPC-H rows q2-q22 and both skew demos sit past position 50
 # (stable since r03, locally green) and rotate with r08 alongside the
