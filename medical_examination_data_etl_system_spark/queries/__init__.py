@@ -157,6 +157,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_churn_training_set",
     "events_cusum_changepoint",
     "emb_drift_monitor",
+    "lineitem_winsorize_prices",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",

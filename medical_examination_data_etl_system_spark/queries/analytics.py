@@ -2958,7 +2958,82 @@ ORDER BY rnk
 """
 
 
+def lineitem_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION — the robust-statistics cleaning step before any
+    mean-based metric: clamp extended prices at the exact p1/p99 and
+    report the effect (raw vs winsorized mean, clip counts). The
+    percentiles are TYPE-1 ORDER STATISTICS computed on the VALUE
+    DOMAIN (distinct exact-cents values with counts + cumulative
+    window — the agg_percentiles_by_flag discipline): the quantile
+    definition is explicit (smallest value whose cumulative count
+    reaches ceil(q·n)), so both engines pick the identical cent.
+
+    Fact rows are touched twice map-side (value-domain collapse; final
+    clamped sum); every window runs on the bounded distinct-price
+    domain."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    vals = li.select(cents.alias("v")).groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    tot = vals.agg(F.sum("c").alias("n"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.crossJoin(F.broadcast(tot)).withColumn("cum", F.sum("c").over(w))
+    lo = (
+        cum.filter(F.col("cum") >= F.ceil(F.col("n") * 0.01))
+        .agg(F.min("v").alias("lo_cents"))
+    )
+    hi = (
+        cum.filter(F.col("cum") >= F.ceil(F.col("n") * 0.99))
+        .agg(F.min("v").alias("hi_cents"))
+    )
+    bounds = lo.crossJoin(hi)
+    clamped = li.select(cents.alias("v")).crossJoin(F.broadcast(bounds))
+    return (
+        clamped.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("lo_cents").alias("lo_cents"),
+            F.first("hi_cents").alias("hi_cents"),
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 2).alias("mean_cents"),
+            F.round(
+                F.sum(F.greatest(F.least(F.col("v"), F.col("hi_cents")), F.col("lo_cents"))).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("winsorized_mean_cents"),
+            F.sum(F.when(F.col("v") < F.col("lo_cents"), 1).otherwise(0)).alias("n_clipped_low"),
+            F.sum(F.when(F.col("v") > F.col("hi_cents"), 1).otherwise(0)).alias("n_clipped_high"),
+        )
+    )
+
+
+WINSORIZE_SQL = """
+WITH vals AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, count(*) AS c
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n FROM vals
+), cum AS (
+  SELECT v, c, n, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vals CROSS JOIN tot
+), lo AS (
+  SELECT min(v) AS lo_cents FROM cum WHERE cum >= ceil(n * 0.01)
+), hi AS (
+  SELECT min(v) AS hi_cents FROM cum WHERE cum >= ceil(n * 0.99)
+), base AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, lo_cents, hi_cents
+  FROM lineitem CROSS JOIN lo CROSS JOIN hi
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(lo_cents) AS BIGINT) AS lo_cents,
+       CAST(min(hi_cents) AS BIGINT) AS hi_cents,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 2) AS mean_cents,
+       round(CAST(sum(greatest(least(v, hi_cents), lo_cents)) AS DOUBLE) / count(*), 2) AS winsorized_mean_cents,
+       CAST(sum(CASE WHEN v < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN v > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+FROM base
+"""
+
+
 QUERIES = {
+    "lineitem_winsorize_prices": QueryDef(lineitem_winsorize_prices, WINSORIZE_SQL),
     "orders_churn_training_set": QueryDef(orders_churn_training_set, CHURN_TRAINING_SQL),
     "events_cusum_changepoint": QueryDef(events_cusum_changepoint, CUSUM_SQL),
     "orders_benford_audit": QueryDef(orders_benford_audit, BENFORD_SQL),

@@ -64,6 +64,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "orders_bootstrap_ci": "order-statistic window = the 100 replicate means",
     "events_cusum_changepoint": "running-sum frame = one row per day (time-bounded domain)",
     "emb_drift_monitor": "rank window runs post-limit on the 10-row TakeOrdered head",
+    "lineitem_winsorize_prices": "cumulative window = distinct-price value domain",
     "docs_epoch_shuffle": "frame = the 100-row post-limit head per epoch",
     "events_top_paths": "frame = |event_type|^3 path-count rows",
     "customer_rfm_segments": "frame = one row per customer (dimension-bounded; exact global quartiles need a total order)",

@@ -178,6 +178,7 @@ HEAVY_EXTENSION = [
     "orders_churn_training_set",
     "events_cusum_changepoint",
     "emb_drift_monitor",
+    "lineitem_winsorize_prices",
 ]
 
 

@@ -686,6 +686,30 @@ class TestLinkPrediction:
         assert all(r["u"] < r["v"] for r in rows)
 
 
+class TestWinsorize:
+    def test_hand_computed(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # 100 values: 1..100 dollars → cents 100..10000
+        li = spark.createDataFrame([Row(l_extendedprice=float(i)) for i in range(1, 101)])
+        monkeypatch.setattr(qa, "load", lambda s, d, t: li)
+        r = qa.lineitem_winsorize_prices(spark, "_").collect()[0]
+        # type-1 p1 = 1st value (cum >= ceil(1)), p99 = 99th value
+        assert r["lo_cents"] == 100 and r["hi_cents"] == 9900
+        assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
+        # winsorized mean: only 10000 clamps to 9900 → mean drops by 1
+        assert r["mean_cents"] == 5050.0
+        assert r["winsorized_mean_cents"] == 5049.0
+
+    def test_clamp_tightens_mean(self, spark, sf_smoke):
+        from medical_examination_data_etl_system_spark.queries.analytics import lineitem_winsorize_prices
+
+        r = lineitem_winsorize_prices(spark, sf_smoke).collect()[0]
+        assert r["lo_cents"] <= r["hi_cents"]
+        assert r["n_clipped_low"] + r["n_clipped_high"] <= 0.021 * r["n_rows"]
+        assert r["lo_cents"] <= r["winsorized_mean_cents"] <= r["hi_cents"]
+
+
 class TestEmbDriftMonitor:
     def test_matches_numpy(self, spark, sf_smoke):
         import numpy as np
