@@ -72,75 +72,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1). The r07 window, finalized in rounds 9-11: every zero-driver-row
-# query first — the seven round-10 exact-oracle chips, the round-9
-# composed-pipeline and ANN/assignment rows, the 16 round-8 late
-# queries, then the round-11 additions in commit order (the window cuts
-# at 50: round-11 entries past the cut — gopher/feature-hashing/
-# k-anonymity/ACF/KM/bot/label-noise/dataset-card/link-prediction/MMR/
-# trigram/Benford/bootstrap/churn/CUSUM/drift — are hash-green in the
-# local oracle-parity replica and rotate into r08 first, ahead of the
-# r03-stale refreshes VERDICT r6 #1 named, multimodal family, CC
-# variants, both approximate-ANN paths, q1/q10/q11). Every name here is
-# hash-green in pytest's oracle-parity replica and 100×-checked when
-# added. The TPC-H rows q2-q22 and both skew demos sit past position 50
-# (stable since r03, locally green) and rotate with r08 alongside the
-# remaining r04/r05-stale rows.
+# r3 #1). The r08 window (VERDICT r7 #1, exactly as ordered there):
+# positions 1-17 are the seventeen round-11-late queries with zero
+# driver rows (hash-green in pytest's oracle-parity replica since they
+# were added); 18-19 re-certify the two queries RESTRUCTURED this round
+# after their r07 rows (events_ushape_attribution's channel collapse,
+# docs_cdc_chunk_dedup's distinct-text collapse — both exact rewrites,
+# oracles unchanged, but the executed plan is new so the driver row
+# should be too); 20-46 are the full 27-query r03-stale set (multimodal
+# family, both CC variants, both approximate-ANN paths, q1-q8/q10/q11/
+# q13-q19, both skew demos — several changed implementation since r03:
+# adaptive collapse r5, CC loop hygiene r5/r6); 47-50 start burning the
+# r04-stale backlog (q9/q12/q20/q21). Every name is hash-green in the
+# local oracle-parity replica before commit (scripts/parity_subset.py).
+# Positions 51-100 are the COMMITTED R09 PLAN (VERDICT r7 #5): q22 +
+# the remaining 44 r04-stale rows + the 5 oldest r05-stale rows; the
+# rest of the registry follows in module order (r05-r07 evidence, all
+# locally green).
 # Every name is asserted against the registry below (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
-    "graph_pagerank_int3",
-    "emb_kmeans_iter2_exact",
-    "emb_power_iteration_exact",
-    "agg_kmv_overlap_exact",
-    "agg_hll_md5_rollup_exact",
-    "docs_minhash_md5_exact",
-    "docs_simhash_md5_exact",
-    "pipeline_llm_rewrite",
-    "pipeline_ingest_enrich_clean",
-    "emb_kmeans_assign_round1",
-    "pipeline_e2e_reports",
-    "emb_srp_bucket_profile",
-    "emb_ivf_topk_exact",
-    "emb_srp_topk_exact",
-    "events_dau_wau_stickiness",
-    "orders_price_mad",
-    "fn_try_arithmetic",
-    "fn_higher_order_arrays",
-    "incr_join_merge_revenue",
-    "set_bag_semantics_nations",
-    "join_null_safe_keys",
-    "events_activity_streaks",
-    "lineitem_skyline_frontier",
-    "window_topk_with_ties",
-    "window_locf_fill",
-    "events_session_length_stats",
-    "orders_open_backlog_monthly",
-    "customer_cohort_ltv",
-    "lineitem_basket_lift",
-    "docs_ngram_novelty",
-    # Round-11 additions (zero driver rows → ahead of the r03-stale
-    # refreshes, same evidence-need ordering as the blocks above; the
-    # four TPC-H rows they displace past position 50 rotate with r08):
-    "events_nearest_event_join",
-    "docs_dup_span_audit",
-    "docs_minhash_calibration",
-    "docs_temperature_mix",
-    "docs_incremental_dedup",
-    "events_ushape_attribution",
-    "agg_bitmap_distinct_parts",
-    "docs_quality_calibration",
-    "emb_ann_recall_report",
-    "stream_bitmap_distinct_users",
-    "multimodal_chunk_dedup",
-    "docs_cdc_chunk_dedup",
-    "emb_pq_encode",
-    "emb_pq_adc_topk",
-    "docs_bm25_search",
-    "docs_langid_confusion",
-    "emb_ivfpq_topk",
-    "docs_lm_quality",
-    "docs_bpe_pair_merges",
-    "events_watermark_late_audit",
+    # -- r08 window: 17 zero-driver-row round-11-late queries --
     "docs_gopher_quality_rules",
     "docs_feature_hashing",
     "customer_k_anonymity",
@@ -158,6 +109,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_cusum_changepoint",
     "emb_drift_monitor",
     "lineitem_winsorize_prices",
+    # -- restructured in r08 (exact rewrites; re-certify the new plans) --
+    "events_ushape_attribution",
+    "docs_cdc_chunk_dedup",
+    # -- the 27 r03-stale rows (VERDICT r7 #1) --
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_doc_embedding_join",
@@ -167,8 +122,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_ivf_topk",
     "emb_lsh_topk",
     "q1_pricing_summary",
-    "q10_returned_items",
-    "q11_important_parts",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -176,6 +129,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -185,6 +140,63 @@ _DRIVER_WINDOW_PRIORITY = [
     "q19_discounted_revenue",
     "skew_salted_count_distinct",
     "skew_salted_join",
+    # -- start of the r04-stale backlog (window cuts at 50 after q21) --
+    "q9_product_profit",
+    "q12_late_lines",
+    "q20_potential_promotion",
+    "q21_suppliers_who_kept_waiting",
+    # ---- end of the r08 driver window (50) ----
+    # -- committed r09 plan: q22 + remaining r04-stale (44) --
+    "q22_global_sales_opportunity",
+    "agg_approx_distinct_parts",
+    "agg_cube_status_priority",
+    "agg_distinct_per_segment",
+    "agg_rollup_region_nation",
+    "dedup_first_lineitem_per_order",
+    "docs_chunk_overlap",
+    "docs_curation_pipeline",
+    "docs_dedup_exact",
+    "docs_domain_cap",
+    "docs_hash_sample",
+    "docs_near_dup_minhash",
+    "docs_near_dup_simhash",
+    "docs_ngram_jaccard",
+    "docs_pack_sequences",
+    "docs_pii_redact",
+    "emb_cosine_topk",
+    "emb_near_dup_cosine",
+    "emb_near_dup_srp",
+    "events_asof_attribution",
+    "events_json_extract",
+    "events_session_windows",
+    "events_sliding_windows",
+    "events_tumbling_hourly",
+    "fn_array_ops",
+    "fn_conditional_case",
+    "fn_datetime_extract",
+    "fn_map_ops",
+    "fn_math_string",
+    "join_anti_customers_without_orders",
+    "join_bucketed_colocated",
+    "join_inner_enrich",
+    "join_range_ship_lag",
+    "join_semi_customers_with_orders",
+    "pivot_status_by_priority",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_nations",
+    "text_quality_langid",
+    "text_token_stats",
+    "unpivot_status_priority",
+    "window_order_gaps",
+    "window_running_total",
+    "window_topk_orders_per_customer",
+    # -- r09 plan tail: 5 oldest r05-stale rows --
+    "agg_grouping_sets",
+    "agg_hll_rollup",
+    "agg_kmv_overlap",
+    "cdc_merge_orders",
+    "customer_spend_trend",
 ]
 
 

@@ -1088,52 +1088,112 @@ def events_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Credits are integer ppm-cents with every split a deterministic
     integer ``div`` (the linear query's exactness discipline — no
     float summation anywhere), so per-(channel, role) totals are
-    order-free exact. Plan: one user-keyed join bounded by per-user
-    touch density, ONE purchase-partitioned window (row_number and
-    count share the frame), one aggregation."""
+    order-free exact.
+
+    Plan (the r08 rewrite — exact, not a cap; two structural moves):
+    (1) DAY-BUCKET BLOCKING (the join_interval_overlap move): the
+    plain user-keyed join enumerates EVERY (purchase × touch) pair per
+    user before the 24 h filter — at sf0.1 that is 534k pairs of which
+    only 17k survive, and the waste grows with the square of per-user
+    density (83–102 s at 100×). The 24 h lookback spans at most two
+    epoch-day buckets, so purchases probe exactly (day, day−1) and the
+    join key (user_id, bucket) bounds enumeration to touches within
+    48 h of each purchase — each surviving pair produced exactly once
+    (a touch's bucket is unique). (2) CHANNEL COLLAPSE: U-shape needs
+    only, per purchase, the argmin/argmax touch and per-CHANNEL touch
+    counts (middle credit is uniform), so surviving pairs flow
+    straight into a hash aggregate keyed (purchase, channel) — count +
+    min/max struct(ts, touch_id, channel), all algebraic, map-side
+    partial agg — and the only window runs over ≤|channels|-row
+    partitions (the r07 form shuffled and SORTED every pair through a
+    purchase-partitioned row_number). Shuffled volume after the join
+    is ≤ purchases × |channels| rows under ANY density. Results are
+    bit-identical (the oracle is unchanged). 100×: 96 s (collapse
+    alone) → see SURVEY for the blocked figure."""
     ev = load(spark, sf_dir, "events")
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast("long")  # noqa: E731
     touches = ev.filter(F.col("event_type").isin("view", "click")).select(
         "user_id",
         F.col("event_type").alias("channel"),
         F.col("ts").alias("ts_t"),
         F.col("event_id").alias("touch_id"),
+        day("ts").alias("bkt"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("ts_p"),
         F.col("event_id").alias("purchase_id"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.explode(F.array(day("ts"), day("ts") - 1)).alias("bkt"),
     )
-    paired = purchases.join(touches, "user_id").filter(
+    paired = purchases.join(touches, ["user_id", "bkt"]).filter(
         (F.col("ts_t") <= F.col("ts_p"))
         & (F.col("ts_t") > F.col("ts_p") - F.expr("INTERVAL 24 HOUR"))
     )
-    w = Window.partitionBy("purchase_id").orderBy("ts_t", "touch_id")
-    wn = Window.partitionBy("purchase_id")
-    pos = paired.select(
-        "channel",
+    # (ts_t, touch_id) is unique per user, so struct min/max is the
+    # exact argmin/argmax of the original (ts_t, touch_id) ordering.
+    key = F.struct(F.col("ts_t"), F.col("touch_id"), F.col("channel"))
+    agg = paired.groupBy("purchase_id", "cents", "channel").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min(key).alias("mn"),
+        F.max(key).alias("mx"),
+    )
+    wp = Window.partitionBy("purchase_id")
+    enr = agg.select(
         "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "channel",
+        "m",
+        F.sum("m").over(wp).alias("n"),
+        F.min("mn").over(wp)["channel"].alias("first_ch"),
+        F.max("mx").over(wp)["channel"].alias("last_ch"),
     )
-    role = (
-        F.when(F.col("n") == 1, "only")
-        .when(F.col("rn") == 1, "first")
-        .when(F.col("rn") == F.col("n"), "last")
-        .otherwise("middle")
+    c_only = F.expr("cents * 1000000")
+    c_half = F.expr("(cents * 1000000 * 50) div 100")
+    c_end = F.expr("(cents * 1000000 * 40) div 100")
+    c_mid_each = F.expr("((cents * 1000000 * 20) div 100) div (n - 2)")
+    is_first = F.col("first_ch") == F.col("channel")
+    is_last = F.col("last_ch") == F.col("channel")
+    mid_m = (F.col("m") - is_first.cast("long") - is_last.cast("long")).cast("long")
+    one = F.lit(1).cast("long")
+    contribs = F.array(
+        F.when(
+            is_first,
+            F.struct(
+                F.when(F.col("n") == 1, F.lit("only"))
+                .otherwise(F.lit("first"))
+                .alias("role"),
+                one.alias("cnt"),
+                F.when(F.col("n") == 1, c_only)
+                .when(F.col("n") == 2, c_half)
+                .otherwise(c_end)
+                .alias("credit"),
+            ),
+        ),
+        F.when(
+            is_last & (F.col("n") >= 2),
+            F.struct(
+                F.lit("last").alias("role"),
+                one.alias("cnt"),
+                F.when(F.col("n") == 2, c_half).otherwise(c_end).alias("credit"),
+            ),
+        ),
+        F.when(
+            (F.col("n") >= 3) & (mid_m > 0),
+            F.struct(
+                F.lit("middle").alias("role"),
+                mid_m.alias("cnt"),
+                (mid_m * c_mid_each).alias("credit"),
+            ),
+        ),
     )
-    credit = F.expr(
-        "CASE WHEN n = 1 THEN cents * 1000000 "
-        "WHEN n = 2 THEN (cents * 1000000 * 50) div 100 "
-        "WHEN rn = 1 OR rn = n THEN (cents * 1000000 * 40) div 100 "
-        "ELSE ((cents * 1000000 * 20) div 100) div (n - 2) END"
+    rows = enr.select(
+        "channel", F.explode(F.filter(contribs, lambda x: x.isNotNull())).alias("c")
     )
     return (
-        pos.select("channel", role.alias("role"), credit.alias("credit_ppm"))
-        .groupBy("channel", "role")
+        rows.groupBy("channel", F.col("c")["role"].alias("role"))
         .agg(
-            F.count(F.lit(1)).alias("n_touches"),
-            F.sum("credit_ppm").alias("credited_ppm_cents"),
+            F.sum(F.col("c")["cnt"]).alias("n_touches"),
+            F.sum(F.col("c")["credit"]).alias("credited_ppm_cents"),
         )
         .orderBy("channel", "role")
     )
@@ -2335,11 +2395,14 @@ def orders_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # Zero-variance guard (ADVICE r7): a constant window at some lag
+    # (vx·vy = 0) yields NULL acf on both engines instead of an
+    # engine-divergent 0/0.
     return (
         m.select(
             "lag",
             "n_pairs",
-            F.round(cov / F.sqrt(vx * vy), 4).alias("acf"),
+            F.when(vx * vy > 0, F.round(cov / F.sqrt(vx * vy), 4)).alias("acf"),
         )
         .orderBy("lag")
     )
@@ -2367,9 +2430,12 @@ WITH daily AS (
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
-       round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
-                    * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 4) AS acf
+       CASE WHEN CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                 * CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0
+            THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 4)
+       END AS acf
 FROM m
 ORDER BY lag
 """
@@ -2490,7 +2556,12 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ and Σ² in decimal(38,0)): cv = √(n·Σxx − Σx²)/Σx and the rate
     are exact-integer algebra with ONE float entry each, rounded to 4
     — both engines agree bit-for-bit. One partitioned lag window over
-    events, one per-user aggregate; nothing global."""
+    events, one per-user aggregate; nothing global.
+
+    Zero-span guard (ADVICE r7): a user whose events all land in the
+    same truncated second has Σgap = 0 — rate and cv are NULL on both
+    engines (F.when(sx > 0) here, NULLIF(sx, 0) in the oracle) instead
+    of a data-dependent ANSI divide error / engine-divergent ∞."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_timestamp("ts").alias("et")
     )
@@ -2506,8 +2577,11 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dg * dg).alias("sxx"),
     )
     var_num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    rate = F.round(F.col("n_events") * 3600.0 / F.col("sx").cast("double"), 4)
-    cv = F.round(F.sqrt(var_num) / F.col("sx").cast("double"), 4)
+    pos_span = F.col("sx") > 0
+    rate = F.when(
+        pos_span, F.round(F.col("n_events") * 3600.0 / F.col("sx").cast("double"), 4)
+    )
+    cv = F.when(pos_span, F.round(F.sqrt(var_num) / F.col("sx").cast("double"), 4))
     out = m.select(
         "user_id",
         "n_events",
@@ -2544,8 +2618,9 @@ WITH g AS (
   SELECT user_id, n_events,
          CAST(sx AS BIGINT) AS span_s,
          round(CAST(sx AS DOUBLE) / n, 4) AS mean_gap_s,
-         round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(sx AS DOUBLE), 4) AS gap_cv,
-         round(n_events * 3600.0 / CAST(sx AS DOUBLE), 4) AS events_per_hour
+         round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               / NULLIF(CAST(sx AS DOUBLE), 0), 4) AS gap_cv,
+         round(n_events * 3600.0 / NULLIF(CAST(sx AS DOUBLE), 0), 4) AS events_per_hour
   FROM m
 )
 SELECT *,
@@ -2751,14 +2826,18 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = daily.crossJoin(F.broadcast(reps)).select(
         "rep", wexpr.alias("w"), "cents"
     )
+    # All-zero-weight replicate guard (ADVICE r7): Poisson(1) draws of
+    # all-zero weights are astronomically rare but would hit an ANSI
+    # divide-by-zero; such replicates are dropped identically on both
+    # engines (HAVING sum(w) > 0 in the oracle).
     means = (
         weighted.groupBy("rep")
         .agg(
-            (
-                F.sum(F.col("w") * F.col("cents")).cast("double")
-                / F.sum("w")
-            ).alias("m")
+            F.sum(F.col("w") * F.col("cents")).cast("double").alias("num"),
+            F.sum("w").alias("den"),
         )
+        .filter(F.col("den") > 0)
+        .select((F.col("num") / F.col("den")).alias("m"))
     )
     from pyspark.sql import Window
 
@@ -2804,7 +2883,7 @@ WITH daily AS (
   FROM u
 ), means AS (
   SELECT rep, CAST(sum(w * cents) AS DOUBLE) / sum(w) AS m
-  FROM w GROUP BY rep
+  FROM w GROUP BY rep HAVING sum(w) > 0
 ), ranked AS (
   SELECT m, row_number() OVER (ORDER BY m) AS r FROM means
 ), ci AS (
@@ -2887,7 +2966,9 @@ WITH base AS (
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
 ), cut AS (
-  SELECT max(day) - INTERVAL 180 DAY AS cutoff FROM base
+  -- ::DATE keeps the cutoff in the date domain (ADVICE r7): DuckDB
+  -- types day - INTERVAL as TIMESTAMP, Spark's date_sub yields DATE
+  SELECT CAST(max(day) - INTERVAL 180 DAY AS DATE) AS cutoff FROM base
 ), pre AS (
   SELECT o_custkey,
          CAST(count(*) AS BIGINT) AS n_orders,

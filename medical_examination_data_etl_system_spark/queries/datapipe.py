@@ -3020,24 +3020,45 @@ def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, shared ratio, mean chunk length. Boundary detection is a
     map-side codegen filter over exploded positions (two ascii() + one
     mod — no hashing in the hot loop, ~1/61 survive); chunk extents
-    come from one doc-keyed lead() window over the surviving starts;
+    come from one text-keyed lead() window over the surviving starts;
     digests shuffle once. The 2-byte rolling window is deliberately
     engine-neutral arithmetic (ascii/ord + mod), so DuckDB replays
-    boundaries, chunks, and sharing value-exactly."""
+    boundaries, chunks, and sharing value-exactly. BMP-only
+    precondition: Spark's ascii() works on UTF-16 code units where
+    DuckDB's ord() works on code points, so supplementary-plane
+    characters (emoji etc.) would place boundaries differently — the
+    corpus is BMP; a production run over emoji-bearing text should
+    strip/normalize non-BMP first.
+
+    r08 DISTINCT-TEXT COLLAPSE (the text_rolling_fingerprint fix,
+    266→24.5 s there): every per-doc output here — chunk count, shared
+    count/ratio, mean length — is a pure function of the TEXT plus the
+    digest-level sharing counts, and sharing counts collapse too
+    (distinct docs per digest = Σ ndocs over distinct texts containing
+    it). So the boundary scan, the lead() window, and the substring
+    md5s all run once per DISTINCT text keyed by its md5, and doc_ids
+    re-attach by one fingerprint join at the end — chunking volume
+    scales with unique texts, not members (the corpus is
+    duplicate-heavy by construction). Exact: output-invariant, oracle
+    unchanged. Previous per-doc form: 44.8–58 s at 100×."""
     docs = load(spark, sf_dir, "documents")
-    # One pass per doc: the char array is built once and adjacent pairs
-    # come from zipped slices — per-position substring(text, p, 1)
-    # would rescan the string from the head each time (UTF8String
-    # offsets are char-counted), turning the boundary scan O(len²) per
-    # doc: measured 358 s at 100× vs 44.8 s for this form.
+    tid = F.md5(F.col("text")).alias("_tid")
+    texts = docs.groupBy("text").agg(F.count(F.lit(1)).alias("_ndocs")).select(
+        tid, "text", "_ndocs"
+    )
+    # One pass per distinct text: the char array is built once and
+    # adjacent pairs come from zipped slices — per-position
+    # substring(text, p, 1) would rescan the string from the head each
+    # time (UTF8String offsets are char-counted), turning the boundary
+    # scan O(len²) per text: measured 358 s at 100× vs 44.8 s zipped.
     arr = F.split(F.col("text"), "")
     n_pairs = F.greatest(F.length("text") - 1, F.lit(0))
     zipped = F.when(
         F.length("text") >= 2,
         F.arrays_zip(F.slice(arr, 1, n_pairs), F.slice(arr, 2, n_pairs)),
     ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
-    pos = docs.select(
-        "doc_id",
+    pos = texts.select(
+        "_tid",
         F.length("text").alias("_tlen"),
         F.posexplode(zipped).alias("_i", "_pair"),
     )
@@ -3045,14 +3066,14 @@ def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_val = F.ascii(F.col("_pair")["0"]) * 256 + F.ascii(F.col("_pair")["1"])
     starts = (
         pos.filter((win_val % 61 == 0) & (F.col("_i") + 2 < F.col("_tlen")))
-        .select("doc_id", (F.col("_i") + 3).alias("start"))
-        .unionByName(docs.select("doc_id", F.lit(1).alias("start")))
+        .select("_tid", (F.col("_i") + 3).alias("start"))
+        .unionByName(texts.select("_tid", F.lit(1).alias("start")))
     )
-    w = Window.partitionBy("doc_id").orderBy("start")
+    w = Window.partitionBy("_tid").orderBy("start")
     chunks = (
-        starts.join(docs.select("doc_id", "text"), "doc_id")
+        starts.join(texts.select("_tid", "text"), "_tid")
         .select(
-            "doc_id",
+            "_tid",
             F.md5(
                 F.substring(
                     F.col("text"),
@@ -3067,12 +3088,17 @@ def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_len"),
         )
     )
-    shared = chunks.select("doc_id", "_d").distinct().groupBy("_d").agg(
-        F.count(F.lit(1)).alias("_nm")
+    # distinct docs per digest = Σ ndocs over distinct texts holding it
+    shared = (
+        chunks.select("_tid", "_d")
+        .distinct()
+        .join(texts.select("_tid", "_ndocs"), "_tid")
+        .groupBy("_d")
+        .agg(F.sum("_ndocs").alias("_nm"))
     )
-    return (
+    per_text = (
         chunks.join(shared, "_d")
-        .groupBy("doc_id")
+        .groupBy("_tid")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(F.when(F.col("_nm") >= 2, 1).otherwise(0))
@@ -3085,6 +3111,11 @@ def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_ratio"),
             F.round(F.avg("_len"), 2).alias("avg_chunk_len"),
         )
+    )
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("_tid"))
+        .join(per_text, "_tid")
+        .drop("_tid")
         .orderBy("doc_id")
     )
 
