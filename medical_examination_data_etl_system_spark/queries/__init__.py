@@ -85,10 +85,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # adaptive collapse r5, CC loop hygiene r5/r6); 47-50 start burning the
 # r04-stale backlog (q9/q12/q20/q21). Every name is hash-green in the
 # local oracle-parity replica before commit (scripts/parity_subset.py).
-# Positions 51-100 are the COMMITTED R09 PLAN (VERDICT r7 #5): q22 +
-# the remaining 44 r04-stale rows + the 5 oldest r05-stale rows; the
-# rest of the registry follows in module order (r05-r07 evidence, all
-# locally green).
+# Positions 51-100 are the COMMITTED R09 PLAN (VERDICT r7 #5), exactly
+# 50: the five round-12 additions (zero driver rows — PSI drift, purged
+# CV, IPW, A/B assignment, matryoshka recall; all hash-green in the
+# local replica and 100×-checked when added), then q22 + the remaining
+# 44 r04-stale rows. The rest of the registry follows in module order
+# (r05-r07 evidence, all locally green); the oldest r05-stale rows
+# (agg_grouping_sets …) head the r10 rotation.
 # Every name is asserted against the registry below (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
     # -- r08 window: 17 zero-driver-row round-11-late queries --
@@ -146,7 +149,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting",
     # ---- end of the r08 driver window (50) ----
-    # -- committed r09 plan: q22 + remaining r04-stale (44) --
+    # -- committed r09 plan: round-12 additions (5) + q22 + r04-stale (44) --
+    "events_psi_drift",
+    "orders_purged_cv_folds",
+    "customer_ipw_spend",
+    "customer_ab_assignment",
+    "emb_matryoshka_recall",
     "q22_global_sales_opportunity",
     "agg_approx_distinct_parts",
     "agg_cube_status_priority",
@@ -191,12 +199,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_order_gaps",
     "window_running_total",
     "window_topk_orders_per_customer",
-    # -- r09 plan tail: 5 oldest r05-stale rows --
-    "agg_grouping_sets",
-    "agg_hll_rollup",
-    "agg_kmv_overlap",
-    "cdc_merge_orders",
-    "customer_spend_trend",
 ]
 
 

@@ -3113,7 +3113,380 @@ FROM base
 """
 
 
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between the first and second half of
+    the event stream, per event_type — the standard tabular-feature
+    drift alarm an ML-monitoring pipeline runs next to the embedding
+    drift monitor (X184): PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i) over
+    10 value buckets, with +1 Laplace smoothing so empty buckets are
+    defined (PSI < 0.1 stable / > 0.25 drifted by the usual rule).
+
+    Exactness: the time midpoint and bucket edges are INTEGER algebra
+    (epoch-micros midpoint by integer div; bucket = c·10 div (max_c+1)
+    on exact cents), counts are exact, each term enters float once,
+    and the cross-bucket sum folds in fixed ascending-bucket order via
+    a running window (the CUSUM discipline) so both engines add the
+    same doubles in the same order.
+
+    Scale shape: facts collapse map-side to (event_type, half, bucket)
+    counts — everything after is on the bounded type×10 domain."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    b = ev.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx"), F.max("c").alias("mc")
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.expr("CASE WHEN us <= (mn + mx) div 2 THEN 0 ELSE 1 END").alias("half"),
+        F.least(F.expr("(c * 10) div (mc + 1)"), F.lit(9)).alias("bucket"),
+    )
+    cts = tagged.groupBy("event_type", "half", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    et = ev.select("event_type").distinct()
+    spine = et.crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bucket"))))
+    wide = (
+        spine.join(cts, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("half") == 0, F.col("c"))), F.lit(0)).alias("cref"),
+            F.coalesce(F.sum(F.when(F.col("half") == 1, F.col("c"))), F.lit(0)).alias("ccur"),
+        )
+    )
+    tot = cts.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("nref"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("ncur"),
+    )
+    p = (F.col("cref") + 1).cast("double") / (F.col("nref") + 10)
+    q = (F.col("ccur") + 1).cast("double") / (F.col("ncur") + 10)
+    terms = wide.join(tot, "event_type").select(
+        "event_type", "bucket", "nref", "ncur", ((p - q) * F.log(p / q)).alias("term")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = terms.select(
+        "event_type", "bucket", "nref", "ncur", F.sum("term").over(w).alias("psi")
+    )
+    return (
+        cum.filter(F.col("bucket") == 9)
+        .select(
+            "event_type",
+            F.col("nref").alias("n_ref"),
+            F.col("ncur").alias("n_cur"),
+            F.round("psi", 4).alias("psi"),
+            (F.round("psi", 4) > 0.25).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PSI_DRIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), b AS (
+  SELECT min(us) AS mn, max(us) AS mx, max(c) AS mc FROM ev
+), tagged AS (
+  SELECT event_type,
+         CASE WHEN us <= (mn + mx) // 2 THEN 0 ELSE 1 END AS half,
+         least((c * 10) // (mc + 1), 9) AS bucket
+  FROM ev CROSS JOIN b
+), cts AS (
+  SELECT event_type, half, bucket, count(*) AS c FROM tagged GROUP BY 1, 2, 3
+), spine AS (
+  SELECT event_type, CAST(u.bucket AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) u
+), wide AS (
+  SELECT s.event_type, s.bucket,
+         coalesce(sum(CASE WHEN t.half = 0 THEN t.c END), 0) AS cref,
+         coalesce(sum(CASE WHEN t.half = 1 THEN t.c END), 0) AS ccur
+  FROM spine s LEFT JOIN cts t ON t.event_type = s.event_type AND t.bucket = s.bucket
+  GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         sum(CASE WHEN half = 0 THEN c ELSE 0 END) AS nref,
+         sum(CASE WHEN half = 1 THEN c ELSE 0 END) AS ncur
+  FROM cts GROUP BY 1
+), terms AS (
+  SELECT w.event_type, w.bucket, t.nref, t.ncur,
+         ((CAST(w.cref + 1 AS DOUBLE) / (t.nref + 10))
+          - (CAST(w.ccur + 1 AS DOUBLE) / (t.ncur + 10)))
+         * ln((CAST(w.cref + 1 AS DOUBLE) / (t.nref + 10))
+              / (CAST(w.ccur + 1 AS DOUBLE) / (t.ncur + 10))) AS term
+  FROM wide w JOIN tot t USING (event_type)
+), cum AS (
+  SELECT event_type, bucket, nref, ncur,
+         sum(term) OVER (PARTITION BY event_type ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS psi
+  FROM terms
+)
+SELECT event_type,
+       CAST(nref AS BIGINT) AS n_ref,
+       CAST(ncur AS BIGINT) AS n_cur,
+       round(psi, 4) AS psi,
+       round(psi, 4) > 0.25 AS drifted
+FROM cum WHERE bucket = 9
+ORDER BY event_type
+"""
+
+
+def orders_purged_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURGED EXPANDING-WINDOW TIME-SERIES CROSS-VALIDATION folds —
+    the split discipline for temporally-leaky training data (finance /
+    churn / forecasting): the day domain is cut into 5 equal fifths;
+    fold k trains on everything BEFORE fifth k+1 minus a 7-index-day
+    PURGE GAP (so label windows that straddle the boundary can't leak
+    into training) and tests on fifth k+1. Per fold: day span, order
+    count, exact revenue cents, and date ranges for both sides — the
+    audit table a pipeline materializes before fitting.
+
+    All integer/date algebra: day indexes from one row_number over the
+    DISTINCT day domain (bounded at any corpus size — the value-domain
+    discipline; allowlisted unpartitioned window), boundaries by
+    integer div, aggregates exact.
+
+    Scale shape: the fact table collapses map-side to ONE row per day
+    (count + exact cents) before the fold fan-out, so the 4-fold cross
+    join, the role tagging and the final aggregate all run on the
+    bounded day domain (the value-domain discipline; joining raw facts
+    against the fold map measured 23.4 s at 100× vs ~3 s collapsed)."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_day = orders.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("dc")
+    )
+    days = per_day.select("day")
+    w = Window.orderBy("day")
+    idx = days.select("day", F.row_number().over(w).alias("i"))
+    dd = idx.agg(F.max("i").alias("d"))
+    folds = spark.range(1, 5).select(F.col("id").cast("int").alias("fold"))
+    tagged = (
+        idx.crossJoin(F.broadcast(dd))
+        .crossJoin(F.broadcast(folds))
+        .select(
+            "fold",
+            "day",
+            F.expr(
+                "CASE WHEN i > (fold * d) div 5 AND i <= ((fold + 1) * d) div 5"
+                "     THEN 'test'"
+                "     WHEN i <= (fold * d) div 5 - 7 THEN 'train' END"
+            ).alias("role"),
+        )
+        .filter(F.col("role").isNotNull())
+    )
+    tr = F.col("role") == "train"
+    te = F.col("role") == "test"
+    return (
+        per_day.join(tagged, "day")
+        .groupBy("fold")
+        .agg(
+            F.sum(F.when(tr, 1).otherwise(0)).cast("long").alias("train_days"),
+            F.sum(F.when(tr, F.col("n")).otherwise(0)).cast("long").alias("train_orders"),
+            F.sum(F.when(tr, F.col("dc")).otherwise(0)).alias("train_cents"),
+            F.min(F.when(tr, F.col("day"))).alias("train_start"),
+            F.max(F.when(tr, F.col("day"))).alias("train_end"),
+            F.sum(F.when(te, 1).otherwise(0)).cast("long").alias("test_days"),
+            F.sum(F.when(te, F.col("n")).otherwise(0)).cast("long").alias("test_orders"),
+            F.sum(F.when(te, F.col("dc")).otherwise(0)).alias("test_cents"),
+            F.min(F.when(te, F.col("day"))).alias("test_start"),
+            F.max(F.when(te, F.col("day"))).alias("test_end"),
+        )
+        .orderBy("fold")
+    )
+
+
+PURGED_CV_SQL = """
+WITH per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS dc
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS i FROM per_day
+), dd AS (
+  SELECT max(i) AS d FROM idx
+), tagged AS (
+  SELECT f.fold, x.day,
+         CASE WHEN x.i > (f.fold * dd.d) // 5 AND x.i <= ((f.fold + 1) * dd.d) // 5
+              THEN 'test'
+              WHEN x.i <= (f.fold * dd.d) // 5 - 7 THEN 'train' END AS role
+  FROM idx x
+  CROSS JOIN dd
+  CROSS JOIN (SELECT CAST(unnest(range(1, 5)) AS INTEGER) AS fold) f
+)
+SELECT t.fold,
+       CAST(sum(CASE WHEN t.role = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_days,
+       CAST(sum(CASE WHEN t.role = 'train' THEN b.n ELSE 0 END) AS BIGINT) AS train_orders,
+       CAST(sum(CASE WHEN t.role = 'train' THEN b.dc ELSE 0 END) AS BIGINT) AS train_cents,
+       min(CASE WHEN t.role = 'train' THEN t.day END) AS train_start,
+       max(CASE WHEN t.role = 'train' THEN t.day END) AS train_end,
+       CAST(sum(CASE WHEN t.role = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_days,
+       CAST(sum(CASE WHEN t.role = 'test' THEN b.n ELSE 0 END) AS BIGINT) AS test_orders,
+       CAST(sum(CASE WHEN t.role = 'test' THEN b.dc ELSE 0 END) AS BIGINT) AS test_cents,
+       min(CASE WHEN t.role = 'test' THEN t.day END) AS test_start,
+       max(CASE WHEN t.role = 'test' THEN t.day END) AS test_end
+FROM per_day b JOIN tagged t USING (day)
+WHERE t.role IS NOT NULL
+GROUP BY t.fold
+ORDER BY t.fold
+"""
+
+
+def customer_ipw_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED INVERSE-PROPENSITY-WEIGHTED effect estimate — the
+    causal-inference primitive for observational data: "treatment" =
+    the customer ever placed a 1-URGENT order, outcome = lifetime
+    spend cents, strata = market segment (the confounder proxy).
+    Per stratum: n, treated count, exact propensity p̂ = t/n, treated
+    and control mean spend, and the stratum effect; plus one OVERALL
+    row whose ATE is the n-weighted combination Σ (n_s/N)·(μ̂₁ₛ − μ̂₀ₛ)
+    — algebraically the IPW/Horvitz-Thompson estimator with stratum
+    propensities.
+
+    Exactness: per-stratum sums are exact cents/counts; each mean is
+    one float division; the cross-stratum combination folds in fixed
+    ascending-segment order via a running window (the CUSUM
+    discipline). Degenerate strata (no treated or no control) are
+    excluded identically on both engines. Customers without orders
+    count as untreated with zero spend (left join + coalesce).
+
+    Scale shape: orders collapse per-customer map-side; one broadcast
+    join against the customer dim; everything after runs on the
+    bounded segment domain."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("tr"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"),
+        )
+    )
+    base = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_mktsegment",
+        F.coalesce("tr", F.lit(0)).alias("tr"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    s = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tr").cast("long").alias("t"),
+        F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0)).alias("y1"),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0)).alias("y0"),
+    ).filter((F.col("t") > 0) & (F.col("t") < F.col("n")))
+    mu1 = F.col("y1").cast("double") / F.col("t")
+    mu0 = F.col("y0").cast("double") / (F.col("n") - F.col("t"))
+    strata = s.select(
+        F.col("c_mktsegment").alias("stratum"),
+        "n",
+        F.col("t").alias("n_treated"),
+        F.round(F.col("t").cast("double") / F.col("n"), 4).alias("p_hat"),
+        F.round(mu1, 2).alias("mean_treated_cents"),
+        F.round(mu0, 2).alias("mean_control_cents"),
+        F.round(mu1 - mu0, 2).alias("effect_cents"),
+    )
+    tot = s.agg(F.sum("n").alias("nn"))
+    w = Window.orderBy("c_mktsegment").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.orderBy("c_mktsegment").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    overall = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "n",
+            "t",
+            (F.col("n").cast("double") / F.col("nn") * (mu1 - mu0)).alias("wdiff"),
+            F.col("nn"),
+        )
+        .select(
+            F.lit("OVERALL").alias("stratum"),
+            F.col("nn").cast("long").alias("n"),
+            F.sum("t").over(wn).cast("long").alias("n_treated"),
+            F.sum("wdiff").over(w).alias("ate"),
+            F.row_number().over(Window.orderBy("c_mktsegment")).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("ns"),
+        )
+        .filter(F.col("rn") == F.col("ns"))
+        .select(
+            "stratum",
+            "n",
+            "n_treated",
+            F.lit(None).cast("double").alias("p_hat"),
+            F.lit(None).cast("double").alias("mean_treated_cents"),
+            F.lit(None).cast("double").alias("mean_control_cents"),
+            F.round("ate", 2).alias("effect_cents"),
+        )
+    )
+    return strata.unionByName(overall).orderBy("stratum")
+
+
+IPW_SPEND_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS tr,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT c.c_mktsegment,
+         coalesce(p.tr, 0) AS tr,
+         coalesce(p.y, 0) AS y
+  FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+), s AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(tr) AS BIGINT) AS t,
+         sum(CASE WHEN tr = 1 THEN y ELSE 0 END) AS y1,
+         sum(CASE WHEN tr = 0 THEN y ELSE 0 END) AS y0
+  FROM base GROUP BY 1
+  HAVING sum(tr) > 0 AND sum(tr) < count(*)
+), strata AS (
+  SELECT c_mktsegment AS stratum, n, t AS n_treated,
+         round(CAST(t AS DOUBLE) / n, 4) AS p_hat,
+         round(CAST(y1 AS DOUBLE) / t, 2) AS mean_treated_cents,
+         round(CAST(y0 AS DOUBLE) / (n - t), 2) AS mean_control_cents,
+         round(CAST(y1 AS DOUBLE) / t - CAST(y0 AS DOUBLE) / (n - t), 2) AS effect_cents
+  FROM s
+), tot AS (SELECT sum(n) AS nn FROM s), wdiffs AS (
+  SELECT c_mktsegment, n, t,
+         (CAST(n AS DOUBLE) / nn) * (CAST(y1 AS DOUBLE) / t - CAST(y0 AS DOUBLE) / (n - t)) AS wdiff,
+         nn
+  FROM s CROSS JOIN tot
+), ovr AS (
+  -- the running sum's LAST row (rn = ns), not max(cum): a stratum
+  -- with negative effect makes the running sum non-monotone
+  SELECT 'OVERALL' AS stratum,
+         CAST(max(nn) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS n_treated,
+         CAST(NULL AS DOUBLE) AS p_hat,
+         CAST(NULL AS DOUBLE) AS mean_treated_cents,
+         CAST(NULL AS DOUBLE) AS mean_control_cents,
+         round(max(CASE WHEN rn = ns THEN cum END), 2) AS effect_cents
+  FROM (SELECT t, nn,
+               sum(wdiff) OVER (ORDER BY c_mktsegment ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (ORDER BY c_mktsegment) AS rn,
+               count(*) OVER () AS ns
+        FROM wdiffs)
+)
+SELECT * FROM strata
+UNION ALL
+SELECT * FROM ovr
+ORDER BY stratum
+"""
+
+
 QUERIES = {
+    "events_psi_drift": QueryDef(events_psi_drift, PSI_DRIFT_SQL),
+    "orders_purged_cv_folds": QueryDef(orders_purged_cv_folds, PURGED_CV_SQL),
+    "customer_ipw_spend": QueryDef(customer_ipw_spend, IPW_SPEND_SQL),
     "lineitem_winsorize_prices": QueryDef(lineitem_winsorize_prices, WINSORIZE_SQL),
     "orders_churn_training_set": QueryDef(orders_churn_training_set, CHURN_TRAINING_SQL),
     "events_cusum_changepoint": QueryDef(events_cusum_changepoint, CUSUM_SQL),

@@ -859,7 +859,93 @@ ORDER BY doc_id, bucket
 """
 
 
+def customer_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC A/B EXPERIMENT ASSIGNMENT + balance audit — the
+    pre-launch gate for any online experiment: arm = md5('ab1#' ||
+    custkey) mod 2 (a pure function of the unit id, so re-runs,
+    retries, and late-arriving events all agree — the hash_sample
+    idiom with a per-experiment salt), then the two checks an
+    experimentation platform runs before trusting the split: SAMPLE
+    RATIO (arm sizes per segment; srm_ratio = |nA−nB|/(nA+nB)) and
+    PRE-EXPOSURE COVARIATE BALANCE (exact lifetime spend cents per
+    arm + rounded means — a pre-period metric must NOT differ by
+    assignment).
+
+    Exact counts/cents; two float entries (the two means), one ratio;
+    map-side hash assignment (no shuffle until the segment aggregate).
+    Customers without orders count with zero spend."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    arm = curation.hash_bucket(F.concat(F.lit("ab1#"), F.col("c_custkey").cast("string")), 2)
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+    )
+    base = (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select("c_mktsegment", arm.alias("arm"), F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    g = base.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("spend_a_cents"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("spend_b_cents"),
+    )
+    return (
+        g.select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_a",
+            "n_b",
+            "spend_a_cents",
+            "spend_b_cents",
+            F.round(
+                F.abs(F.col("n_a") - F.col("n_b")).cast("double")
+                / (F.col("n_a") + F.col("n_b")),
+                4,
+            ).alias("srm_ratio"),
+            F.when(
+                F.col("n_a") > 0,
+                F.round(F.col("spend_a_cents").cast("double") / F.col("n_a"), 2),
+            ).alias("mean_a_cents"),
+            F.when(
+                F.col("n_b") > 0,
+                F.round(F.col("spend_b_cents").cast("double") / F.col("n_b"), 2),
+            ).alias("mean_b_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+AB_ASSIGNMENT_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT c.c_mktsegment,
+         (('0x' || substr(md5('ab1#' || CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2) AS arm,
+         coalesce(p.y, 0) AS y
+  FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+), g AS (
+  SELECT c_mktsegment,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS spend_a_cents,
+         sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS spend_b_cents
+  FROM base GROUP BY 1
+)
+SELECT c_mktsegment AS segment, n_a, n_b,
+       CAST(spend_a_cents AS BIGINT) AS spend_a_cents,
+       CAST(spend_b_cents AS BIGINT) AS spend_b_cents,
+       round(CAST(abs(n_a - n_b) AS DOUBLE) / (n_a + n_b), 4) AS srm_ratio,
+       round(CAST(spend_a_cents AS DOUBLE) / NULLIF(n_a, 0), 2) AS mean_a_cents,
+       round(CAST(spend_b_cents AS DOUBLE) / NULLIF(n_b, 0), 2) AS mean_b_cents
+FROM g
+ORDER BY segment
+"""
+
+
 QUERIES = {
+    "customer_ab_assignment": QueryDef(customer_ab_assignment, AB_ASSIGNMENT_SQL),
     "docs_gopher_quality_rules": QueryDef(docs_gopher_quality_rules, GOPHER_RULES_SQL),
     "docs_feature_hashing": QueryDef(docs_feature_hashing, FEATURE_HASHING_SQL),
     "docs_temperature_mix": QueryDef(docs_temperature_mix, TEMPERATURE_MIX_SQL),

@@ -3567,7 +3567,114 @@ ORDER BY doc_id
 """.format(sig_cols=_mh_sig_cols(), band_selects=_mh_band_selects())
 
 
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (MRL) TRUNCATION EVAL — the dimension-budget study a
+    vector platform runs before storing truncated embeddings: recall@5
+    of brute-force search using only the first 16 / 32 / 64 dimensions
+    against the full-dimension exact top-5, per query vector (the
+    64-prefix rows are the =1.0 sanity anchor). The emb_ann_recall
+    construction generalized from method-vs-method to dim-vs-dim.
+
+    Integer-exact throughout (quantized int64 L2, the exact-chip
+    convention), so the recall values sit under the exact-hash oracle.
+    The per-pair squared-diff array is built ONCE and each prefix
+    distance is a slice+fold over it — one corpus scan against 5
+    broadcast queries, 3 distances per pair, per-(query, prefix) top-5
+    windows."""
+    from medical_examination_data_etl_system_spark.operators.linalg import quantize_fixed_point
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.select("vec_id", quantize_fixed_point("embedding", 1_000_000).alias("qv"))
+    head = qdf.orderBy("vec_id").limit(5).collect()
+    probes = spark.createDataFrame(
+        [(int(r["vec_id"]), [int(x) for x in r["qv"]]) for r in head],
+        "query_id long, q_vec array<long>",
+    )
+    sq = F.zip_with("q_vec", "qv", lambda a, b: (a - b) * (a - b))
+
+    def pref_dist(p: int) -> F.Column:
+        return F.aggregate(
+            F.slice(F.col("_sq"), 1, p), F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    scored = (
+        qdf.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sq.alias("_sq"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("pdim"), pref_dist(p).alias("dist")
+                        )
+                        for p in (16, 32, 64)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("query_id", "vec_id", F.col("s.pdim").alias("pdim"), F.col("s.dist").alias("dist"))
+    )
+    w = Window.partitionBy("query_id", "pdim").orderBy("dist", "vec_id")
+    top5 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    full5 = top5.filter(F.col("pdim") == 64).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        top5.join(full5, ["query_id", "vec_id"], "left")
+        .groupBy("query_id", "pdim")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id", "pdim")
+    )
+
+
+MATRYOSHKA_RECALL_SQL = """
+WITH vq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5
+), pd AS (
+  SELECT CAST(unnest([16, 32, 64]) AS INTEGER) AS pdim
+), dists AS (
+  SELECT q.query_id, v2.vec_id, p.pdim,
+         CAST(sum(CASE WHEN v1.dim <= p.pdim
+                       THEN (v1.qv - v2.qv) * (v1.qv - v2.qv) ELSE 0 END) AS BIGINT) AS dist
+  FROM queries q
+  JOIN vq v1 ON v1.vec_id = q.query_id
+  JOIN vq v2 ON v2.dim = v1.dim AND v2.vec_id <> q.query_id
+  CROSS JOIN pd p
+  GROUP BY 1, 2, 3
+), top5 AS (
+  SELECT query_id, pdim, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id, pdim ORDER BY dist, vec_id) AS rnk
+        FROM dists)
+  WHERE rnk <= 5
+), full5 AS (
+  SELECT query_id, vec_id FROM top5 WHERE pdim = 64
+)
+SELECT t.query_id, t.pdim,
+       count(*) AS n_topk,
+       CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
+       round(CAST(count(f.vec_id) AS DOUBLE) / count(*), 4) AS recall_at_5
+FROM top5 t
+LEFT JOIN full5 f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "emb_matryoshka_recall": QueryDef(emb_matryoshka_recall, MATRYOSHKA_RECALL_SQL),
     "docs_dup_span_audit": QueryDef(docs_dup_span_audit, DUP_SPAN_SQL),
     "docs_incremental_dedup": QueryDef(docs_incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "docs_quality_calibration": QueryDef(docs_quality_calibration, QUALITY_CALIBRATION_SQL),

@@ -1,0 +1,222 @@
+"""Round-12 additions: PSI drift, purged time-series CV, stratified
+IPW effect, deterministic A/B assignment, matryoshka truncation recall.
+
+Planted-frame semantics here; exact-hash parity vs DuckDB is covered by
+test_oracle_parity.py for all five registered queries.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import numpy as np
+from pyspark.sql import Row
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+class TestPsiDrift:
+    def _run(self, spark, monkeypatch, rows):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        return {r["event_type"]: r.asDict() for r in qa.events_psi_drift(spark, "_").collect()}
+
+    def test_identical_halves_zero_psi(self, spark, monkeypatch):
+        # same value in both halves -> every bucket's p == q -> psi 0.0
+        rows = [
+            Row(event_id=1, event_type="t1", ts=_ts("2024-01-01T01:00:00"), value=5.0),
+            Row(event_id=2, event_type="t1", ts=_ts("2024-01-01T09:00:00"), value=5.0),
+        ]
+        got = self._run(spark, monkeypatch, rows)
+        assert got["t1"]["psi"] == 0.0
+        assert got["t1"]["n_ref"] == 1 and got["t1"]["n_cur"] == 1
+        assert got["t1"]["drifted"] is False
+
+    def test_shifted_distribution_flags_drift(self, spark, monkeypatch):
+        # half 0: three events in bucket 0; half 1: three in bucket 9.
+        # max cents = 10000 -> bucket = c*10 div 10001: 500->0, 9500->9,
+        # 10000->9.
+        rows = [
+            Row(event_id=1, event_type="t2", ts=_ts("2024-01-01T01:00:00"), value=5.0),
+            Row(event_id=2, event_type="t2", ts=_ts("2024-01-01T02:00:00"), value=5.0),
+            Row(event_id=3, event_type="t2", ts=_ts("2024-01-01T03:00:00"), value=5.0),
+            Row(event_id=4, event_type="t2", ts=_ts("2024-01-01T07:00:00"), value=95.0),
+            Row(event_id=5, event_type="t2", ts=_ts("2024-01-01T08:00:00"), value=95.0),
+            Row(event_id=6, event_type="t2", ts=_ts("2024-01-01T09:00:00"), value=100.0),
+        ]
+        got = self._run(spark, monkeypatch, rows)
+        # replicate the smoothed fold: buckets 500->0, 9500->9, 10000->9
+        ref = {0: 3}
+        cur = {9: 3}
+        psi = 0.0
+        for b in range(10):
+            p = (ref.get(b, 0) + 1) / (3 + 10)
+            q = (cur.get(b, 0) + 1) / (3 + 10)
+            psi += (p - q) * math.log(p / q)
+        assert got["t2"]["psi"] == round(psi, 4)
+        assert got["t2"]["drifted"] is True
+
+
+class TestPurgedCvFolds:
+    def test_fold_geometry_and_purge(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # 50 distinct days, one 1-cent order each -> counts == day counts
+        rows = [
+            Row(o_orderkey=i, o_custkey=1, o_orderdate=date(2024, 1, 1 + (i % 31)).replace(
+                month=1 + (i // 31)
+            ), o_totalprice=0.01, o_orderpriority="5-LOW")
+            for i in range(50)
+        ]
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        got = {r["fold"]: r.asDict() for r in qa.orders_purged_cv_folds(spark, "_").collect()}
+        assert set(got) == {1, 2, 3, 4}
+        for k, r in got.items():
+            # test fifth k+1: indexes (10k, 10(k+1)]
+            assert r["test_days"] == 10 and r["test_orders"] == 10
+            # purge: train stops 7 index-days before the test fifth
+            assert r["train_days"] == 10 * k - 7
+            # the purge gap is honored in actual dates too
+            assert (r["test_start"] - r["train_end"]).days == 8
+            # expanding window: fold k+1's train strictly contains fold k's
+            if k > 1:
+                assert r["train_days"] > got[k - 1]["train_days"]
+
+    def test_no_leakage_train_before_test(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        rows = [
+            Row(o_orderkey=i, o_custkey=1,
+                o_orderdate=date(2024, 1 + i // 28, 1 + i % 28),
+                o_totalprice=1.0, o_orderpriority="5-LOW")
+            for i in range(56)
+        ]
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        for r in qa.orders_purged_cv_folds(spark, "_").collect():
+            assert r["train_end"] < r["test_start"]
+
+
+class TestIpwSpend:
+    def test_planted_effect_and_weighting(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # segment S1: 2 treated (spend 300, 500 cents), 2 control (100, 300)
+        #   -> effect 400 - 200 = 200
+        # segment S2: 1 treated (1000), 3 control (200, 400, 600)
+        #   -> effect 1000 - 400 = 600
+        # overall ATE = (4/8)*200 + (4/8)*600 = 400
+        cust = [Row(c_custkey=i, c_mktsegment="S1" if i <= 4 else "S2") for i in range(1, 9)]
+        orders = []
+        spends = {1: (1, 300), 2: (1, 500), 3: (0, 100), 4: (0, 300),
+                  5: (1, 1000), 6: (0, 200), 7: (0, 400), 8: (0, 600)}
+        ok = 0
+        for ck, (tr, cents) in spends.items():
+            ok += 1
+            orders.append(Row(
+                o_orderkey=ok, o_custkey=ck, o_orderdate=date(2024, 1, 1),
+                o_totalprice=cents / 100.0,
+                o_orderpriority="1-URGENT" if tr else "5-LOW",
+            ))
+
+        def fake_load(s, d, t):
+            return spark.createDataFrame(cust if t == "customer" else orders)
+
+        monkeypatch.setattr(qa, "load", fake_load)
+        got = {r["stratum"]: r.asDict() for r in qa.customer_ipw_spend(spark, "_").collect()}
+        assert got["S1"]["effect_cents"] == 200.0
+        assert got["S1"]["p_hat"] == 0.5
+        assert got["S2"]["effect_cents"] == 600.0
+        assert got["OVERALL"]["effect_cents"] == 400.0
+        assert got["OVERALL"]["n"] == 8 and got["OVERALL"]["n_treated"] == 3
+
+    def test_degenerate_strata_excluded(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # S1 all treated (no control), S2 mixed -> only S2 + OVERALL remain
+        cust = [Row(c_custkey=i, c_mktsegment="S1" if i <= 2 else "S2") for i in range(1, 5)]
+        orders = [
+            Row(o_orderkey=1, o_custkey=1, o_orderdate=date(2024, 1, 1),
+                o_totalprice=1.0, o_orderpriority="1-URGENT"),
+            Row(o_orderkey=2, o_custkey=2, o_orderdate=date(2024, 1, 1),
+                o_totalprice=2.0, o_orderpriority="1-URGENT"),
+            Row(o_orderkey=3, o_custkey=3, o_orderdate=date(2024, 1, 1),
+                o_totalprice=3.0, o_orderpriority="1-URGENT"),
+        ]
+
+        def fake_load(s, d, t):
+            return spark.createDataFrame(cust if t == "customer" else orders)
+
+        monkeypatch.setattr(qa, "load", fake_load)
+        got = {r["stratum"] for r in qa.customer_ipw_spend(spark, "_").collect()}
+        assert got == {"S2", "OVERALL"}
+
+
+class TestAbAssignment:
+    def test_deterministic_partition_and_conservation(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import curation as qc
+
+        cust = [Row(c_custkey=i, c_mktsegment="SEG" + str(i % 2)) for i in range(1, 41)]
+        orders = [
+            Row(o_orderkey=i, o_custkey=i, o_orderdate=date(2024, 1, 1),
+                o_totalprice=float(i), o_orderpriority="5-LOW")
+            for i in range(1, 41)
+        ]
+
+        def fake_load(s, d, t):
+            return spark.createDataFrame(cust if t == "customer" else orders)
+
+        monkeypatch.setattr(qc, "load", fake_load)
+        a = [r.asDict() for r in qc.customer_ab_assignment(spark, "_").collect()]
+        b = [r.asDict() for r in qc.customer_ab_assignment(spark, "_").collect()]
+        assert a == b  # pure function of ids
+        for r in a:
+            n_seg = sum(1 for c in cust if c.c_mktsegment == r["segment"])
+            assert r["n_a"] + r["n_b"] == n_seg  # arms partition the segment
+            total = sum(int(o.o_totalprice * 100) for o, c in zip(orders, cust)
+                        if c.c_mktsegment == r["segment"])
+            assert r["spend_a_cents"] + r["spend_b_cents"] == total
+
+    def test_salt_changes_assignment_not_sizes(self, spark):
+        # different salts must produce a different (but still
+        # deterministic) split: the md5 bucket depends on the salt
+        from pyspark.sql import functions as F
+
+        from medical_examination_data_etl_system_spark.operators.curation import hash_bucket
+
+        ids = spark.range(1, 201)
+        a1 = ids.select(hash_bucket(F.concat(F.lit("ab1#"), F.col("id").cast("string")), 2).alias("a")).collect()
+        a2 = ids.select(hash_bucket(F.concat(F.lit("ab2#"), F.col("id").cast("string")), 2).alias("a")).collect()
+        assert [r["a"] for r in a1] != [r["a"] for r in a2]
+
+
+class TestMatryoshkaRecall:
+    def test_numpy_cross_check(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import datapipe as qd
+
+        rng = np.random.RandomState(7)
+        n, d = 12, 64
+        vecs = np.round(rng.uniform(-1, 1, size=(n, d)).astype(np.float32), 3)
+        rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]], label=0)
+                for i in range(n)]
+        monkeypatch.setattr(qd, "load", lambda s, dd, t: spark.createDataFrame(rows))
+        got = {(r["query_id"], r["pdim"]): r.asDict()
+               for r in qd.emb_matryoshka_recall(spark, "_").collect()}
+
+        q = np.round(np.float64(vecs) * 1_000_000).astype(np.int64)
+        for qi in range(5):
+            others = [j for j in range(n) if j != qi]
+            full = sorted(others, key=lambda j: (int(((q[qi] - q[j]) ** 2).sum()), j))[:5]
+            for p in (16, 32, 64):
+                pref = sorted(
+                    others,
+                    key=lambda j: (int(((q[qi][:p] - q[j][:p]) ** 2).sum()), j),
+                )[:5]
+                want = len(set(pref) & set(full))
+                assert got[(qi, p)]["n_overlap"] == want
+                assert got[(qi, p)]["recall_at_5"] == round(want / 5, 4)
+        # the 64-prefix rows are the sanity anchor
+        assert all(got[(qi, 64)]["recall_at_5"] == 1.0 for qi in range(5))
