@@ -3483,8 +3483,113 @@ ORDER BY stratum
 """
 
 
+def orders_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVAL for a seasonal-naive daily
+    revenue forecast — distribution-free uncertainty quantification
+    (the guarantee: a 90% interval calibrated on exchangeable
+    residuals covers ≥90% of future points): forecast ŷ_d = y_{d−7}
+    (lag-7 seasonal naive), absolute residuals on the first 80% of
+    days calibrate q = the ⌈(n_cal+1)·0.9⌉-th smallest residual
+    (finite-sample-corrected exact order statistic), and the held-out
+    last 20% reports empirical coverage of ŷ ± q.
+
+    Exact throughout: cents residuals are integers, the quantile is an
+    explicit row_number order statistic (no quantile-definition
+    ambiguity), coverage is a count ratio with one float entry.
+
+    Scale shape: facts collapse to the day domain first; the lag, the
+    calibration ranking, and the coverage check all run on day rows
+    (bounded at any corpus size — allowlisted unpartitioned windows).
+    The day frame persists once for its four consumers (cal/test/
+    count/quantile branches) so the fact scan runs exactly once."""
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
+    orders = load(spark, sf_dir, "orders")
+    daily = persist_tracked(
+        orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 7).over(w).alias("yhat"),
+        F.row_number().over(w).alias("i"),
+    )
+    dd = lagged.agg(F.max("i").alias("d"))
+    base = (
+        lagged.crossJoin(F.broadcast(dd))
+        .filter(F.col("yhat").isNotNull())
+        .select(
+            "day",
+            F.abs(F.col("cents") - F.col("yhat")).alias("r"),
+            (F.col("i") <= F.ceil(F.col("d") * 0.8)).alias("is_cal"),
+        )
+    )
+    cal = base.filter(F.col("is_cal"))
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    wr = Window.orderBy("r", "day")
+    q = (
+        cal.select(F.row_number().over(wr).alias("rn"), "r")
+        .crossJoin(F.broadcast(n_cal))
+        .filter(F.col("rn") == F.ceil((F.col("n_cal") + 1) * 0.9))
+        .select(F.col("r").alias("q_cents"), "n_cal")
+    )
+    test = base.filter(~F.col("is_cal"))
+    return (
+        test.crossJoin(F.broadcast(q))
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.max("q_cents").alias("q_cents"),
+            F.sum(F.when(F.col("r") <= F.col("q_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.round(
+                F.sum(F.when(F.col("r") <= F.col("q_cents"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+    )
+
+
+CONFORMAL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT day, cents,
+         lag(cents, 7) OVER (ORDER BY day) AS yhat,
+         row_number() OVER (ORDER BY day) AS i
+  FROM daily
+), dd AS (SELECT max(i) AS d FROM lagged), base AS (
+  SELECT day, abs(cents - yhat) AS r, i <= ceil(d * 0.8) AS is_cal
+  FROM lagged CROSS JOIN dd
+  WHERE yhat IS NOT NULL
+), cal AS (SELECT * FROM base WHERE is_cal),
+n_cal AS (SELECT count(*) AS n_cal FROM cal),
+q AS (
+  SELECT r AS q_cents, n_cal
+  FROM (SELECT r, row_number() OVER (ORDER BY r, day) AS rn FROM cal)
+  CROSS JOIN n_cal
+  WHERE rn = ceil((n_cal + 1) * 0.9)
+)
+SELECT CAST(max(n_cal) AS BIGINT) AS n_cal,
+       count(*) AS n_test,
+       CAST(max(q_cents) AS BIGINT) AS q_cents,
+       CAST(sum(CASE WHEN r <= q_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       round(CAST(sum(CASE WHEN r <= q_cents THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS coverage
+FROM (SELECT * FROM base WHERE NOT is_cal) CROSS JOIN q
+"""
+
+
 QUERIES = {
     "events_psi_drift": QueryDef(events_psi_drift, PSI_DRIFT_SQL),
+    "orders_conformal_forecast": QueryDef(orders_conformal_forecast, CONFORMAL_SQL),
     "orders_purged_cv_folds": QueryDef(orders_purged_cv_folds, PURGED_CV_SQL),
     "customer_ipw_spend": QueryDef(customer_ipw_spend, IPW_SPEND_SQL),
     "lineitem_winsorize_prices": QueryDef(lineitem_winsorize_prices, WINSORIZE_SQL),

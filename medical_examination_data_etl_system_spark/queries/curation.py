@@ -944,8 +944,142 @@ ORDER BY segment
 """
 
 
+def customer_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-ADJUSTED EXPERIMENT READOUT — the variance-reduction step
+    every mature experimentation platform applies before the t-test
+    (Deng et al., WSDM'13): with the X189 salted assignment, Y = each
+    customer's spend in the SECOND half of the calendar range (the
+    "experiment period"), X = spend in the first half (pre-exposure
+    covariate), θ = cov(X,Y)/var(X) pooled across arms, and the
+    readout is the adjusted mean Ȳ_arm − θ·(X̄_arm − X̄) per arm plus
+    the variance-reduction factor ρ² (the fraction of Y-variance CUPED
+    removes).
+
+    Exactness: the period split is an integer epoch-day midpoint; all
+    five moments (n, Σx, Σy, Σxy, Σxx, Σyy) accumulate as exact
+    decimal(38,0)/HUGEINT cents so θ and ρ² are exact-integer algebra
+    with one float entry each; per-arm means are one float division;
+    zero-variance X degenerates to NULL adjustment on both engines.
+
+    Scale shape: orders collapse per (customer, period) map-side; one
+    broadcast-dim join for the arm; moments and the 2-row arm readout
+    are global algebraic aggregates."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    arm = curation.hash_bucket(F.concat(F.lit("ab1#"), F.col("c_custkey").cast("string")), 2)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("ed"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = orders.agg(F.min("ed").alias("mn"), F.max("ed").alias("mx"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(b))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("ed") <= F.expr("(mn + mx) div 2"), F.col("cents")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ed") > F.expr("(mn + mx) div 2"), F.col("cents")).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    base = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        arm.alias("arm"),
+        F.coalesce("x", F.lit(0)).cast("decimal(38,0)").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("decimal(38,0)").alias("y"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    g = base.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("ax"),
+        F.sum("y").alias("ay"),
+    )
+    theta = F.when(vx > 0, cov / vx)
+    rho2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    xbar_all = F.col("sx").cast("double") / F.col("n")
+    mean_y = F.col("ay").cast("double") / F.col("n_arm")
+    mean_x = F.col("ax").cast("double") / F.col("n_arm")
+    return (
+        g.crossJoin(F.broadcast(m))
+        .select(
+            "arm",
+            F.col("n_arm").alias("n"),
+            F.round(mean_y, 2).alias("mean_post_cents"),
+            F.round(mean_x, 2).alias("mean_pre_cents"),
+            F.round(mean_y - theta * (mean_x - xbar_all), 2).alias("cuped_adjusted_cents"),
+            F.round(theta, 6).alias("theta"),
+            F.round(rho2, 4).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
+CUPED_SQL = """
+WITH orders_e AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ed,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT min(ed) AS mn, max(ed) AS mx FROM orders_e
+), per_cust AS (
+  SELECT o_custkey,
+         sum(CASE WHEN ed <= (mn + mx) // 2 THEN cents ELSE 0 END) AS x,
+         sum(CASE WHEN ed > (mn + mx) // 2 THEN cents ELSE 0 END) AS y
+  FROM orders_e CROSS JOIN b
+  GROUP BY 1
+), base AS (
+  SELECT (('0x' || substr(md5('ab1#' || CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2) AS arm,
+         CAST(coalesce(p.x, 0) AS HUGEINT) AS x,
+         CAST(coalesce(p.y, 0) AS HUGEINT) AS y
+  FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM base
+), g AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_arm, sum(x) AS ax, sum(y) AS ay
+  FROM base GROUP BY 1
+)
+SELECT arm, n_arm AS n,
+       round(CAST(ay AS DOUBLE) / n_arm, 2) AS mean_post_cents,
+       round(CAST(ax AS DOUBLE) / n_arm, 2) AS mean_pre_cents,
+       round(CAST(ay AS DOUBLE) / n_arm
+             - (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE) END)
+               * (CAST(ax AS DOUBLE) / n_arm - CAST(sx AS DOUBLE) / n), 2)
+         AS cuped_adjusted_cents,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS theta,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END, 4)
+         AS var_reduction
+FROM g CROSS JOIN m
+ORDER BY arm
+"""
+
+
 QUERIES = {
     "customer_ab_assignment": QueryDef(customer_ab_assignment, AB_ASSIGNMENT_SQL),
+    "customer_cuped_readout": QueryDef(customer_cuped_readout, CUPED_SQL),
     "docs_gopher_quality_rules": QueryDef(docs_gopher_quality_rules, GOPHER_RULES_SQL),
     "docs_feature_hashing": QueryDef(docs_feature_hashing, FEATURE_HASHING_SQL),
     "docs_temperature_mix": QueryDef(docs_temperature_mix, TEMPERATURE_MIX_SQL),

@@ -179,6 +179,15 @@ HEAVY_EXTENSION = [
     "events_cusum_changepoint",
     "emb_drift_monitor",
     "lineitem_winsorize_prices",
+    # round-12 additions: drift / CV / causal / experimentation /
+    # vector-truncation / uncertainty families
+    "events_psi_drift",
+    "orders_purged_cv_folds",
+    "customer_ipw_spend",
+    "customer_ab_assignment",
+    "emb_matryoshka_recall",
+    "orders_conformal_forecast",
+    "customer_cuped_readout",
 ]
 
 

@@ -193,6 +193,108 @@ class TestAbAssignment:
         assert [r["a"] for r in a1] != [r["a"] for r in a2]
 
 
+class TestConformalForecast:
+    def _orders(self, cents_by_day):
+        return [
+            Row(o_orderkey=i + 1, o_custkey=1, o_orderdate=date(2024, 1, 1 + i),
+                o_totalprice=c / 100.0, o_orderpriority="5-LOW")
+            for i, c in enumerate(cents_by_day)
+        ]
+
+    def test_constant_seasonal_residuals_full_coverage(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # cents = 100*i -> every lag-7 residual is exactly 700
+        rows = self._orders([100 * (i + 1) for i in range(20)])
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        (r,) = qa.orders_conformal_forecast(spark, "_").collect()
+        # D=20: residual rows i=8..20 (13); cal i<=16 (9 rows), test 17..20 (4)
+        assert r["n_cal"] == 9 and r["n_test"] == 4
+        assert r["q_cents"] == 700  # 9th of 9 identical residuals
+        assert r["coverage"] == 1.0 and r["n_covered"] == 4
+
+    def test_holdout_spike_breaks_coverage(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        cents = [100 * (i + 1) for i in range(20)]
+        cents[18] += 5000  # day 19 (test region): residual 5700 > q=700
+        rows = self._orders(cents)
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        (r,) = qa.orders_conformal_forecast(spark, "_").collect()
+        assert r["q_cents"] == 700
+        assert r["n_covered"] == 3 and r["coverage"] == 0.75
+
+
+class TestCupedReadout:
+    def test_planted_theta_and_adjustment(self, spark, monkeypatch):
+        import hashlib
+
+        from medical_examination_data_etl_system_spark.queries import curation as qc
+
+        # 8 customers, pre-spend x and post-spend y correlated (y = 2x + noise)
+        xy = {1: (100, 250), 2: (200, 410), 3: (300, 650), 4: (400, 790),
+              5: (500, 1050), 6: (600, 1180), 7: (700, 1450), 8: (800, 1570)}
+        cust = [Row(c_custkey=k, c_mktsegment="S") for k in xy]
+        orders = []
+        ok = 0
+        for ck, (x, y) in xy.items():
+            for ed, cents in ((date(2024, 1, 2), x), (date(2024, 1, 30), y)):
+                ok += 1
+                orders.append(Row(o_orderkey=ok, o_custkey=ck, o_orderdate=ed,
+                                  o_totalprice=cents / 100.0, o_orderpriority="5-LOW"))
+
+        def fake_load(s, d, t):
+            return spark.createDataFrame(cust if t == "customer" else orders)
+
+        monkeypatch.setattr(qc, "load", fake_load)
+        got = {r["arm"]: r.asDict() for r in qc.customer_cuped_readout(spark, "_").collect()}
+
+        def arm_of(ck):
+            return int(hashlib.md5(f"ab1#{ck}".encode()).hexdigest()[:8], 16) % 2
+
+        n = len(xy)
+        sx = sum(x for x, _ in xy.values()); sy = sum(y for _, y in xy.values())
+        sxy = sum(x * y for x, y in xy.values()); sxx = sum(x * x for x, _ in xy.values())
+        theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        xbar = sx / n
+
+        def r_half_up(v, nd):  # Spark/DuckDB round() is HALF_UP, python's is banker's
+            s = 10 ** nd
+            return math.floor(v * s + 0.5) / s
+
+        for a in (0, 1):
+            ks = [k for k in xy if arm_of(k) == a]
+            assert got[a]["n"] == len(ks)
+            my = sum(xy[k][1] for k in ks) / len(ks)
+            mx = sum(xy[k][0] for k in ks) / len(ks)
+            assert got[a]["mean_post_cents"] == r_half_up(my, 2)
+            assert got[a]["cuped_adjusted_cents"] == r_half_up(my - theta * (mx - xbar), 2)
+            assert got[a]["theta"] == r_half_up(theta, 6)
+        # strong correlation planted -> CUPED removes most variance
+        assert got[0]["var_reduction"] > 0.95
+
+    def test_zero_variance_pre_period_degrades_gracefully(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import curation as qc
+
+        # every customer has identical pre-spend -> var(X)=0 -> NULL theta
+        cust = [Row(c_custkey=k, c_mktsegment="S") for k in (1, 2, 3, 4)]
+        orders = []
+        ok = 0
+        for ck in (1, 2, 3, 4):
+            for ed, cents in ((date(2024, 1, 2), 100), (date(2024, 1, 30), 100 * ck)):
+                ok += 1
+                orders.append(Row(o_orderkey=ok, o_custkey=ck, o_orderdate=ed,
+                                  o_totalprice=cents / 100.0, o_orderpriority="5-LOW"))
+
+        def fake_load(s, d, t):
+            return spark.createDataFrame(cust if t == "customer" else orders)
+
+        monkeypatch.setattr(qc, "load", fake_load)
+        for r in qc.customer_cuped_readout(spark, "_").collect():
+            assert r["theta"] is None and r["cuped_adjusted_cents"] is None
+            assert r["mean_post_cents"] is not None
+
+
 class TestMatryoshkaRecall:
     def test_numpy_cross_check(self, spark, monkeypatch):
         from medical_examination_data_etl_system_spark.queries import datapipe as qd
