@@ -3587,8 +3587,97 @@ FROM (SELECT * FROM base WHERE NOT is_cal) CROSS JOIN q
 """
 
 
+def lineitem_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM COLLABORATIVE FILTERING — the classic recsys
+    candidate generator (Amazon-style "bought together"): cosine
+    similarity between parts over the order-basket incidence,
+    sim(i,j) = cooc(i,j)/√(deg(i)·deg(j)), min support 2, global
+    top-10 pairs.
+
+    Cross-engine determinism: the RANKING key is the exact integer
+    ⌊cooc²·10¹² / (degᵢ·degⱼ)⌋ (decimal/HUGEINT intermediates, value
+    ≤ 10¹² since cooc ≤ min(deg)) with (i, j) tie-break — float cosine
+    never decides order (two near-equal cosines could rank differently
+    per engine at 1e-16); the displayed cosine is one float entry,
+    rounded 4.
+
+    Scale shape: pair enumeration is the basket self-join — Σ|basket|²
+    per order, bounded by basket size (≤17 here), NOT catalog² — then
+    one (i,j)-keyed count with map-side partials, two broadcast-able
+    degree joins, and the global top-10 is TakeOrderedAndProject."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("i"))
+    b = li.select("o", F.col("p").alias("j"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    deg = li.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    scored = (
+        pairs.join(deg.select(F.col("p").alias("i"), F.col("deg").alias("di")), "i")
+        .join(deg.select(F.col("p").alias("j"), F.col("deg").alias("dj")), "j")
+        .select(
+            F.col("i").alias("part_a"),
+            F.col("j").alias("part_b"),
+            "cooc",
+            F.col("di").alias("deg_a"),
+            F.col("dj").alias("deg_b"),
+            F.expr(
+                "(CAST(cooc AS DECIMAL(38,0)) * cooc * 1000000000000)"
+                " div (CAST(di AS DECIMAL(38,0)) * dj)"
+            ).alias("score_key"),
+            F.round(
+                F.col("cooc").cast("double")
+                / F.sqrt(F.col("di").cast("double") * F.col("dj")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_key"), "part_a", "part_b")
+        .limit(10)
+        .select("part_a", "part_b", "cooc", "deg_a", "deg_b", "cosine")
+    )
+
+
+ITEMCF_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pairs AS (
+  SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS cooc
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), deg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM li GROUP BY 1
+), scored AS (
+  SELECT pr.i AS part_a, pr.j AS part_b, pr.cooc,
+         da.deg AS deg_a, db.deg AS deg_b,
+         CAST((CAST(pr.cooc AS HUGEINT) * pr.cooc * 1000000000000)
+              // (CAST(da.deg AS HUGEINT) * db.deg) AS BIGINT) AS score_key,
+         round(CAST(pr.cooc AS DOUBLE)
+               / sqrt(CAST(da.deg AS DOUBLE) * db.deg), 4) AS cosine
+  FROM pairs pr
+  JOIN deg da ON da.p = pr.i
+  JOIN deg db ON db.p = pr.j
+)
+SELECT part_a, part_b, cooc, deg_a, deg_b, cosine
+FROM scored
+ORDER BY score_key DESC, part_a, part_b
+LIMIT 10
+"""
+
+
 QUERIES = {
     "events_psi_drift": QueryDef(events_psi_drift, PSI_DRIFT_SQL),
+    "lineitem_itemcf_recommend": QueryDef(lineitem_itemcf_recommend, ITEMCF_SQL),
     "orders_conformal_forecast": QueryDef(orders_conformal_forecast, CONFORMAL_SQL),
     "orders_purged_cv_folds": QueryDef(orders_purged_cv_folds, PURGED_CV_SQL),
     "customer_ipw_spend": QueryDef(customer_ipw_spend, IPW_SPEND_SQL),

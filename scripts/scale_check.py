@@ -188,6 +188,7 @@ HEAVY_EXTENSION = [
     "emb_matryoshka_recall",
     "orders_conformal_forecast",
     "customer_cuped_readout",
+    "lineitem_itemcf_recommend",
 ]
 
 

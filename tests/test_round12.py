@@ -295,6 +295,41 @@ class TestCupedReadout:
             assert r["mean_post_cents"] is not None
 
 
+class TestItemCfRecommend:
+    def test_planted_cosines_and_support_floor(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # parts 1,2 co-occur in 2 of their baskets; deg(1)=3, deg(2)=2
+        #   -> cosine = 2/sqrt(6)
+        # parts 1,3 co-occur once only -> below min support, excluded
+        baskets = {10: [1, 2], 20: [1, 2], 30: [1, 3], 40: [3, 4], 50: [3, 4]}
+        rows = [Row(l_orderkey=o, l_partkey=p, l_quantity=1.0,
+                    l_extendedprice=1.0, l_discount=0.0)
+                for o, ps in baskets.items() for p in ps]
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        got = {(r["part_a"], r["part_b"]): r.asDict()
+               for r in qa.lineitem_itemcf_recommend(spark, "_").collect()}
+        assert set(got) == {(1, 2), (3, 4)}
+        assert got[(1, 2)]["cooc"] == 2
+        assert got[(1, 2)]["cosine"] == round(2 / math.sqrt(3 * 2), 4)
+        # (3,4): cooc 2, deg(3)=3, deg(4)=2 -> same cosine; ranking is
+        # by the exact integer key then (i, j): (1,2) before (3,4)
+        assert list(got)[0] == (1, 2)
+
+    def test_duplicate_lineitems_count_once(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # the same part twice in one order must not inflate cooc/deg
+        rows = [Row(l_orderkey=o, l_partkey=p, l_quantity=1.0,
+                    l_extendedprice=1.0, l_discount=0.0)
+                for o, ps in {1: [7, 7, 8], 2: [7, 8, 8]}.items() for p in ps]
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        (r,) = qa.lineitem_itemcf_recommend(spark, "_").collect()
+        assert (r["part_a"], r["part_b"], r["cooc"]) == (7, 8, 2)
+        assert r["deg_a"] == 2 and r["deg_b"] == 2
+        assert r["cosine"] == 1.0
+
+
 class TestMatryoshkaRecall:
     def test_numpy_cross_check(self, spark, monkeypatch):
         from medical_examination_data_etl_system_spark.queries import datapipe as qd
