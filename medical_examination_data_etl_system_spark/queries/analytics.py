@@ -523,8 +523,12 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         "n_edges",
         "n_triangles",
-        F.round(
-            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        # wedge-free guard (r08 div-audit): a degree-<=1 graph has no
+        # wedges -> NULL clustering on both engines, not an
+        # engine-divergent 0/0
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
         ).alias("clustering"),
     )
 
@@ -545,8 +549,10 @@ WITH e AS (
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
        (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles,
-       round(3.0 * (SELECT n_triangles FROM tri)
-             / (SELECT sum(d * (d - 1) / 2) FROM deg), 6) AS clustering
+       CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+            THEN round(3.0 * (SELECT n_triangles FROM tri)
+                       / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+       END AS clustering
 """
 
 
@@ -626,7 +632,9 @@ def orders_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(cents_dec * cents_dec).over(w).cast("double")
     mean = sx / n
     var = (sxx - sx * sx / n) / n
-    z = (F.col("cents") - mean) / F.sqrt(var)
+    # constant-window guard (r08 div-audit): var <= 0 (all-equal
+    # window, or a negative float epsilon) -> NULL z on both engines
+    z = F.when(var > 0, (F.col("cents") - mean) / F.sqrt(var))
     flagged = daily.select(
         "day",
         "cents",
@@ -660,10 +668,12 @@ WITH daily AS (
 ), scored AS (
   SELECT day, cents, CAST(n_window AS BIGINT) AS n_window,
          round(sx / n_window, 4) AS mean_cents,
-         round((cents - sx / n_window)
-               / sqrt((sxx - sx * sx / n_window) / n_window), 4) AS z,
-         abs((cents - sx / n_window)
-             / sqrt((sxx - sx * sx / n_window) / n_window)) > 2 AS anomaly
+         round(CASE WHEN (sxx - sx * sx / n_window) / n_window > 0
+                    THEN (cents - sx / n_window)
+                         / sqrt((sxx - sx * sx / n_window) / n_window) END, 4) AS z,
+         abs(CASE WHEN (sxx - sx * sx / n_window) / n_window > 0
+                  THEN (cents - sx / n_window)
+                       / sqrt((sxx - sx * sx / n_window) / n_window) END) > 2 AS anomaly
   FROM stats WHERE n_window >= 14
 )
 SELECT day, cents, n_window, mean_cents, z, anomaly
@@ -755,7 +765,9 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(
             "l_returnflag",
             F.col("n").cast("long").alias("n_lines"),
-            F.round(num / den, 6).alias("price_qty_corr"),
+            # zero-variance guard (r08 div-audit): constant price or
+            # qty in a group -> NULL corr on both engines
+            F.when(den > 0, F.round(num / den, 6)).alias("price_qty_corr"),
         )
         .orderBy("l_returnflag")
     )
@@ -777,9 +789,12 @@ WITH agg AS (
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_lines,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS price_qty_corr
+       CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS price_qty_corr
 FROM agg
 ORDER BY l_returnflag
 """
@@ -977,7 +992,8 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col(flag).alias("l_returnflag"),
         F.col("n").cast("long").alias("n_lines"),
-        F.round(num / den, 6).alias("spearman_rho"),
+        # zero-variance guard (r08 div-audit): all-tied ranks -> NULL
+        F.when(den > 0, F.round(num / den, 6)).alias("spearman_rho"),
     ).orderBy("l_returnflag")
 
 
@@ -1001,9 +1017,12 @@ WITH ranked AS (
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_lines,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+       CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS spearman_rho
 FROM agg
 ORDER BY l_returnflag
 """
@@ -3675,8 +3694,114 @@ LIMIT 10
 """
 
 
+def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test — the nonparametric two-sample
+    test (does URGENT-priority order value stochastically dominate the
+    rest?), the distribution-free companion to the CUPED/IPW
+    parametric readouts: tie-corrected U, its null mean, and the
+    normal-approximation z, with |z| > 1.96 as the significance flag.
+
+    The 100 TB trick: rank sums NEVER rank rows — they come from the
+    VALUE DOMAIN (per distinct cents: group counts + one cumulative
+    window), using doubled midranks (2·midrank = 2·cum_before + t + 1)
+    so every accumulation is an exact decimal/HUGEINT integer; U, μ
+    and the tie-corrected σ² enter float once each in the identical
+    closed form on both engines; zero-variance (all values tied)
+    yields NULL z identically.
+
+    Scale shape: one map-side value-domain collapse, one bounded-domain
+    cumulative window (allowlisted), one global algebraic aggregate."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),
+    )
+    vals = orders.groupBy("v").agg(
+        F.sum("g").cast("long").alias("n1v"),
+        F.count(F.lit(1)).alias("ntv"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vals.select(
+        "v",
+        "n1v",
+        "ntv",
+        (F.sum("ntv").over(w) - F.col("ntv")).alias("cb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = cum.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum("ntv").alias("nt"),
+        F.sum(dec(F.col("n1v")) * (2 * F.col("cb") + F.col("ntv") + 1)).alias("r1d"),
+        F.sum(dec(F.col("ntv")) * F.col("ntv") * F.col("ntv") - F.col("ntv")).alias("tie"),
+    )
+    n1 = F.col("n1")
+    n0 = F.col("nt") - n1
+    u1 = (F.col("r1d") - dec(n1) * (n1 + 1)).cast("double") / 2.0
+    mu = (dec(n1) * n0).cast("double") / 2.0
+    sig2 = ((dec(n1) * n0).cast("double") / 12.0) * (
+        (F.col("nt") + 1).cast("double")
+        - F.col("tie").cast("double") / (dec(F.col("nt")) * (F.col("nt") - 1)).cast("double")
+    )
+    z = F.when(sig2 > 0, F.round((u1 - mu) / F.sqrt(sig2), 4))
+    return m.select(
+        n1.alias("n_urgent"),
+        n0.cast("long").alias("n_other"),
+        F.round(u1, 1).alias("u_stat"),
+        F.round(mu, 1).alias("u_null_mean"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+  FROM orders
+), vals AS (
+  SELECT v, CAST(sum(g) AS BIGINT) AS n1v, CAST(count(*) AS BIGINT) AS ntv
+  FROM base GROUP BY 1
+), cum AS (
+  SELECT v, n1v, ntv,
+         sum(ntv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - ntv AS cb
+  FROM vals
+), m AS (
+  SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+         CAST(sum(ntv) AS BIGINT) AS nt,
+         sum(CAST(n1v AS HUGEINT) * (2 * cb + ntv + 1)) AS r1d,
+         sum(CAST(ntv AS HUGEINT) * ntv * ntv - ntv) AS tie
+  FROM cum
+)
+SELECT n1 AS n_urgent,
+       CAST(nt - n1 AS BIGINT) AS n_other,
+       round(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0, 1) AS u_stat,
+       round(CAST(CAST(n1 AS HUGEINT) * (nt - n1) AS DOUBLE) / 2.0, 1) AS u_null_mean,
+       CASE WHEN (CAST(CAST(n1 AS HUGEINT) * (nt - n1) AS DOUBLE) / 12.0)
+                 * (CAST(nt + 1 AS DOUBLE)
+                    - CAST(tie AS DOUBLE) / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE)) > 0
+            THEN round((CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0
+                        - CAST(CAST(n1 AS HUGEINT) * (nt - n1) AS DOUBLE) / 2.0)
+                       / sqrt((CAST(CAST(n1 AS HUGEINT) * (nt - n1) AS DOUBLE) / 12.0)
+                              * (CAST(nt + 1 AS DOUBLE)
+                                 - CAST(tie AS DOUBLE)
+                                   / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE))), 4)
+       END AS z,
+       abs(CASE WHEN (CAST(CAST(n1 AS HUGEINT) * (nt - n1) AS DOUBLE) / 12.0)
+                     * (CAST(nt + 1 AS DOUBLE)
+                        - CAST(tie AS DOUBLE) / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE)) > 0
+                THEN round((CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0
+                            - CAST(CAST(n1 AS HUGEINT) * (nt - n1) AS DOUBLE) / 2.0)
+                           / sqrt((CAST(CAST(n1 AS HUGEINT) * (nt - n1) AS DOUBLE) / 12.0)
+                                  * (CAST(nt + 1 AS DOUBLE)
+                                     - CAST(tie AS DOUBLE)
+                                       / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE))), 4)
+           END) > 1.96 AS significant
+FROM m
+"""
+
+
 QUERIES = {
     "events_psi_drift": QueryDef(events_psi_drift, PSI_DRIFT_SQL),
+    "orders_mann_whitney": QueryDef(orders_mann_whitney, MANN_WHITNEY_SQL),
     "lineitem_itemcf_recommend": QueryDef(lineitem_itemcf_recommend, ITEMCF_SQL),
     "orders_conformal_forecast": QueryDef(orders_conformal_forecast, CONFORMAL_SQL),
     "orders_purged_cv_folds": QueryDef(orders_purged_cv_folds, PURGED_CV_SQL),

@@ -2614,7 +2614,12 @@ def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "i",
-            F.round((F.col("q").cast("double") - mean) / F.sqrt(var), 6).alias("z"),
+            # constant-dimension guard (r08 div-audit): var <= 0 ->
+            # NULL z on both engines, not an engine-divergent 0/0
+            F.when(
+                var > 0,
+                F.round((F.col("q").cast("double") - mean) / F.sqrt(var), 6),
+            ).alias("z"),
         )
         .orderBy("vec_id", "i")
     )
@@ -2633,10 +2638,13 @@ WITH q AS (
   FROM q GROUP BY i
 )
 SELECT q.vec_id, CAST(q.i AS INTEGER) AS i,
-       round((CAST(q.q AS DOUBLE) - CAST(s.sq AS DOUBLE) / s.n)
-             / sqrt((CAST(s.sqq AS DOUBLE)
-                     - CAST(s.sq AS DOUBLE) * CAST(s.sq AS DOUBLE) / s.n) / s.n),
-             6) AS z
+       CASE WHEN (CAST(s.sqq AS DOUBLE)
+                  - CAST(s.sq AS DOUBLE) * CAST(s.sq AS DOUBLE) / s.n) / s.n > 0
+            THEN round((CAST(q.q AS DOUBLE) - CAST(s.sq AS DOUBLE) / s.n)
+                       / sqrt((CAST(s.sqq AS DOUBLE)
+                               - CAST(s.sq AS DOUBLE) * CAST(s.sq AS DOUBLE) / s.n) / s.n),
+                       6)
+       END AS z
 FROM q JOIN stats s ON q.i = s.i
 ORDER BY q.vec_id, q.i
 """

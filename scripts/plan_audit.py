@@ -74,6 +74,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "orders_purged_cv_folds": "day-index window = one row per distinct day (time-bounded domain)",
     "customer_ipw_spend": "overall-ATE fold = one row per market segment (dimension-bounded, <=5 rows)",
     "orders_conformal_forecast": "lag/index + residual-rank windows = one row per day (time-bounded domain)",
+    "orders_mann_whitney": "cumulative window = distinct-cents value domain (never ranks rows)",
 }
 
 

@@ -189,6 +189,7 @@ HEAVY_EXTENSION = [
     "orders_conformal_forecast",
     "customer_cuped_readout",
     "lineitem_itemcf_recommend",
+    "orders_mann_whitney",
 ]
 
 

@@ -330,6 +330,53 @@ class TestItemCfRecommend:
         assert r["cosine"] == 1.0
 
 
+class TestMannWhitney:
+    def _orders(self, spark, urgent_vals, other_vals):
+        rows = []
+        ok = 0
+        for vals, pr in ((urgent_vals, "1-URGENT"), (other_vals, "5-LOW")):
+            for v in vals:
+                ok += 1
+                rows.append(Row(o_orderkey=ok, o_custkey=1,
+                                o_orderdate=date(2024, 1, 1),
+                                o_totalprice=v / 100.0, o_orderpriority=pr))
+        return spark.createDataFrame(rows)
+
+    def test_textbook_tied_example(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # urgent {5,7}, other {1,3,5}: midranks 1,2,3.5,3.5,5
+        # R1 = 3.5+5 = 8.5 -> U1 = 8.5 - 3 = 5.5; mu = 3
+        # tie term: one tie of size 2 -> T = 6
+        # sig2 = (2*3/12) * ((5+1) - 6/(5*4)) = 0.5 * 5.7 = 2.85
+        df = self._orders(spark, [5, 7], [1, 3, 5])
+        monkeypatch.setattr(qa, "load", lambda s, d, t: df)
+        (r,) = qa.orders_mann_whitney(spark, "_").collect()
+        assert (r["n_urgent"], r["n_other"]) == (2, 3)
+        assert r["u_stat"] == 5.5 and r["u_null_mean"] == 3.0
+        assert r["z"] == round(2.5 / math.sqrt(2.85), 4)
+        assert r["significant"] is False
+
+    def test_all_tied_null_z(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        df = self._orders(spark, [5, 5], [5, 5, 5])
+        monkeypatch.setattr(qa, "load", lambda s, d, t: df)
+        (r,) = qa.orders_mann_whitney(spark, "_").collect()
+        assert r["z"] is None and r["significant"] is None
+        assert r["u_stat"] == r["u_null_mean"] == 3.0
+
+    def test_clean_separation_significant(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # urgent strictly above other, no ties, big enough for |z|>1.96
+        df = self._orders(spark, list(range(101, 111)), list(range(1, 11)))
+        monkeypatch.setattr(qa, "load", lambda s, d, t: df)
+        (r,) = qa.orders_mann_whitney(spark, "_").collect()
+        assert r["u_stat"] == 100.0  # every urgent beats every other
+        assert r["significant"] is True
+
+
 class TestMatryoshkaRecall:
     def test_numpy_cross_check(self, spark, monkeypatch):
         from medical_examination_data_etl_system_spark.queries import datapipe as qd
