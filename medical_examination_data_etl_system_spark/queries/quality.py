@@ -241,26 +241,34 @@ ORDER BY c_mktsegment, rnk
 
 
 def layout_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source/sink format breadth: nation written as CSV (with header)
-    AND as JSON-lines, both read back with EXPLICIT schemas (never
-    inference — the engine's schema discipline), joined to verify the
-    two round trips agree row-for-row, then aggregated per region. The
-    oracle computes from the parquet source, so any value corruption in
-    either text format fails the hash."""
+    """Source/sink format breadth: nation written as CSV (with
+    header), JSON-lines, AND ORC (the three non-parquet formats Spark
+    ships natively), all read back with EXPLICIT schemas (never
+    inference — the engine's schema discipline), three-way joined to
+    verify the round trips agree row-for-row, then aggregated per
+    region. The oracle computes from the parquet source, so any value
+    corruption in any format fails the hash."""
     import tempfile
 
     nation = load(spark, sf_dir, "nation")
     d = tempfile.mkdtemp(prefix="fmt_roundtrip_")
     nation.write.mode("overwrite").option("header", True).csv(f"{d}/csv")
     nation.write.mode("overwrite").json(f"{d}/json")
+    nation.write.mode("overwrite").orc(f"{d}/orc")
     schema = nation.schema
     from_csv = spark.read.option("header", True).schema(schema).csv(f"{d}/csv")
     from_json_f = spark.read.schema(schema).json(f"{d}/json")
-    joined = from_csv.alias("c").join(
-        from_json_f.alias("j"), F.col("c.n_nationkey") == F.col("j.n_nationkey")
+    from_orc = spark.read.schema(schema).orc(f"{d}/orc")
+    joined = (
+        from_csv.alias("c")
+        .join(from_json_f.alias("j"), F.col("c.n_nationkey") == F.col("j.n_nationkey"))
+        .join(from_orc.alias("o"), F.col("c.n_nationkey") == F.col("o.n_nationkey"))
     )
     return (
-        joined.filter(F.col("c.n_name") == F.col("j.n_name"))
+        joined.filter(
+            (F.col("c.n_name") == F.col("j.n_name"))
+            & (F.col("c.n_name") == F.col("o.n_name"))
+        )
         .groupBy(F.col("c.n_regionkey").alias("n_regionkey"))
         .agg(
             F.count(F.lit(1)).alias("n_nations"),
