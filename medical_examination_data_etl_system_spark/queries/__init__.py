@@ -85,15 +85,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # adaptive collapse r5, CC loop hygiene r5/r6); 47-50 start burning the
 # r04-stale backlog (q9/q12/q20/q21). Every name is hash-green in the
 # local oracle-parity replica before commit (scripts/parity_subset.py).
-# Positions 51+ are the COMMITTED R09 PLAN (VERDICT r7 #5): the nine
+# Positions 51+ are the COMMITTED R09 PLAN (VERDICT r7 #5): the ten
 # round-12 additions first (zero driver rows — PSI drift, purged CV,
 # IPW, A/B assignment, matryoshka recall, conformal forecast, CUPED,
-# itemCF, Mann-Whitney; all hash-green in the local replica and
-# 100×-checked when added), then q22 + the remaining 44 r04-stale rows
-# (the window cuts at 50, so the last four r04-stale rows here roll to
-# r10). The rest of the registry follows in module order (r05-r07
-# evidence, all locally green); the oldest r05-stale rows
-# (agg_grouping_sets …) continue the r10 rotation.
+# itemCF, Mann-Whitney, off-policy eval; all hash-green in the local
+# replica and 100×-checked when added), then q22 + the remaining 44
+# r04-stale rows (the window cuts at 50, so the last five r04-stale
+# rows here roll to r10). The rest of the registry follows in module
+# order (r05-r07 evidence, all locally green); the oldest r05-stale
+# rows (agg_grouping_sets …) continue the r10 rotation.
 # Every name is asserted against the registry below (ADVICE r4).
 _DRIVER_WINDOW_PRIORITY = [
     # -- r08 window: 17 zero-driver-row round-11-late queries --
@@ -161,6 +161,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "customer_cuped_readout",
     "lineitem_itemcf_recommend",
     "orders_mann_whitney",
+    "events_offpolicy_eval",
     "q22_global_sales_opportunity",
     "agg_approx_distinct_parts",
     "agg_cube_status_priority",

@@ -3799,8 +3799,108 @@ FROM m
 """
 
 
+def events_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFF-POLICY EVALUATION (IPS and SNIPS) — counterfactual policy
+    value from logged interaction data, the estimator a recommender
+    team runs over petabyte click logs before an online test: the
+    logging policy is a uniform random 4-arm assignment (arm =
+    md5('ope#'||event_id) mod 4, so the propensity is EXACTLY 1/4 and
+    known — the md5 convention makes the "randomization" replayable on
+    both engines), reward = event value cents, and two deterministic
+    target policies are scored (personalized: arm ≡ user_id mod 4;
+    constant: always arm 0). Per policy: the inverse-propensity-scored
+    value Σr·w/N (w = 4·1[match]), the self-normalized SNIPS value
+    Σr·w/Σw, match rate, and the effective sample size (Σw)²/Σw² —
+    the diagnostics that tell you whether the estimate is usable.
+
+    Exactness: with a uniform logger every sum collapses to exact
+    integers (Σr·w = 4·Σ matching cents; Σw = 4·n_match; ESS =
+    n_match), so the three ratios are the only float entries, each in
+    the identical closed form both engines.
+
+    Scale shape: one map-side policy fan-out (×2), one algebraic
+    aggregate per policy — log-volume-linear, no shuffle before the
+    2-row result."""
+    from medical_examination_data_etl_system_spark.operators.curation import hash_bucket
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("r"),
+    )
+    logged = ev.select(
+        "user_id",
+        "r",
+        hash_bucket(F.concat(F.lit("ope#"), F.col("event_id").cast("string")), 4).alias("a"),
+    )
+    pol = logged.select(
+        "r",
+        "a",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("personalized_mod4").alias("policy"),
+                    (F.col("user_id") % 4).alias("pi"),
+                ),
+                F.struct(F.lit("always_arm0").alias("policy"), F.lit(0).cast("long").alias("pi")),
+            )
+        ).alias("p"),
+    ).select("r", "a", F.col("p.policy").alias("policy"), F.col("p.pi").alias("pi"))
+    agg = pol.groupBy("policy").agg(
+        F.count(F.lit(1)).alias("n_logged"),
+        F.sum(F.when(F.col("a") == F.col("pi"), 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("a") == F.col("pi"), F.col("r")).otherwise(0)).alias("s_match"),
+    )
+    return (
+        agg.select(
+            "policy",
+            "n_logged",
+            "n_matched",
+            F.round(F.col("n_matched").cast("double") / F.col("n_logged"), 4).alias("match_rate"),
+            F.round(
+                4.0 * F.col("s_match").cast("double") / F.col("n_logged"), 2
+            ).alias("ips_value_cents"),
+            F.when(
+                F.col("n_matched") > 0,
+                F.round(F.col("s_match").cast("double") / F.col("n_matched"), 2),
+            ).alias("snips_value_cents"),
+            F.col("n_matched").alias("effective_sample_size"),
+        )
+        .orderBy("policy")
+    )
+
+
+OFFPOLICY_SQL = """
+WITH logged AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS r,
+         (('0x' || substr(md5('ope#' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 4) AS a
+  FROM events
+), pol AS (
+  SELECT r, a, 'personalized_mod4' AS policy, user_id % 4 AS pi FROM logged
+  UNION ALL
+  SELECT r, a, 'always_arm0' AS policy, CAST(0 AS BIGINT) AS pi FROM logged
+), agg AS (
+  SELECT policy,
+         CAST(count(*) AS BIGINT) AS n_logged,
+         CAST(sum(CASE WHEN a = pi THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         CAST(sum(CASE WHEN a = pi THEN r ELSE 0 END) AS BIGINT) AS s_match
+  FROM pol GROUP BY 1
+)
+SELECT policy, n_logged, n_matched,
+       round(CAST(n_matched AS DOUBLE) / n_logged, 4) AS match_rate,
+       round(4.0 * CAST(s_match AS DOUBLE) / n_logged, 2) AS ips_value_cents,
+       CASE WHEN n_matched > 0
+            THEN round(CAST(s_match AS DOUBLE) / n_matched, 2) END AS snips_value_cents,
+       n_matched AS effective_sample_size
+FROM agg
+ORDER BY policy
+"""
+
+
 QUERIES = {
     "events_psi_drift": QueryDef(events_psi_drift, PSI_DRIFT_SQL),
+    "events_offpolicy_eval": QueryDef(events_offpolicy_eval, OFFPOLICY_SQL),
     "orders_mann_whitney": QueryDef(orders_mann_whitney, MANN_WHITNEY_SQL),
     "lineitem_itemcf_recommend": QueryDef(lineitem_itemcf_recommend, ITEMCF_SQL),
     "orders_conformal_forecast": QueryDef(orders_conformal_forecast, CONFORMAL_SQL),

@@ -190,6 +190,7 @@ HEAVY_EXTENSION = [
     "customer_cuped_readout",
     "lineitem_itemcf_recommend",
     "orders_mann_whitney",
+    "events_offpolicy_eval",
 ]
 
 

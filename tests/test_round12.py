@@ -377,6 +377,56 @@ class TestMannWhitney:
         assert r["significant"] is True
 
 
+class TestOffpolicyEval:
+    def test_uniform_logger_identities(self, spark, monkeypatch):
+        import hashlib
+
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        rows = [Row(event_id=i, user_id=i % 7, ts=_ts("2024-01-01T01:00:00"),
+                    event_type="view", value=float(i % 13 + 1), props="{}")
+                for i in range(1, 201)]
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        got = {r["policy"]: r.asDict() for r in qa.events_offpolicy_eval(spark, "_").collect()}
+
+        def arm(eid):
+            return int(hashlib.md5(f"ope#{eid}".encode()).hexdigest()[:8], 16) % 4
+
+        for policy, pi_of in (("personalized_mod4", lambda u: u % 4),
+                              ("always_arm0", lambda u: 0)):
+            matched = [(i, (i % 13 + 1) * 100) for i in range(1, 201)
+                       if arm(i) == pi_of(i % 7)]
+            n, nm = 200, len(matched)
+            s = sum(c for _, c in matched)
+            r = got[policy]
+            assert (r["n_logged"], r["n_matched"]) == (n, nm)
+            assert r["ips_value_cents"] == round(4.0 * s / n, 2)
+            assert r["snips_value_cents"] == round(s / nm, 2)
+            # uniform logger -> ESS degenerates to the match count
+            assert r["effective_sample_size"] == nm
+
+    def test_no_match_policy_null_snips(self, spark, monkeypatch):
+        from medical_examination_data_etl_system_spark.queries import analytics as qa
+
+        # single event whose logged arm can't be 0 AND user_id%4 both...
+        # construct: user_id chosen so personalized pi != arm and arm != 0
+        import hashlib
+
+        eid = next(i for i in range(1, 50)
+                   if int(hashlib.md5(f"ope#{i}".encode()).hexdigest()[:8], 16) % 4
+                   not in (0,))
+        arm = int(hashlib.md5(f"ope#{eid}".encode()).hexdigest()[:8], 16) % 4
+        uid = (arm + 1) % 4  # personalized pi = uid%4 != arm
+        rows = [Row(event_id=eid, user_id=uid, ts=_ts("2024-01-01T01:00:00"),
+                    event_type="view", value=5.0, props="{}")]
+        monkeypatch.setattr(qa, "load", lambda s, d, t: spark.createDataFrame(rows))
+        got = {r["policy"]: r.asDict() for r in qa.events_offpolicy_eval(spark, "_").collect()}
+        for p in got.values():
+            assert p["n_matched"] == 0
+            assert p["ips_value_cents"] == 0.0
+            assert p["snips_value_cents"] is None
+
+
 class TestMatryoshkaRecall:
     def test_numpy_cross_check(self, spark, monkeypatch):
         from medical_examination_data_etl_system_spark.queries import datapipe as qd
