@@ -72,86 +72,32 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1). The r08 window (VERDICT r7 #1, exactly as ordered there):
-# positions 1-17 are the seventeen round-11-late queries with zero
-# driver rows (hash-green in pytest's oracle-parity replica since they
-# were added); 18-19 re-certify the two queries RESTRUCTURED this round
-# after their r07 rows (events_ushape_attribution's channel collapse,
-# docs_cdc_chunk_dedup's distinct-text collapse — both exact rewrites,
-# oracles unchanged, but the executed plan is new so the driver row
-# should be too); 20-46 are the full 27-query r03-stale set (multimodal
-# family, both CC variants, both approximate-ANN paths, q1-q8/q10/q11/
-# q13-q19, both skew demos — several changed implementation since r03:
-# adaptive collapse r5, CC loop hygiene r5/r6); 47-50 start burning the
-# r04-stale backlog (q9/q12/q20/q21). Every name is hash-green in the
-# local oracle-parity replica before commit (scripts/parity_subset.py).
-# Positions 51+ are the COMMITTED R09 PLAN (VERDICT r7 #5): the ten
-# round-12 additions first (zero driver rows — PSI drift, purged CV,
-# IPW, A/B assignment, matryoshka recall, conformal forecast, CUPED,
-# itemCF, Mann-Whitney, off-policy eval; all hash-green in the local
-# replica and 100×-checked when added), then q22 + the remaining 44
-# r04-stale rows (the window cuts at 50, so the last five r04-stale
-# rows here roll to r10). The rest of the registry follows in module
-# order (r05-r07 evidence, all locally green); the oldest r05-stale
-# rows (agg_grouping_sets …) continue the r10 rotation.
+# r3 #1). The r09 window (VERDICT r8 #1, executing the committed plan):
+# positions 1-10 are the ten round-12 additions with zero driver rows
+# (PSI drift, purged CV, IPW, A/B assignment, matryoshka recall,
+# conformal forecast, CUPED, itemCF — RESTRUCTURED this round with the
+# degree cap (VERDICT r8 #5), Mann-Whitney, off-policy eval; all
+# hash-green in the local oracle-parity replica and 100x-checked);
+# position 11 is q22 (the one r04 row outside the stale backlog file
+# groups); 12-17 are the r04-stale rows whose IMPLEMENTATIONS changed
+# since r04 (emb_near_dup_srp mega-bucket shard r5, events_asof
+# attribution, join_bucketed_colocated mtime-fingerprint reuse, the
+# batch event-window trio); 18-50 are the remaining r04-stale rows in
+# name order (the window cuts at 50, so window_running_total and
+# window_topk_orders_per_customer roll to r10). Every name is
+# hash-green in the local replica before commit
+# (scripts/parity_subset.py).
+# Positions 51+ are the COMMITTED R10 PLAN: the two rolled r04 rows,
+# then the 43 live r05-stale rows (agg_grouping_sets ... stream_upsert
+# _latest_state, minus the two retired sketches) in name order. The
+# rest of the registry follows in module order (r06-r08 evidence, all
+# locally green).
 # Every name is asserted against the registry below (ADVICE r4).
+# Retired rows-only originals (VERDICT r8 #2) are in RETIRED_QUERIES
+# below — out of the driver/bench registry, still importable and
+# pytest-smoked (tests/test_retired.py).
 _DRIVER_WINDOW_PRIORITY = [
-    # -- r08 window: 17 zero-driver-row round-11-late queries --
-    "docs_gopher_quality_rules",
-    "docs_feature_hashing",
-    "customer_k_anonymity",
-    "orders_revenue_acf",
-    "customer_survival_km",
-    "events_bot_detection",
-    "emb_label_noise_audit",
-    "docs_dataset_card",
-    "graph_link_prediction",
-    "emb_mmr_diversify",
-    "part_trigram_search",
-    "orders_benford_audit",
-    "orders_bootstrap_ci",
-    "orders_churn_training_set",
-    "events_cusum_changepoint",
-    "emb_drift_monitor",
-    "lineitem_winsorize_prices",
-    # -- restructured in r08 (exact rewrites; re-certify the new plans) --
-    "events_ushape_attribution",
-    "docs_cdc_chunk_dedup",
-    # -- the 27 r03-stale rows (VERDICT r7 #1) --
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_doc_embedding_join",
-    "multimodal_binary_features",
-    "docs_near_dup_components",
-    "docs_near_dup_components_alt",
-    "emb_ivf_topk",
-    "emb_lsh_topk",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "skew_salted_count_distinct",
-    "skew_salted_join",
-    # -- start of the r04-stale backlog (window cuts at 50 after q21) --
-    "q9_product_profit",
-    "q12_late_lines",
-    "q20_potential_promotion",
-    "q21_suppliers_who_kept_waiting",
-    # ---- end of the r08 driver window (50) ----
-    # -- committed r09 plan: round-12 additions (5) + q22 + r04-stale (44) --
+    # -- r09 window: the ten round-12 additions (zero driver rows) --
     "events_psi_drift",
     "orders_purged_cv_folds",
     "customer_ipw_spend",
@@ -162,7 +108,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "lineitem_itemcf_recommend",
     "orders_mann_whitney",
     "events_offpolicy_eval",
+    # -- q22 + the changed-since-r04 stale rows (VERDICT r8 #1) --
     "q22_global_sales_opportunity",
+    "emb_near_dup_srp",
+    "events_asof_attribution",
+    "join_bucketed_colocated",
+    "events_session_windows",
+    "events_sliding_windows",
+    "events_tumbling_hourly",
+    # -- remaining r04-stale rows, name order (cuts at 50 after --
+    # -- window_order_gaps; the last two roll to r10) --
     "agg_approx_distinct_parts",
     "agg_cube_status_priority",
     "agg_distinct_per_segment",
@@ -173,26 +128,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_dedup_exact",
     "docs_domain_cap",
     "docs_hash_sample",
-    "docs_near_dup_minhash",
-    "docs_near_dup_simhash",
     "docs_ngram_jaccard",
     "docs_pack_sequences",
     "docs_pii_redact",
     "emb_cosine_topk",
     "emb_near_dup_cosine",
-    "emb_near_dup_srp",
-    "events_asof_attribution",
     "events_json_extract",
-    "events_session_windows",
-    "events_sliding_windows",
-    "events_tumbling_hourly",
     "fn_array_ops",
     "fn_conditional_case",
     "fn_datetime_extract",
     "fn_map_ops",
     "fn_math_string",
     "join_anti_customers_without_orders",
-    "join_bucketed_colocated",
     "join_inner_enrich",
     "join_range_ship_lag",
     "join_semi_customers_with_orders",
@@ -206,7 +153,99 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_order_gaps",
     "window_running_total",
     "window_topk_orders_per_customer",
+    # ---- end of the r09 driver window (50 = through window_order_gaps) ----
+    # -- committed r10 plan: the 43 live r05-stale rows, name order --
+    "agg_grouping_sets",
+    "cdc_merge_orders",
+    "customer_spend_trend",
+    "docs_bigram_coherence",
+    "docs_decontaminate",
+    "docs_dedup_cluster_sizes",
+    "docs_dedup_keep_best",
+    "docs_epoch_shuffle",
+    "docs_fuzzy_levenshtein",
+    "docs_heavy_hitter_terms",
+    "docs_ngram_containment",
+    "docs_repetition_ratio",
+    "docs_stratified_sample",
+    "docs_vocab_growth",
+    "dq_check_orders",
+    "emb_negative_sampling",
+    "emb_standardize",
+    "events_conversion_latency",
+    "events_cumulative_distinct",
+    "events_ewma_smoothing",
+    "events_funnel_conversion",
+    "events_gap_fill_hourly",
+    "events_histogram_equidepth",
+    "events_holt_forecast",
+    "events_linear_attribution",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "fn_url_parse",
+    "incr_agg_merge_orders",
+    "join_interval_overlap",
+    "layout_zorder_cluster",
+    "lineitem_spearman_corr",
+    "orders_seasonality_index",
+    "pit_purchase_user_state",
+    "scd2_user_event_history",
+    "sql_interface_revenue",
+    "sql_recursive_hierarchy",
+    "stream_click_attribution",
+    "stream_dedup_exactly_once",
+    "stream_sessionize_stateful",
+    "stream_static_enrich",
+    "stream_tumbling_hourly",
+    "stream_upsert_latest_state",
 ]
+
+
+# Retired rows-only originals (VERDICT r8 #2, executing the written
+# retirement policy in SURVEY.md §2b): each is the production variant of
+# a driver-green exact-oracle twin (X137-X148) that certifies the same
+# distributed shape with an exact DuckDB hash, so re-benching the
+# rows-only original every round buys no new evidence. They leave the
+# driver/bench registry but stay fully implemented, importable through
+# retired_queries(), and smoke-run per rotation-equivalent by
+# tests/test_retired.py (rows>0 + stable schema at sf0.001) plus their
+# pre-existing semantic pins (recall/property tests).
+#   original -> certifying exact twin
+#   docs_near_dup_minhash   -> docs_minhash_md5_exact   (X147)
+#   docs_near_dup_simhash   -> docs_simhash_md5_exact   (X148)
+#   emb_ivf_topk            -> emb_ivf_topk_exact       (X140)
+#   emb_lsh_topk            -> emb_srp_topk_exact       (X141)
+#   graph_pagerank_parts    -> graph_pagerank_int3      (X142)
+#   emb_kmeans_clusters     -> emb_kmeans_iter2_exact   (X143/X137)
+#   emb_pca_project         -> emb_power_iteration_exact (X144)
+#   agg_kmv_overlap         -> agg_kmv_overlap_exact    (X145)
+#   agg_hll_rollup          -> agg_hll_md5_rollup_exact (X146)
+RETIRED = frozenset({
+    "docs_near_dup_minhash",
+    "docs_near_dup_simhash",
+    "emb_ivf_topk",
+    "emb_lsh_topk",
+    "graph_pagerank_parts",
+    "emb_kmeans_clusters",
+    "emb_pca_project",
+    "agg_kmv_overlap",
+    "agg_hll_rollup",
+})
+
+
+def retired_queries() -> dict[str, QueryDef]:
+    """The retired rows-only originals (see RETIRED above): implemented,
+    tested, callable — just no longer part of the driver/bench surface."""
+    from medical_examination_data_etl_system_spark.queries import analytics, datapipe, relational
+
+    out: dict[str, QueryDef] = {}
+    for mod in (datapipe, relational, analytics):
+        for name in RETIRED & mod.QUERIES.keys():
+            out[name] = mod.QUERIES[name]
+    missing = RETIRED - out.keys()
+    if missing:
+        raise ValueError(f"RETIRED names not found in their modules: {missing}")
+    return out
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -231,6 +270,11 @@ def all_queries() -> dict[str, QueryDef]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
+    absent = RETIRED - merged.keys()
+    if absent:
+        raise ValueError(f"RETIRED names not in any module registry: {absent}")
+    for name in RETIRED:
+        merged.pop(name)
     missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in merged]
     if missing:
         # A typo or a rename here would silently demote the query out of

@@ -3620,28 +3620,68 @@ def lineitem_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per engine at 1e-16); the displayed cosine is one float entry,
     rounded 4.
 
-    Scale shape: pair enumeration is the basket self-join — Σ|basket|²
-    per order, bounded by basket size (≤17 here), NOT catalog² — then
-    one (i,j)-keyed count with map-side partials, two broadcast-able
-    degree joins, and the global top-10 is TakeOrderedAndProject."""
-    li = (
+    Two scale guards, both part of the query's DEFINITION so the
+    oracle replays them exactly (the graph_link_prediction degree-cap
+    discipline, VERDICT r8 #5): baskets larger than 64 distinct parts
+    are DROPPED before pair enumeration — in the order-part bipartite
+    graph the order node's degree is the basket size and per-basket
+    fan-out is deg², so the cap bounds it at 64² under any skew (a
+    10k-item institutional basket would otherwise emit 5·10⁷ pairs
+    from one row) — and part degrees are counted on the capped
+    incidence, so cosine stays consistent with the pairs it scores.
+    TPC-H baskets hold ≤7 distinct parts, so at this data the cap
+    trims nothing and results are identical to the uncapped form.
+
+    Scale shape: ONE wide shuffle builds the per-order basket — an
+    EXPLICIT repartition by order key feeds the collect_set so the
+    whole aggregation runs clustered in one stage (letting the planner
+    insert the exchange instead puts a partial collect_set BEFORE it:
+    every mapper builds a basket map over its whole split and ships
+    serialized set buffers — measured 2.3× slower at 100× than
+    shuffling raw 16-byte rows and aggregating once). The basket frame
+    is persisted for its two consumers (pairs + degrees). Pair
+    enumeration is a JVM-side higher-order-function projection over
+    the sorted basket array (no self-join reshuffle of the full
+    incidence), then one (i,j)-keyed count with map-side partials, two
+    explicitly broadcast degree joins (parts-sized frame; falls back
+    to a parts-vs-pairs shuffle join only past the broadcast budget),
+    and the global top-10 is TakeOrderedAndProject."""
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
+    baskets = persist_tracked(
         load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .repartition(F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= 64)
+        .select("ps")
     )
-    a = li.select("o", F.col("p").alias("i"))
-    b = li.select("o", F.col("p").alias("j"))
+    # per-basket i<j pairs without a self-join: for the k-th element x
+    # of the sorted basket, pair it with every later element.
+    pair_array = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, k: F.transform(
+                F.slice(F.col("ps"), k + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "o")
-        .filter(F.col("i") < F.col("j"))
+        baskets.select(F.explode(pair_array).alias("pr"))
+        .select(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("cooc"))
         .filter(F.col("cooc") >= 2)
     )
-    deg = li.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
     scored = (
-        pairs.join(deg.select(F.col("p").alias("i"), F.col("deg").alias("di")), "i")
-        .join(deg.select(F.col("p").alias("j"), F.col("deg").alias("dj")), "j")
+        pairs.join(F.broadcast(deg.select(F.col("p").alias("i"), F.col("deg").alias("di"))), "i")
+        .join(F.broadcast(deg.select(F.col("p").alias("j"), F.col("deg").alias("dj"))), "j")
         .select(
             F.col("i").alias("part_a"),
             F.col("j").alias("part_b"),
@@ -3667,8 +3707,12 @@ def lineitem_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ITEMCF_SQL = """
-WITH li AS (
+WITH li0 AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), keep AS (
+  SELECT o FROM li0 GROUP BY o HAVING count(*) <= 64
+), li AS (
+  SELECT li0.o, li0.p FROM li0 JOIN keep USING (o)
 ), pairs AS (
   SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS cooc
   FROM li a JOIN li b ON a.o = b.o AND a.p < b.p

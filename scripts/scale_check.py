@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark import get_spark
 from medical_examination_data_etl_system_spark.operators.cache import cache_scope
-from medical_examination_data_etl_system_spark.queries import all_queries, load
+from medical_examination_data_etl_system_spark.queries import all_queries, load, retired_queries
 
 SRC = "/root/testdata/sf0.1"
 
@@ -235,7 +235,7 @@ def main() -> None:
         synthesize(spark, replicas, out)
     print(f"synthesis: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    qs = all_queries()
+    qs = {**all_queries(), **retired_queries()}  # retired shapes stay scale-checkable
     names = only[0] if only else [n for n in qs if n.startswith("q")] + HEAVY_EXTENSION
     timings = {}
     for name in names:

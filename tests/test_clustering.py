@@ -148,9 +148,9 @@ class TestPageRank:
         assert abs(sum(got.values()) - 1.0) < 1e-9
 
     def test_rank_mass_conserved_on_real_graph(self, spark):
-        from medical_examination_data_etl_system_spark.queries import all_queries
+        from medical_examination_data_etl_system_spark.queries import retired_queries
 
-        top = all_queries()["graph_pagerank_parts"].fn(spark, "/root/testdata/sf0.001").collect()
+        top = retired_queries()["graph_pagerank_parts"].fn(spark, "/root/testdata/sf0.001").collect()
         assert len(top) == 20
         assert top == sorted(top, key=lambda r: r["rnk"])
         assert all(r["rank"] > 0 for r in top)

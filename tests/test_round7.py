@@ -16,7 +16,7 @@ from medical_examination_data_etl_system_spark.operators.linalg import (
     quantized_gram_matrix,
 )
 from medical_examination_data_etl_system_spark.operators.timeseries import ewma
-from medical_examination_data_etl_system_spark.queries import all_queries, load
+from medical_examination_data_etl_system_spark.queries import all_queries, load, retired_queries
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -111,7 +111,7 @@ def test_pca_projection_variance_ordered_and_centered(spark, emb_local):
 
 
 def test_hll_rollup_within_tolerance_of_exact(spark):
-    out = all_queries()["agg_hll_rollup"].fn(spark, SF_DIR).collect()
+    out = retired_queries()["agg_hll_rollup"].fn(spark, SF_DIR).collect()
     o = load(spark, SF_DIR, "orders")
     exact_fine = {
         (r.o_orderstatus, r.o_orderpriority): r.n
@@ -542,7 +542,7 @@ def test_spearman_matches_pure_python_ranks(spark):
 
 
 def test_kmv_overlap_estimates_within_tolerance(spark):
-    out = all_queries()["agg_kmv_overlap"].fn(spark, SF_DIR).collect()
+    out = retired_queries()["agg_kmv_overlap"].fn(spark, SF_DIR).collect()
     o = load(spark, SF_DIR, "orders").select("o_orderpriority", "o_custkey").distinct()
     members: dict[str, set] = {}
     for r in o.collect():

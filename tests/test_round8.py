@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from medical_examination_data_etl_system_spark.queries import all_queries, load
+from medical_examination_data_etl_system_spark.queries import all_queries, load, retired_queries
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -139,7 +139,7 @@ def test_rolling_fp_collapse_parity(spark):
 
 
 def test_pagerank_topk_plan_take_ordered(spark):
-    df = all_queries()["graph_pagerank_parts"].fn(spark, SF_DIR)
+    df = retired_queries()["graph_pagerank_parts"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     rows = df.collect()
