@@ -78,16 +78,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # conformal forecast, CUPED, itemCF — RESTRUCTURED this round with the
 # degree cap (VERDICT r8 #5), Mann-Whitney, off-policy eval; all
 # hash-green in the local oracle-parity replica and 100x-checked);
-# position 11 is q22 (the one r04 row outside the stale backlog file
-# groups); 12-17 are the r04-stale rows whose IMPLEMENTATIONS changed
-# since r04 (emb_near_dup_srp mega-bucket shard r5, events_asof
-# attribution, join_bucketed_colocated mtime-fingerprint reuse, the
-# batch event-window trio); 18-50 are the remaining r04-stale rows in
-# name order (the window cuts at 50, so window_running_total and
-# window_topk_orders_per_customer roll to r10). Every name is
-# hash-green in the local replica before commit
-# (scripts/parity_subset.py).
-# Positions 51+ are the COMMITTED R10 PLAN: the two rolled r04 rows,
+# positions 11-13 re-certify the three queries RESTRUCTURED this round
+# (posexplode banding in the shared MinHash kernel — bit-identical
+# outputs, new executed plans, same treatment r08 gave ushape/CDC);
+# 14 is q22 (the one r04 row outside the stale backlog file groups);
+# 15-20 are the r04-stale rows whose IMPLEMENTATIONS changed since r04
+# (emb_near_dup_srp mega-bucket shard r5, events_asof attribution,
+# join_bucketed_colocated mtime-fingerprint reuse, the batch
+# event-window trio); 21-50 are the remaining r04-stale rows in name
+# order (the window cuts at 50 after text_quality_langid, so five
+# r04-stale rows roll to r10). Every name is hash-green in the local
+# replica before commit (scripts/parity_subset.py).
+# Positions 51+ are the COMMITTED R10 PLAN: the five rolled r04 rows,
 # then the 43 live r05-stale rows (agg_grouping_sets ... stream_upsert
 # _latest_state, minus the two retired sketches) in name order. The
 # rest of the registry follows in module order (r06-r08 evidence, all
@@ -108,6 +110,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "lineitem_itemcf_recommend",
     "orders_mann_whitney",
     "events_offpolicy_eval",
+    # -- restructured in r09 (posexplode banding in the shared MinHash
+    # -- kernel — bit-identical outputs, new executed plans, so their
+    # -- r07 rows are re-certified like r08 did for ushape/CDC) --
+    "docs_incremental_dedup",
+    "docs_minhash_md5_exact",
+    "docs_minhash_calibration",
     # -- q22 + the changed-since-r04 stale rows (VERDICT r8 #1) --
     "q22_global_sales_opportunity",
     "emb_near_dup_srp",
@@ -148,13 +156,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "set_intersect_nations",
     "set_union_nations",
     "text_quality_langid",
+    # ---- end of the r09 driver window (50 = through text_quality_langid) ----
+    # -- committed r10 plan: the five rolled r04 rows, then the 43
+    # -- live r05-stale rows, name order --
     "text_token_stats",
     "unpivot_status_priority",
     "window_order_gaps",
     "window_running_total",
     "window_topk_orders_per_customer",
-    # ---- end of the r09 driver window (50 = through window_order_gaps) ----
-    # -- committed r10 plan: the 43 live r05-stale rows, name order --
     "agg_grouping_sets",
     "cdc_merge_orders",
     "customer_spend_trend",
