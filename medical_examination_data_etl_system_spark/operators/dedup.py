@@ -927,14 +927,15 @@ def fuzzy_levenshtein_pairs(
 ) -> DataFrame:
     """Edit-distance fuzzy matching on normalized ``prefix_len``-char
     prefixes within the same block — the record-linkage primitive for
-    near-identical titles/headers exact hashing misses. Per-pair cost
-    is the 3-arg BANDED Levenshtein (O(len·k), early exit past the
-    threshold); pair volume is Σ|block|² over UNIQUE texts — the
-    adaptive exact-content pre-collapse (same ``_should_collapse`` /
-    ``_collapse_expand_pairs`` machinery as the n-gram metrics, intra
-    distance 0) keeps a duplicate-heavy corpus from re-running the DP
-    on identical strings, which is exactly the replicated-corpus blowup
-    the 100× scale check synthesizes."""
+    near-identical titles/headers exact hashing misses. Candidates come
+    from a PassJoin-style pigeonhole partition filter (k+1 segments,
+    shift-bounded probes — see the inline plan below), verified with
+    the 3-arg BANDED Levenshtein (O(len·k), early exit past the
+    threshold), so pair volume tracks segment-hash collisions, never
+    Σ|block|². The adaptive exact-content pre-collapse (same
+    ``_should_collapse`` / ``_collapse_expand_pairs`` machinery as the
+    n-gram metrics, intra distance 0) additionally short-circuits
+    duplicate-heavy corpora before any per-prefix work."""
     if collapse_exact == "auto":
         collapse_exact = _should_collapse(
             docs, text_col, extra_group_cols=[block_col] if block_col else None
@@ -953,26 +954,160 @@ def fuzzy_levenshtein_pairs(
             ),
             intra_value=0,
         )
+    # Direct form: PassJoin-style partition filter (Li/Deng/Feng, PVLDB
+    # 2011) instead of the within-block all-pairs join the first cut
+    # used. The adversarial (mostly-unique) 100× corpus killed the
+    # all-pairs form: 20 blocks × ~25k unique prefixes each is ~10^10
+    # candidate pairs squeezed through ~20-way join parallelism
+    # (>22 min, 2 cores busy), while the TRUE answer is ~4×10^5 pairs —
+    # the filter, not the answer, was quadratic. Plan here:
+    #   1. collapse identical (block, prefix) groups (the metric is a
+    #      pure function of the prefix) — subsumes exact-text collapse;
+    #   2. pigeonhole: partition each prefix into k+1 even segments —
+    #      any pair within edit distance k shares ≥1 segment verbatim,
+    #      at a position shift s bounded by |s| + |s - Δ| ≤ k
+    #      (Δ = length difference: ≥|s| edits must land before the
+    #      untouched segment and ≥|s-Δ| after it);
+    #   3. equi-join segment hashes (block, index-length, seg#, h) and
+    #      verify candidates inline with the 3-arg banded DP — false
+    #      candidates (hash or pigeonhole slack) die in-stage, nothing
+    #      quadratic is ever shuffled or distinct'd;
+    #   4. expand group pairs back to member pairs (cross: the groups'
+    #      distance; intra: 0).
+    # Strings shorter than k+1 chars cannot host k+1 non-empty segments
+    # and take a tiny all-pairs branch against partners within the
+    # length filter (both sides < 2k+1 chars — a bounded sliver).
+    k = threshold
+    nseg = k + 1
     t = docs.select(
         F.col(id_col).alias("_id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
         F.substring(normalized_text(F.col(text_col)), 1, prefix_len).alias("_pfx"),
+    ).withColumn("_len", F.length("_pfx"))
+    grouped = persist_tracked(
+        t.withColumn("_gid", F.min("_id").over(W.partitionBy("_blk", "_pfx")))
     )
-    a, b = t.alias("a"), t.alias("b")
-    dist = F.levenshtein(F.col("a._pfx"), F.col("b._pfx"), threshold)
-    return (
-        a.join(
-            b,
-            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")),
+    members = grouped.select("_id", "_gid")
+    groups = persist_tracked(
+        grouped.filter(F.col("_id") == F.col("_gid")).select(
+            F.col("_gid").alias("_id"), "_blk", "_pfx", "_len"
+        )
+    )
+
+    # even segmentation of an _la-char string: segment i spans
+    # [floor(i·L/nseg)+1, floor((i+1)·L/nseg)] — disjoint, complete.
+    seg_start = (F.floor(F.col("_seg") * F.col("_la") / nseg) + 1).cast("int")
+    seg_len = (
+        F.floor((F.col("_seg") + 1) * F.col("_la") / nseg)
+        - F.floor(F.col("_seg") * F.col("_la") / nseg)
+    ).cast("int")
+
+    segmentable = groups.filter(F.col("_len") >= nseg)
+    idx = segmentable.select(
+        "_blk",
+        F.col("_len").alias("_la"),
+        "_id",
+        "_pfx",
+        F.explode(F.sequence(F.lit(0), F.lit(nseg - 1))).alias("_seg"),
+    ).select(
+        "_blk", "_la", "_seg", "_id", "_pfx",
+        F.xxhash64(F.col("_pfx").substr(seg_start, seg_len)).alias("_h"),
+    )
+
+    # probe every index length class present in the block within ±k of
+    # own length; the distinct-lens frame is tiny and broadcast.
+    lens = segmentable.select("_blk", F.col("_len").alias("_la")).distinct()
+    delta = F.col("_len") - F.col("_la")
+    half = F.floor((F.lit(k) - F.abs(delta)) / 2)
+    probes = (
+        segmentable.join(F.broadcast(lens), "_blk")
+        .filter(F.abs(delta) <= k)
+        .select(
+            "_blk", "_la", "_id", "_pfx", "_len",
+            F.explode(F.sequence(F.lit(0), F.lit(nseg - 1))).alias("_seg"),
+        )
+        .withColumn("_q_lo", F.greatest(F.lit(1), (seg_start + F.least(F.lit(0), delta) - half).cast("int")))
+        .withColumn(
+            "_q_hi",
+            F.least(
+                (F.col("_len") - seg_len + 1).cast("int"),
+                (seg_start + F.greatest(F.lit(0), delta) + half).cast("int"),
+            ),
+        )
+        .filter(F.col("_q_lo") <= F.col("_q_hi"))
+        .select(
+            "_blk", "_la", "_seg", "_id", "_pfx",
+            F.explode(F.sequence("_q_lo", "_q_hi")).alias("_q"),
         )
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+            "_blk", "_la", "_seg",
+            F.col("_id").alias("_idb"),
+            F.col("_pfx").alias("_pfxb"),
+            F.xxhash64(F.col("_pfx").substr(F.col("_q"), seg_len)).alias("_h"),
+        )
+    )
+
+    dist = F.levenshtein(F.col("i._pfx"), F.col("p._pfxb"), threshold)
+    # index < probe id is sound: both sides are segmentable, and the
+    # pigeonhole holds with either string as the partitioned one.
+    cand = (
+        idx.alias("i")
+        .join(
+            probes.alias("p"),
+            (F.col("i._blk") == F.col("p._blk"))
+            & (F.col("i._la") == F.col("p._la"))
+            & (F.col("i._seg") == F.col("p._seg"))
+            & (F.col("i._h") == F.col("p._h"))
+            & (F.col("i._id") < F.col("p._idb")),
+        )
+        .select(
+            F.col("i._id").alias("gid_a"),
+            F.col("p._idb").alias("gid_b"),
             dist.alias("distance"),
         )
         .filter(F.col("distance").between(0, threshold))
-        .orderBy("id_a", "id_b")
+        .distinct()
     )
+
+    tiny = groups.filter(F.col("_len") < nseg)
+    near = groups.filter(F.col("_len") < nseg + k)
+    tdist = F.levenshtein(F.col("x._pfx"), F.col("y._pfx"), threshold)
+    tiny_pairs = (
+        tiny.alias("x")
+        .join(
+            near.alias("y"),
+            (F.col("x._blk") == F.col("y._blk")) & (F.col("x._id") != F.col("y._id")),
+        )
+        .select(
+            F.least("x._id", "y._id").alias("gid_a"),
+            F.greatest("x._id", "y._id").alias("gid_b"),
+            tdist.alias("distance"),
+        )
+        .filter(F.col("distance").between(0, threshold))
+        .distinct()
+    )
+    group_pairs = cand.unionByName(tiny_pairs)
+
+    ma = members.select(F.col("_gid").alias("gid_a"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_gid").alias("gid_b"), F.col("_id").alias("_mb"))
+    cross = (
+        group_pairs.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "distance",
+        )
+    )
+    mx, my = members.alias("mx"), members.alias("my")
+    intra = mx.join(
+        my, (F.col("mx._gid") == F.col("my._gid")) & (F.col("mx._id") < F.col("my._id"))
+    ).select(
+        F.col("mx._id").alias("id_a"),
+        F.col("my._id").alias("id_b"),
+        F.lit(0).alias("distance"),
+    )
+    return cross.unionByName(intra).orderBy("id_a", "id_b")
 
 
 def _gram_pair_counts(

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Adversarial NON-REPLICATED scale corpus (VERDICT r8 #4).
+
+The standard 100× protocol (scripts/scale_check.py) replicates every
+text verbatim, so the near-dup family's exact-content pre-collapse
+always fires and its >80%-unique probe branch
+(operators/dedup._should_collapse) never runs at scale. This script
+synthesizes the OPPOSITE regime from the same driver parquet: a 100×
+documents corpus that is ~90% unique with a Zipf-ish length spread, so
+the collapse probe SKIPS and every candidate/verification stage runs
+over the full uncollapsed id space.
+
+Construction (fully deterministic, all derived from /root/testdata):
+- ids shift by replica × stride exactly like scale_check (other tables
+  are scale_check's own replicas, so any query can run on the dir);
+- replicas ≡ 0 (mod 10) keep the base text verbatim → every base doc
+  has a 10-member exact-dup group (~9.1% duplicate mass — below the
+  20% collapse threshold, above zero so exact-dedup outputs stay
+  non-trivial);
+- all other replicas rewrite ~half the words (xxhash64-seeded per
+  (doc, replica, position), replacement token from the hash) — enough
+  shingle churn to sit far below the 0.5 near-dup threshold, so the
+  corpus is genuinely unique, not 90 mutual near-dups per base doc;
+- lengths get a Zipf-ish spread: replica ≡ 1 (mod 12) doubles the doc
+  (text + reversed text), other perturbed replicas truncate by
+  1/(1 + replica mod 12) down to a 32-char floor.
+
+Usage: python scripts/adversarial_corpus.py [replicas=100] [out=/tmp/sfadv100]
+Then:  python scripts/scale_check.py 100 /tmp/sfadv100 only=docs_...
+(scale_check reuses an existing dir, so the adversarial documents
+survive; run `rm -rf` on the dir to rebuild.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark import get_spark
+from scripts.scale_check import SRC, synthesize
+
+
+def synthesize_adversarial_documents(spark, replicas: int, out: str) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    rep = docs.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+
+    words = F.split(F.col("text"), " ")
+    perturbed_words = F.transform(
+        words,
+        lambda w, i: F.when(
+            F.xxhash64(F.col("doc_id"), F.col("_rep"), i) % 2 == 0,
+            F.concat(
+                F.lit("w"),
+                (F.abs(F.xxhash64(F.col("doc_id"), F.col("_rep"), i, F.lit(1))) % 100000).cast(
+                    "string"
+                ),
+            ),
+        ).otherwise(w),
+    )
+    perturbed = F.array_join(perturbed_words, " ")
+    shrink = (F.col("_rep") % 12).cast("int")
+    zipfed = (
+        F.when(F.col("_rep") % 10 == 0, F.col("text"))  # exact-dup replicas
+        .when(F.col("_rep") % 12 == 1, F.concat(perturbed, F.lit(" "), F.reverse(perturbed)))
+        .otherwise(
+            F.substring(
+                perturbed,
+                1,
+                F.greatest(F.lit(32), (F.length(perturbed) / (1 + shrink)).cast("int")),
+            )
+        )
+    )
+    adv = rep.select(
+        (F.col("doc_id") + F.col("_rep") * F.lit(stride)).alias("doc_id"),
+        zipfed.alias("text"),
+        "lang",
+        "source",
+        F.length(zipfed).cast("long").alias("n_chars"),
+    )
+    adv.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    stats = spark.read.parquet(f"{out}/documents.parquet").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.xxhash64(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))).alias("d"),
+        F.expr("percentile_approx(n_chars, array(0.1, 0.5, 0.9, 0.99))").alias("len_pcts"),
+    ).collect()[0]
+    print(
+        f"adversarial documents: {stats['n']} rows, ~{stats['d']} distinct texts "
+        f"({100.0 * stats['d'] / stats['n']:.1f}% unique), len pcts {stats['len_pcts']}",
+        flush=True,
+    )
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfadv100"
+    spark = get_spark(app_name="adversarial-corpus")
+    t0 = time.perf_counter()
+    if os.path.isdir(f"{out}/orders.parquet"):
+        print(f"reusing base replicas in {out}", flush=True)
+    else:
+        synthesize(spark, replicas, out)
+    synthesize_adversarial_documents(spark, replicas, out)
+    print(f"total {time.perf_counter() - t0:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

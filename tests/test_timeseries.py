@@ -184,3 +184,66 @@ class TestTextRound5:
         on, off, auto = run(True), run(False), run("auto")
         assert on == off == auto
         assert (0, 1, 0) in on and (0, 2, 1) in on and (1, 2, 1) in on
+
+    def test_fuzzy_passjoin_matches_bruteforce(self, spark):
+        """PassJoin candidate filter is EXACT (no false negatives): the
+        direct branch must reproduce brute-force all-pairs output on a
+        randomized corpus mixing lengths (incl. tiny strings below the
+        k+1 segmentation floor), blocks, thresholds, and near-dup
+        perturbations."""
+        import random
+
+        from medical_examination_data_etl_system_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+        rng = random.Random(20260815)
+        alphabet = "abcde "
+        base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30))) for _ in range(40)]
+        rows, i = [], 0
+        for t in base:
+            rows.append((i, t, f"s{i % 3}")); i += 1
+            if rng.random() < 0.5:  # a perturbed sibling: 1-4 edits
+                s = list(t)
+                for _ in range(rng.randint(1, 4)):
+                    op = rng.choice("ids")
+                    p = rng.randrange(max(len(s), 1))
+                    if op == "i":
+                        s.insert(p, rng.choice(alphabet))
+                    elif s:
+                        if op == "d":
+                            del s[p]
+                        else:
+                            s[p] = rng.choice(alphabet)
+                rows.append((i, "".join(s) or "x", f"s{i % 3}")); i += 1
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for x, ca in enumerate(a, 1):
+                cur = [x]
+                for y, cb in enumerate(b, 1):
+                    cur.append(min(prev[y] + 1, cur[y - 1] + 1, prev[y - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        import re
+        for prefix_len, threshold in [(24, 6), (12, 3), (24, 2)]:
+            def norm_pfx(t):
+                return re.sub(r"\s+", " ", t.strip().lower())[:prefix_len]
+            expected = sorted(
+                (a_id, b_id, lev(norm_pfx(a_t), norm_pfx(b_t)))
+                for (a_id, a_t, a_s) in rows
+                for (b_id, b_t, b_s) in rows
+                if a_id < b_id and a_s == b_s
+                and lev(norm_pfx(a_t), norm_pfx(b_t)) <= threshold
+            )
+            docs = spark.createDataFrame(
+                [Row(doc_id=di, text=t, source=src) for di, t, src in rows]
+            )
+            got = sorted(
+                (r["id_a"], r["id_b"], r["distance"])
+                for r in fuzzy_levenshtein_pairs(
+                    docs, prefix_len=prefix_len, threshold=threshold, collapse_exact=False
+                ).collect()
+            )
+            assert got == expected, f"mismatch at prefix_len={prefix_len} k={threshold}"
