@@ -25,6 +25,18 @@ Construction (fully deterministic, all derived from /root/testdata):
   (text + reversed text), other perturbed replicas truncate by
   1/(1 + replica mod 12) down to a 32-char floor.
 
+The same argument applies to EMBEDDINGS: scale_check replicates every
+vector verbatim, so at 100× each point has 100 exact copies — SRP/IVF
+buckets see collapsed mega-groups, and any per-unique-vector cost is
+hidden. ``synthesize_adversarial_embeddings`` mirrors the documents
+protocol: replicas ≡ 0 (mod 10) keep the base vector verbatim (10%
+exact-dup mass), every other replica is remixed as
+``0.3·v + 2.0·rms(v)·u`` with ``u`` a deterministic xxhash64-seeded
+uniform[-1,1] vector (rms 1/√3, so the noise term carries ≈1.15·|v|) —
+measured sibling cosine ≈ 0.25 mean, safely below the 0.4 near-dup
+threshold, so the corpus is ~90% geometrically distinct points, not
+100 mutual near-dups per base vector.
+
 Usage: python scripts/adversarial_corpus.py [replicas=100] [out=/tmp/sfadv100]
 Then:  python scripts/scale_check.py 100 /tmp/sfadv100 only=docs_...
 (scale_check reuses an existing dir, so the adversarial documents
@@ -96,6 +108,53 @@ def synthesize_adversarial_documents(spark, replicas: int, out: str) -> None:
     )
 
 
+def synthesize_adversarial_embeddings(spark, replicas: int, out: str) -> None:
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    rep = emb.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+
+    # Deterministic uniform[-1,1] jitter per (vec, replica, dim); the
+    # remix 0.3·v + 2.0·rms(v)·u keeps component magnitudes realistic
+    # (rms-scaled) while dropping cosine-to-base to ~0.25 (u's rms is
+    # 1/√3, so the noise term's norm is ≈ 1.15·|v| vs 0.3·|v| signal).
+    rms = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+        / F.greatest(F.size("embedding"), F.lit(1))
+    )
+    u = lambda x, i: (  # noqa: E731
+        (F.xxhash64(F.col("vec_id"), F.col("_rep"), i) % 2001 + 2001) % 2001 - 1000
+    ).cast("double") / 1000.0
+    mixed = F.transform(
+        "embedding",
+        lambda x, i: (x.cast("double") * 0.3 + rms * 2.0 * u(x, i)).cast("float"),
+    )
+    adv = rep.select(
+        (F.col("vec_id") + F.col("_rep") * F.lit(stride)).alias("vec_id"),
+        F.when(F.col("_rep") % 10 == 0, F.col("embedding"))
+        .otherwise(mixed)
+        .alias("embedding"),
+        "label",
+    )
+    adv.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    stats = (
+        spark.read.parquet(f"{out}/embeddings.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(
+                F.xxhash64(F.col("embedding").cast("array<float>").cast("string"))
+            ).alias("d"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"adversarial embeddings: {stats['n']} rows, ~{stats['d']} distinct vectors "
+        f"({100.0 * stats['d'] / stats['n']:.1f}% unique)",
+        flush=True,
+    )
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfadv100"
@@ -106,6 +165,7 @@ def main() -> None:
     else:
         synthesize(spark, replicas, out)
     synthesize_adversarial_documents(spark, replicas, out)
+    synthesize_adversarial_embeddings(spark, replicas, out)
     print(f"total {time.perf_counter() - t0:.1f}s", flush=True)
 
 
