@@ -16,6 +16,8 @@ cartesian product).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -621,6 +623,7 @@ def embedding_near_duplicates_srp(
     num_tables: int = 8,
     target_block_rows: int = 4096,
     size_sample_mod: int = 20,
+    target_bucket_rows: int | None = 4096,
 ) -> DataFrame:
     """SRP-blocked embedding near-dup — the 100 TB path.
 
@@ -637,6 +640,27 @@ def embedding_near_duplicates_srp(
     cos → 1). Recall and the ⊆-of-exact property are pinned against the
     exact twin in tests/test_similarity.py.
 
+    ADAPTIVE PLANES (``target_bucket_rows``): with k fixed, expected
+    bucket occupancy is n/2^k, so Σ|bucket|² ≥ n²/2^k — QUADRATIC with
+    a small constant, which the replicated scale protocol hid (exact
+    copies share buckets but collapse upstream) and the adversarial
+    98.9%-unique 200k-vector corpus exposed (180 s; ~2× brute force's
+    pair count at k=4, L=8). Standard LSH deployment practice is to
+    size k to the corpus: k = max(num_planes, ⌈log2(n /
+    target_bucket_rows)⌉), capped at 18, so occupancy tracks the
+    target and per-table work is ~n·target_bucket_rows — linear at any
+    n. The count() feeding it is one bounded driver scalar (same
+    stance as the BFS source id). Consequence, stated not hidden: at
+    fixed L, boundary recall (cos ≈ threshold) falls as k grows —
+    recall is concentrated on high-cosine pairs (at k=6, L=8:
+    ≈0.41 @ cos 0.4, ≈0.78 @ 0.7, ≈0.98 @ 0.9), and holding boundary
+    recall flat at scale requires raising ``num_tables``, paying
+    L·n·target linearly. Tests pin the small-corpus behavior (k stays
+    ``num_planes`` for n ≤ target·2^num_planes) and the adaptive
+    branch's ⊆-of-exact + determinism on a forced-k corpus. Pass
+    ``target_bucket_rows=None`` to pin k = ``num_planes`` regardless
+    of n (the pre-adaptive behavior).
+
     Skew guard (VERDICT r3 #5): a degenerate bucket (a near-duplicate-
     heavy crawl, all-zero-ish vectors) re-forms the quadratic blow-up
     locally — ``_srp_sharded_groups`` shards any bucket larger than
@@ -646,6 +670,13 @@ def embedding_near_duplicates_srp(
     a mega-bucket is inherent (those pairs must be verified); the shard
     turns it from one unbounded task into many bounded ones.
     """
+    if target_bucket_rows is not None:
+        n_rows = emb.count()
+        if n_rows > target_bucket_rows:
+            num_planes = max(
+                num_planes,
+                min(18, math.ceil(math.log2(n_rows / target_bucket_rows))),
+            )
     sharded = _srp_sharded_groups(
         emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,
         size_sample_mod,

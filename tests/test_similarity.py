@@ -186,6 +186,44 @@ def test_srp_shard_invariance(spark):
     assert pairs(target_block_rows=16, size_sample_mod=5) == baseline
 
 
+def test_srp_adaptive_planes(spark):
+    """Occupancy-targeted adaptive planes: for n ≤ target·2^num_planes
+    the plane count is untouched (bit-identical pair set), and a
+    forced-small target (more planes → finer buckets) must stay a
+    deterministic SUBSET of the exact twin with identical cos values —
+    recall may drop, precision and values may not."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(2, 64))
+    rows = []
+    for i in range(90):
+        base = centers[i % 2] if i % 3 else rng.normal(size=64)
+        rows.append((i, (base + rng.normal(scale=0.05, size=64)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def srp(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in similarity.embedding_near_duplicates_srp(
+                emb, threshold=0.8, num_tables=2, **kw
+            ).collect()
+        )
+
+    # default target (4096) is a no-op at n=90: same pairs as pinned k
+    assert srp() == srp(target_bucket_rows=None)
+    # forced adaptive branch: n=90, target=2 → k = ceil(log2(45)) = 6
+    adaptive = srp(target_bucket_rows=2)
+    assert adaptive == srp(target_bucket_rows=2), "adaptive branch not deterministic"
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_duplicates(emb, threshold=0.8).collect()
+    }
+    assert set((a, b) for a, b, _ in adaptive) <= set(exact)
+    assert all(c == exact[(a, b)] for a, b, c in adaptive)
+    assert len(adaptive) > 0, "finer buckets should still surface the tight cluster"
+
+
 class TestKMeans:
     def test_exact_recovery_on_separated_clusters(self, spark):
         import numpy as np
