@@ -78,18 +78,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # conformal forecast, CUPED, itemCF — RESTRUCTURED this round with the
 # degree cap (VERDICT r8 #5), Mann-Whitney, off-policy eval; all
 # hash-green in the local oracle-parity replica and 100x-checked);
-# positions 11-13 re-certify the three queries RESTRUCTURED this round
+# positions 11-14 re-certify the four queries RESTRUCTURED this round
 # (posexplode banding in the shared MinHash kernel — bit-identical
-# outputs, new executed plans, same treatment r08 gave ushape/CDC);
-# 14 is q22 (the one r04 row outside the stale backlog file groups);
-# 15-20 are the r04-stale rows whose IMPLEMENTATIONS changed since r04
+# outputs, new executed plans, same treatment r08 gave ushape/CDC —
+# plus the PassJoin pigeonhole rewrite of docs_fuzzy_levenshtein);
+# 15 is q22 (the one r04 row outside the stale backlog file groups);
+# 16-21 are the r04-stale rows whose IMPLEMENTATIONS changed since r04
 # (emb_near_dup_srp mega-bucket shard r5, events_asof attribution,
 # join_bucketed_colocated mtime-fingerprint reuse, the batch
-# event-window trio); 21-50 are the remaining r04-stale rows in name
-# order (the window cuts at 50 after text_quality_langid, so five
+# event-window trio); 22-50 are the remaining r04-stale rows in name
+# order (the window cuts at 50 after set_union_nations, so six
 # r04-stale rows roll to r10). Every name is hash-green in the local
 # replica before commit (scripts/parity_subset.py).
-# Positions 51+ are the COMMITTED R10 PLAN: the five rolled r04 rows,
+# Positions 51+ are the COMMITTED R10 PLAN: the six rolled r04 rows,
 # then the 43 live r05-stale rows (agg_grouping_sets ... stream_upsert
 # _latest_state, minus the two retired sketches) in name order. The
 # rest of the registry follows in module order (r06-r08 evidence, all
@@ -116,6 +117,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_incremental_dedup",
     "docs_minhash_md5_exact",
     "docs_minhash_calibration",
+    # -- also restructured in r09: the PassJoin pigeonhole rewrite
+    # -- (landed after the window was first laid out; same
+    # -- re-certify-in-window rule, so one name-order row rolls) --
+    "docs_fuzzy_levenshtein",
     # -- q22 + the changed-since-r04 stale rows (VERDICT r8 #1) --
     "q22_global_sales_opportunity",
     "emb_near_dup_srp",
@@ -155,10 +160,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "set_except_nations",
     "set_intersect_nations",
     "set_union_nations",
-    "text_quality_langid",
-    # ---- end of the r09 driver window (50 = through text_quality_langid) ----
-    # -- committed r10 plan: the five rolled r04 rows, then the 43
+    # ---- end of the r09 driver window (50 = through set_union_nations;
+    # ---- text_quality_langid rolled to r10 when the PassJoin row
+    # ---- entered the window) ----
+    # -- committed r10 plan: the six rolled r04 rows, then the 43
     # -- live r05-stale rows, name order --
+    "text_quality_langid",
     "text_token_stats",
     "unpivot_status_priority",
     "window_order_gaps",
@@ -172,7 +179,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_dedup_cluster_sizes",
     "docs_dedup_keep_best",
     "docs_epoch_shuffle",
-    "docs_fuzzy_levenshtein",
     "docs_heavy_hitter_terms",
     "docs_ngram_containment",
     "docs_repetition_ratio",
