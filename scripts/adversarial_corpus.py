@@ -155,6 +155,49 @@ def synthesize_adversarial_embeddings(spark, replicas: int, out: str) -> None:
     )
 
 
+def synthesize_adversarial_graph(spark, replicas: int, base: str, out: str) -> None:
+    """A genuinely 100× CO-PURCHASE GRAPH. The standard protocol shifts
+    only l_orderkey, so every replica emits the SAME (u, v) part edges
+    and the graph queries' distinct() collapses the graph back to 1× —
+    node/edge counts never grew in any prior scale run. Here l_partkey
+    also shifts per replica (100 disjoint copies of the base graph,
+    100× nodes/edges), EXCEPT a deterministic ~1% of rows that keep the
+    base part key — those parts become cross-replica HUBS with ~100×
+    the base co-purchase degree, exactly the skew the degree-cap /
+    degree-orientation guards exist for, and they connect the replicas
+    so BFS reaches the whole graph. Other tables are symlinked from
+    ``base`` (part joins on shifted keys would dangle — this dir is for
+    the lineitem-as-graph queries only)."""
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    stride_o = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    stride_p = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    rep = li.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+    keep_base = F.xxhash64(F.col("l_orderkey"), F.col("l_partkey"), F.col("_rep")) % 100 == 0
+    adv = rep.select(
+        *[
+            (F.col("l_orderkey") + F.col("_rep") * F.lit(stride_o)).alias("l_orderkey")
+            if c == "l_orderkey"
+            else F.when(keep_base, F.col("l_partkey"))
+            .otherwise(F.col("l_partkey") + F.col("_rep") * F.lit(stride_p))
+            .alias("l_partkey")
+            if c == "l_partkey"
+            else F.col(c)
+            for c in li.columns
+        ]
+    )
+    os.makedirs(out, exist_ok=True)
+    adv.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "events", "documents", "embeddings"):
+        dst = f"{out}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{base}/{name}.parquet", dst)
+    stats = spark.read.parquet(f"{out}/lineitem.parquet").agg(
+        F.count(F.lit(1)).alias("n"), F.approx_count_distinct("l_partkey").alias("p")
+    ).collect()[0]
+    print(f"adversarial graph lineitem: {stats['n']} rows, ~{stats['p']} distinct parts", flush=True)
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfadv100"
@@ -166,6 +209,7 @@ def main() -> None:
         synthesize(spark, replicas, out)
     synthesize_adversarial_documents(spark, replicas, out)
     synthesize_adversarial_embeddings(spark, replicas, out)
+    synthesize_adversarial_graph(spark, replicas, out, f"{out}graph")
     print(f"total {time.perf_counter() - t0:.1f}s", flush=True)
 
 
