@@ -72,148 +72,141 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
-# r3 #1). The r09 window (VERDICT r8 #1, executing the committed plan):
-# positions 1-10 are the ten round-12 additions with zero driver rows
-# (PSI drift, purged CV, IPW, A/B assignment, matryoshka recall,
-# conformal forecast, CUPED, itemCF — RESTRUCTURED this round with the
-# degree cap (VERDICT r8 #5), Mann-Whitney, off-policy eval; all
-# hash-green in the local oracle-parity replica and 100x-checked);
-# positions 11-14 re-certify the four queries RESTRUCTURED this round
-# (posexplode banding in the shared MinHash kernel — bit-identical
-# outputs, new executed plans, same treatment r08 gave ushape/CDC —
-# plus the PassJoin pigeonhole rewrite of docs_fuzzy_levenshtein);
-# 15 is q22 (the one r04 row outside the stale backlog file groups);
-# 16-21 are the r04-stale rows whose IMPLEMENTATIONS changed since r04
-# (emb_near_dup_srp mega-bucket shard r5, events_asof attribution,
-# join_bucketed_colocated mtime-fingerprint reuse, the batch
-# event-window trio); 22-50 are the remaining r04-stale rows in name
-# order (the window cuts at 50 after set_union_nations, so six
-# r04-stale rows roll to r10). Every name is hash-green in the local
+# r3 #1). Structured bookkeeping (ADVICE r9 #3): each entry is a
+# ``(name, why)`` tuple where ``why`` is the machine-checkable reason the
+# row sits in the current window — "r04"/"r05" = driver evidence last
+# refreshed that round (VERDICT r9 #1: the committed r10 plan, six rolled
+# r04 rows then the 42 live r05-stale rows in name order), "r10-restr" =
+# RESTRUCTURED this round, so its prior row is re-certified in-window
+# (the rule r08 applied to ushape/CDC and r09 to the MinHash kernel).
+# The window cut is WINDOW_SIZE; the import-time check below fails
+# loudly if an insert shifts a restructured row past the cut, and
+# tests/test_edge_cases.py pins the invariant.
+# Positions 51+ are the COMMITTED R11 PLAN: the r06-stale rows in name
+# order (47 of them; the cut at 50 leaves the remainder plus the r07
+# backlog to r12). Every windowed name is hash-green in the local
 # replica before commit (scripts/parity_subset.py).
-# Positions 51+ are the COMMITTED R10 PLAN: the six rolled r04 rows,
-# then the 43 live r05-stale rows (agg_grouping_sets ... stream_upsert
-# _latest_state, minus the two retired sketches) in name order. The
-# rest of the registry follows in module order (r06-r08 evidence, all
-# locally green).
-# Every name is asserted against the registry below (ADVICE r4).
-# Retired rows-only originals (VERDICT r8 #2) are in RETIRED_QUERIES
-# below — out of the driver/bench registry, still importable and
-# pytest-smoked (tests/test_retired.py).
-_DRIVER_WINDOW_PRIORITY = [
-    # -- r09 window: the ten round-12 additions (zero driver rows) --
-    "events_psi_drift",
-    "orders_purged_cv_folds",
-    "customer_ipw_spend",
-    "customer_ab_assignment",
-    "emb_matryoshka_recall",
-    "orders_conformal_forecast",
-    "customer_cuped_readout",
-    "lineitem_itemcf_recommend",
-    "orders_mann_whitney",
-    "events_offpolicy_eval",
-    # -- restructured in r09 (posexplode banding in the shared MinHash
-    # -- kernel — bit-identical outputs, new executed plans, so their
-    # -- r07 rows are re-certified like r08 did for ushape/CDC) --
-    "docs_incremental_dedup",
-    "docs_minhash_md5_exact",
-    "docs_minhash_calibration",
-    # -- also restructured in r09: the PassJoin pigeonhole rewrite
-    # -- (landed after the window was first laid out; same
-    # -- re-certify-in-window rule, so one name-order row rolls) --
-    "docs_fuzzy_levenshtein",
-    # -- q22 + the changed-since-r04 stale rows (VERDICT r8 #1) --
-    "q22_global_sales_opportunity",
-    "emb_near_dup_srp",
-    "events_asof_attribution",
-    "join_bucketed_colocated",
-    "events_session_windows",
-    "events_sliding_windows",
-    "events_tumbling_hourly",
-    # -- remaining r04-stale rows, name order (cuts at 50 after --
-    # -- window_order_gaps; the last two roll to r10) --
-    "agg_approx_distinct_parts",
-    "agg_cube_status_priority",
-    "agg_distinct_per_segment",
-    "agg_rollup_region_nation",
-    "dedup_first_lineitem_per_order",
-    "docs_chunk_overlap",
-    "docs_curation_pipeline",
-    "docs_dedup_exact",
-    "docs_domain_cap",
-    "docs_hash_sample",
-    "docs_ngram_jaccard",
-    "docs_pack_sequences",
-    "docs_pii_redact",
-    "emb_cosine_topk",
-    "emb_near_dup_cosine",
-    "events_json_extract",
-    "fn_array_ops",
-    "fn_conditional_case",
-    "fn_datetime_extract",
-    "fn_map_ops",
-    "fn_math_string",
-    "join_anti_customers_without_orders",
-    "join_inner_enrich",
-    "join_range_ship_lag",
-    "join_semi_customers_with_orders",
-    "pivot_status_by_priority",
-    "set_except_nations",
-    "set_intersect_nations",
-    "set_union_nations",
-    # ---- end of the r09 driver window (50 = through set_union_nations;
-    # ---- text_quality_langid rolled to r10 when the PassJoin row
-    # ---- entered the window) ----
-    # -- committed r10 plan: the six rolled r04 rows, then the 43
-    # -- live r05-stale rows, name order --
-    "text_quality_langid",
-    "text_token_stats",
-    "unpivot_status_priority",
-    "window_order_gaps",
-    "window_running_total",
-    "window_topk_orders_per_customer",
-    "agg_grouping_sets",
-    "cdc_merge_orders",
-    "customer_spend_trend",
-    "docs_bigram_coherence",
-    "docs_decontaminate",
-    "docs_dedup_cluster_sizes",
-    "docs_dedup_keep_best",
-    "docs_epoch_shuffle",
-    "docs_heavy_hitter_terms",
-    "docs_ngram_containment",
-    "docs_repetition_ratio",
-    "docs_stratified_sample",
-    "docs_vocab_growth",
-    "dq_check_orders",
-    "emb_negative_sampling",
-    "emb_standardize",
-    "events_conversion_latency",
-    "events_cumulative_distinct",
-    "events_ewma_smoothing",
-    "events_funnel_conversion",
-    "events_gap_fill_hourly",
-    "events_histogram_equidepth",
-    "events_holt_forecast",
-    "events_linear_attribution",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "fn_url_parse",
-    "incr_agg_merge_orders",
-    "join_interval_overlap",
-    "layout_zorder_cluster",
-    "lineitem_spearman_corr",
-    "orders_seasonality_index",
-    "pit_purchase_user_state",
-    "scd2_user_event_history",
-    "sql_interface_revenue",
-    "sql_recursive_hierarchy",
-    "stream_click_attribution",
-    "stream_dedup_exactly_once",
-    "stream_sessionize_stateful",
-    "stream_static_enrich",
-    "stream_tumbling_hourly",
-    "stream_upsert_latest_state",
+# Retired rows-only originals (VERDICT r8 #2) are in RETIRED below —
+# out of the driver/bench registry, still importable and pytest-smoked
+# (tests/test_retired.py).
+WINDOW_SIZE = 50
+
+_WINDOW_PLAN: list[tuple[str, str]] = [
+    # -- the six r04-stale rows rolled from the r09 window --
+    ("text_quality_langid", "r04"),
+    ("text_token_stats", "r04"),
+    ("unpivot_status_priority", "r04"),
+    ("window_order_gaps", "r04"),
+    ("window_running_total", "r04"),
+    ("window_topk_orders_per_customer", "r04"),
+    # -- the 42 live r05-stale rows, name order --
+    ("agg_grouping_sets", "r05"),
+    ("cdc_merge_orders", "r05"),
+    ("customer_spend_trend", "r05"),
+    ("docs_bigram_coherence", "r05"),
+    ("docs_decontaminate", "r05"),
+    ("docs_dedup_cluster_sizes", "r05"),
+    ("docs_dedup_keep_best", "r05"),
+    ("docs_epoch_shuffle", "r05"),
+    ("docs_heavy_hitter_terms", "r05"),
+    ("docs_ngram_containment", "r05"),
+    ("docs_repetition_ratio", "r05"),
+    ("docs_stratified_sample", "r05"),
+    ("docs_vocab_growth", "r05"),
+    ("dq_check_orders", "r05"),
+    ("emb_negative_sampling", "r05"),
+    ("emb_standardize", "r05"),
+    ("events_conversion_latency", "r05"),
+    ("events_cumulative_distinct", "r05"),
+    ("events_ewma_smoothing", "r05"),
+    ("events_funnel_conversion", "r05"),
+    ("events_gap_fill_hourly", "r05"),
+    ("events_histogram_equidepth", "r05"),
+    ("events_holt_forecast", "r05"),
+    ("events_linear_attribution", "r05"),
+    ("events_retention_cohorts", "r05"),
+    ("events_transition_matrix", "r05"),
+    ("fn_url_parse", "r05"),
+    ("incr_agg_merge_orders", "r05"),
+    ("join_interval_overlap", "r05"),
+    ("layout_zorder_cluster", "r05"),
+    ("lineitem_spearman_corr", "r05"),
+    ("orders_seasonality_index", "r05"),
+    ("pit_purchase_user_state", "r05"),
+    ("scd2_user_event_history", "r05"),
+    ("sql_interface_revenue", "r05"),
+    ("sql_recursive_hierarchy", "r05"),
+    ("stream_click_attribution", "r05"),
+    ("stream_dedup_exactly_once", "r05"),
+    ("stream_sessionize_stateful", "r05"),
+    ("stream_static_enrich", "r05"),
+    ("stream_tumbling_hourly", "r05"),
+    ("stream_upsert_latest_state", "r05"),
+    # -- restructured in r10, prior rows re-certified in-window --
+    ("graph_triangle_stats", "r10-restr"),
+    ("emb_near_dup_srp", "r10-restr"),
+    # ---- end of the r10 driver window (cut = WINDOW_SIZE) ----
+    # -- committed r11 plan: the r06-stale rows, name order (46 —
+    # -- graph_triangle_stats moved in-window above; the cut at 50
+    # -- leaves the tail plus the r07 backlog to r12) --
+    ("agg_cms_user_counts", "r06"),
+    ("agg_p90_outlier_orders", "r06"),
+    ("agg_percentiles_by_flag", "r06"),
+    ("customer_abc_classes", "r06"),
+    ("customer_gini_revenue", "r06"),
+    ("customer_rfm_segments", "r06"),
+    ("docs_blocklist_filter", "r06"),
+    ("docs_domain_mix", "r06"),
+    ("docs_length_buckets", "r06"),
+    ("docs_semantic_dedup", "r06"),
+    ("docs_semantic_dedup_srp", "r06"),
+    ("docs_tfidf_top_terms", "r06"),
+    ("docs_token_entropy", "r06"),
+    ("docs_train_val_test_split", "r06"),
+    ("docs_weighted_sample", "r06"),
+    ("emb_gram_matrix", "r06"),
+    ("emb_label_centroids", "r06"),
+    ("emb_quantize_int8", "r06"),
+    ("events_chi_square", "r06"),
+    ("events_corrupt_json_audit", "r06"),
+    ("events_pmi_cooccurrence", "r06"),
+    ("events_sessionized_funnel", "r06"),
+    ("events_top_paths", "r06"),
+    ("events_variant_extract", "r06"),
+    ("fn_explode_outer_arrays", "r06"),
+    ("fn_value_histogram", "r06"),
+    ("graph_bfs_depths", "r06"),
+    ("join_bloom_prefilter", "r06"),
+    ("join_full_outer_reconcile", "r06"),
+    ("layout_compact_small_files", "r06"),
+    ("layout_format_roundtrip", "r06"),
+    ("layout_partition_prune", "r06"),
+    ("layout_schema_evolution", "r06"),
+    ("lineitem_price_qty_corr", "r06"),
+    ("lineitem_weighted_median", "r06"),
+    ("multimodal_phash_near_dup", "r06"),
+    ("orders_daily_anomaly", "r06"),
+    ("orders_mom_growth", "r06"),
+    ("pipeline_render_reports", "r06"),
+    ("stream_cms_user_counts", "r06"),
+    ("stream_running_ewma", "r06"),
+    ("stream_session_builtin", "r06"),
+    ("stream_sliding_halfhour", "r06"),
+    ("text_rolling_fingerprint", "r06"),
+    ("window_distribution_stats", "r06"),
+    ("window_range_30d_sum", "r06"),
 ]
+
+_DRIVER_WINDOW_PRIORITY = [name for name, _why in _WINDOW_PLAN]
+
+# The re-certify-in-window rule only works if restructured rows are IN
+# the checked window — a silent shift past the cut would void the rule.
+_restr = [i for i, (_n, why) in enumerate(_WINDOW_PLAN) if why.endswith("-restr")]
+if _restr and max(_restr) >= WINDOW_SIZE:
+    raise ValueError(
+        f"restructured rows past the {WINDOW_SIZE}-entry driver window: "
+        f"{[_WINDOW_PLAN[i][0] for i in _restr if i >= WINDOW_SIZE]}"
+    )
 
 
 # Retired rows-only originals (VERDICT r8 #2, executing the written

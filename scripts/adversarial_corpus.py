@@ -190,8 +190,11 @@ def synthesize_adversarial_graph(spark, replicas: int, base: str, out: str) -> N
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "events", "documents", "embeddings"):
         dst = f"{out}/{name}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{base}/{name}.parquet", dst)
+        # abspath: a relative `base` would resolve relative to the link's
+        # directory and dangle; lexists: exists() is False for an already-
+        # broken link, so a rebuild would raise FileExistsError.
+        if not os.path.lexists(dst):
+            os.symlink(os.path.abspath(f"{base}/{name}.parquet"), dst)
     stats = spark.read.parquet(f"{out}/lineitem.parquet").agg(
         F.count(F.lit(1)).alias("n"), F.approx_count_distinct("l_partkey").alias("p")
     ).collect()[0]

@@ -102,6 +102,24 @@ def test_driver_window_priority_names_must_exist():
         q._DRIVER_WINDOW_PRIORITY = orig
 
 
+def test_driver_window_structured_plan():
+    """ADVICE r9 #3: the window plan is structured (name, why) tuples; a
+    restructured row shifted past the WINDOW_SIZE cut must raise, and
+    the plan itself must be dupe-free with every name in the registry."""
+    from medical_examination_data_etl_system_spark import queries as q
+
+    names = [n for n, _ in q._WINDOW_PLAN]
+    assert len(set(names)) == len(names), "duplicate names in _WINDOW_PLAN"
+    assert q.WINDOW_SIZE == 50
+    assert len(names) >= q.WINDOW_SIZE
+    # every restructured row sits inside the checked window
+    for i, (name, why) in enumerate(q._WINDOW_PLAN):
+        if why.endswith("-restr"):
+            assert i < q.WINDOW_SIZE, f"{name} restructured but outside window"
+    registry = q.all_queries()
+    assert list(registry)[: q.WINDOW_SIZE] == names[: q.WINDOW_SIZE]
+
+
 def test_bucket_col_list_parsed_exactly():
     """ADVICE r4: `key` must not match a table bucketed on `subkey`."""
     from medical_examination_data_etl_system_spark.operators.bucketing import _parse_col_list
