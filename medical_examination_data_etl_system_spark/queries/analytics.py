@@ -469,16 +469,38 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(n_nodes, n_edges, n_triangles, clustering)``.
 
     The enumeration is DEGREE-ORIENTED (each edge directed from its
-    lower-(degree, id) endpoint): every triangle is generated from its
-    lowest-degree vertex exactly once, so the wedge join's volume is
-    Σ out_deg² with out-degrees bounded by ~√|E| under any skew — the
-    arboricity argument that makes triangle counting feasible on
-    power-law graphs where an id-oriented join explodes on hub nodes.
+    lower-(degree, id) endpoint), so the triangle {a<b<c} orients
+    acyclically (a→b, a→c, b→c) and is counted exactly once — at its
+    lowest edge — as |N⁺(a) ∩ N⁺(b)|, with out-degrees bounded by
+    ~√|E| under any skew (the arboricity argument that makes triangle
+    counting feasible on power-law graphs where an id-oriented join
+    explodes on hub nodes).
+
+    r10 restructure (VERDICT r9 #4): edge-iterator ADJACENCY
+    INTERSECTION instead of a wedge self-join. The old plan
+    materialized Σ out_deg² wedge ROWS through an exchange and probed
+    them against the closing-edge hash table — at the adversarial
+    100× graph that shuffle was the 916 s bottleneck. Now out-
+    neighborhoods are packed ONCE per node (collect_list ≤ ~√|E|
+    elements) and each oriented edge intersects its two endpoint
+    lists JVM-side (``array_intersect`` inside whole-stage codegen):
+    the same element volume moves as packed arrays in O(|E|) rows,
+    wedges never exist as rows, and the count aggregates with a
+    map-side partial sum. dst-list first: hubs sit on the dst side
+    of most edges (orientation points low→high degree) but their
+    OUT-lists are short, so the arrays that ride the second shuffle
+    (by src) stay small exactly where the graph is skewed. Same
+    exact count, bit-identical summary row.
+
     The oracle counts the same triangles with the naive u<v 3-way
     join (identical result, fine at sf0.01)."""
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    und = (
+    # persisted: feeds deg, the orientation join, and n_edges — without
+    # the barrier each consumer recomputes the distinct self-join.
+    und = persist_tracked(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -499,18 +521,24 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    # persisted: adj and the edge scan are two consumers of the
+    # orientation join.
+    oriented = persist_tracked(
+        ranked.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
     )
-    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
-    # the closing edge between b and c may be oriented either way
-    closing = oriented.select(
-        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # inner joins: an edge whose dst has no out-neighbors closes no
+    # triangle, so dropping it is both correct and smaller.
+    tri = (
+        oriented.join(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("_nv")), "dst")
+        .join(adj.select("src", F.col("nbrs").alias("_nu")), "src")
+        .select(F.size(F.array_intersect("_nu", "_nv")).alias("_t"))
+        .agg(F.sum("_t").cast("long").alias("n_triangles"))
+        .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
-    tri = wedges.join(closing, ["b", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
     summary = (
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),

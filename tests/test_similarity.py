@@ -224,6 +224,89 @@ def test_srp_adaptive_planes(spark):
     assert len(adaptive) > 0, "finer buckets should still surface the tight cluster"
 
 
+def test_srp_tables_for_planes_math():
+    """L(k) holds the analytic boundary recall: 1−(1−p^k)^{L(k)} ≥
+    1−(1−p^k0)^{L0} for p = 1−arccos(threshold)/π, computed via the
+    per-table miss probabilities (no 1−R cancellation)."""
+    import math
+
+    f = similarity.srp_tables_for_planes
+    # documented figures: cos 0.4, base (k=4, L=8)
+    assert f(4, 8, 6, 0.4) == 22
+    assert f(4, 8, 7, 0.4) == 34
+    assert f(4, 8, 8, 0.4) == 55
+    assert f(4, 2, 6, 0.8) == 4
+    # no-ops: k not raised, or degenerate p
+    assert f(4, 8, 4, 0.4) == 8
+    assert f(4, 8, 3, 0.4) == 8
+    assert f(4, 8, 6, 1.0) == 8
+    # the guarantee itself, across a grid
+    for thr in (0.3, 0.4, 0.6, 0.8):
+        p = similarity.srp_collision_probability(thr)
+        for k0, l0 in ((4, 8), (6, 4)):
+            r_base = 1 - (1 - p**k0) ** l0
+            for k in range(k0, 13):
+                lk = f(k0, l0, k, thr)
+                assert 1 - (1 - p**k) ** lk >= r_base - 1e-12, (thr, k0, l0, k)
+
+
+def test_srp_adaptive_tables_hold_boundary_recall(spark):
+    """VERDICT r9 #3 pin: on a corpus of boundary pairs (cosine spread
+    0.35-0.75 around the 0.4 threshold), forcing the adaptive branch to
+    k=6 WITHOUT table scaling (max_tables=num_tables — the pre-r10
+    behavior) drops recall below the k=4 baseline, while the scaled-L
+    branch (L=22) holds recall ≥ the baseline. Deterministic: seeded
+    corpus, hash-derived planes."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(120):
+        u = rng.normal(size=64)
+        u /= np.linalg.norm(u)
+        w = rng.normal(size=64)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        c = rng.uniform(0.35, 0.75)  # pair cosine near/above the threshold
+        v = c * u + np.sqrt(1 - c * c) * w
+        rows.append((2 * i, u.astype("float32").tolist()))
+        rows.append((2 * i + 1, v.astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def srp(**kw):
+        return set(
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_duplicates_srp(
+                emb, threshold=0.4, num_tables=8, **kw
+            ).collect()
+        )
+
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(emb, threshold=0.4).collect()
+    )
+    assert len(exact) >= 100
+    # n=240, target=4 → k = ceil(log2(60)) = 6; scaled L = 22
+    assert max(4, min(18, math.ceil(math.log2(240 / 4)))) == 6
+    assert similarity.srp_tables_for_planes(4, 8, 6, 0.4) == 22
+    base = srp(target_bucket_rows=None)  # k=4, L=8
+    scaled = srp(target_bucket_rows=4)  # k=6, L=22
+    capped = srp(target_bucket_rows=4, max_tables=8)  # k=6, L=8 (old)
+    for s in (base, scaled, capped):
+        assert s <= exact, "SRP precision must stay 1"
+    # tables 0..7 are shared → scaled candidates strictly include capped's
+    assert capped <= scaled
+    # the r9 recall hole: fixed L at k=6 reads below baseline ...
+    assert len(capped) < len(base)
+    # ... and the scaled branch holds the boundary-recall contract
+    assert len(scaled) >= len(base)
+    # pin the measured figures so a silent regression is loud
+    assert len(capped & exact) / len(exact) < 0.75
+    assert len(scaled & exact) / len(exact) >= 0.85
+
+
 class TestKMeans:
     def test_exact_recovery_on_separated_clusters(self, spark):
         import numpy as np
