@@ -18,17 +18,26 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r09: itemCF re-enters at its capped/persisted plan; the three
-# MinHash-kernel consumers re-enter at the posexplode-banding plan.
-# docs_incremental_dedup's historical 4.15 s additionally proved
-# unreproducible on BIT-IDENTICAL code — idle min-of-3 held 5.6-6.3 s
-# across two sessions this round, as did the r7/r8 driver runs — so
-# the fresh number is the honest floor even ignoring the plan change.)
+# (r10: graph_triangle_stats re-enters at the packed-adjacency
+# array_intersect plan — at sf0.1 it reads ~parity with the wedge
+# join once the 1.6×-slow r10 VM is normalized out, and 2.3× better
+# at the adversarial 100× graph, which is what the restructure was
+# for. r09's CHANGED set — itemCF, incremental_dedup, the two
+# MinHash-kernel consumers — re-entered at 2cc1e6c and now fold
+# normally.)
 CHANGED: set[str] = {
-    "lineitem_itemcf_recommend",
-    "docs_incremental_dedup",
-    "docs_minhash_md5_exact",
-    "docs_minhash_calibration",
+    "graph_triangle_stats",
+}
+
+# Idle re-measurements made OUTSIDE a full bench pass, folded as an
+# extra snapshot (VERDICT r9 #2 / "What's wrong" #1: the judge
+# re-measured the three worst fresh-vs-best movers standalone idle on
+# the r09 VM and found them at-or-below the committed bests — the
+# baseline should carry those confirmed floors, not the mover noise).
+IDLE_REMEASURED: dict[str, float] = {
+    "pipeline_render_reports": 1.80,  # VERDICT r9 (vs 3.33 best / 6.02 fresh)
+    "emb_matryoshka_recall": 1.77,  # VERDICT r9
+    "emb_near_dup_cosine": 1.51,  # VERDICT r9
 }
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -47,6 +56,9 @@ for rev in sys.argv[1:]:
     for name, v in hist["queries"].items():
         if name in folded and name not in CHANGED:
             folded[name] = min(folded[name], float(v))
+for name, v in IDLE_REMEASURED.items():
+    if name in folded and name not in CHANGED:
+        folded[name] = min(folded[name], v)
 improved = sum(1 for n in folded if folded[n] < fresh[n])
 total = round(sum(folded.values()), 3)
 json.dump(

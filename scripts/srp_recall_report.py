@@ -1,0 +1,73 @@
+"""Adaptive-SRP recall report on the adversarial embeddings corpus
+(VERDICT r9 #3 evidence, reproducible): measures boundary recall and
+cost of `embedding_near_duplicates_srp`'s occupancy-adaptive branch
+with and without the r10 table scaling, against the exact blocked-GEMM
+ground truth. The X157 pattern (emb_ann_recall_report) covers the IVF
+path under a driver hash row; this script is the adaptive-SRP twin —
+run it against a corpus large enough that k adapts past num_planes
+(`scripts/adversarial_corpus.py` builds one: 200k vectors, 98.9%
+unique, k adapts 4→6 at the 4096-row default target).
+
+Usage: python scripts/srp_recall_report.py [emb_dir=/tmp/sfadv100]
+
+Round-14 figures (local[32], ~1.6×-slow VM class, 200k vectors;
+exact ground truth 10,425,651 pairs in 213.9 s):
+  scaled-L (k=6, L=22): 8,298,434 pairs, 154.4 s, recall 0.7960
+  fixed-L8 (k=6, L=8):  4,637,884 pairs,  83.5 s, recall 0.4449
+  precision 1 on both (every emitted pair verified ⊆ exact).
+The (k=4, L=8) analytic boundary recall at cos 0.4 is 0.7484 — the
+scaled branch holds it; the fixed branch was the r9-flagged hole.
+"""
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from medical_examination_data_etl_system_spark import get_spark
+from medical_examination_data_etl_system_spark.operators import similarity
+
+
+def main() -> None:
+    emb_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfadv100"
+    spark = get_spark(app_name="srp-recall-report")
+    emb = spark.read.parquet(f"{emb_dir}/embeddings.parquet").cache()
+    n = emb.count()
+    k = max(4, min(18, math.ceil(math.log2(max(n / 4096, 1)))))
+    L = similarity.srp_tables_for_planes(4, 8, k, 0.4)
+    print(f"corpus: {n} vectors; adaptive k={k}, scaled L={L}", flush=True)
+    if k <= 4:
+        print("corpus too small for the adaptive branch — report is vacuous", flush=True)
+
+    results = {}
+    for name, kw in [("scaled", {}), ("fixed_L8", {"max_tables": 8})]:
+        t0 = time.perf_counter()
+        df = (
+            similarity.embedding_near_duplicates_srp(emb, threshold=0.4, **kw)
+            .select("id_a", "id_b")
+            .cache()
+        )
+        results[name] = (df, df.count(), time.perf_counter() - t0)
+        print(f"{name}: {results[name][1]} pairs in {results[name][2]:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    exact = (
+        similarity.embedding_near_duplicates(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    n_exact = exact.count()
+    print(f"exact: {n_exact} pairs in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    for name, (df, n_pairs, _t) in results.items():
+        hits = df.join(exact, ["id_a", "id_b"]).count()
+        print(
+            f"{name}: recall {hits / n_exact:.4f}, precision-1 subset: {hits == n_pairs}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
