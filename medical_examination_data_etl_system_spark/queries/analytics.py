@@ -529,7 +529,11 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # persisted: the packed lists feed BOTH endpoint joins below —
+    # without the barrier the collect_list aggregation runs twice.
+    adj = persist_tracked(
+        oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    )
     # inner joins: an edge whose dst has no out-neighbors closes no
     # triangle, so dropping it is both correct and smaller.
     tri = (
