@@ -142,7 +142,14 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("stream_static_enrich", "r05"),
     ("stream_tumbling_hourly", "r05"),
     ("stream_upsert_latest_state", "r05"),
-    # -- restructured in r10, prior rows re-certified in-window --
+    # -- restructured in r10, prior rows re-certified in-window.
+    # -- (emb_near_dup_srp: the table-scaling change only alters the
+    # -- executed plan when n > target·2^num_planes = 65,536, so its
+    # -- sf0.01 run is bit-identical to the r09 row — re-certified
+    # -- anyway under the strict reading of the rule since the
+    # -- operator's code changed; the behavior change itself is
+    # -- certified by the pytest recall pins +
+    # -- scripts/srp_recall_report.py.) --
     ("graph_triangle_stats", "r10-restr"),
     ("emb_near_dup_srp", "r10-restr"),
     # ---- end of the r10 driver window (cut = WINDOW_SIZE) ----

@@ -2725,6 +2725,16 @@ def _link_prediction(li: DataFrame, center_sample_mod: int | None) -> DataFrame:
     small = adj.join(deg.filter(F.col("d") <= 256).select("c"), "c")
     if center_sample_mod is not None:
         small = small.filter(hash_bucket(F.col("c"), center_sample_mod) == 0)
+    # Wedge generation stays a center-keyed SELF-JOIN deliberately: an
+    # itemCF-style per-center array pair-generation was built, measured
+    # and REJECTED in r10 — at the 256-cap this graph's centers carry
+    # ~120-256 neighbors, so the HOF projection materializes up-to-32k-
+    # struct arrays per row and lost 1.4× at sf0.1 (14.5 vs 10.1 s)
+    # while gaining only ~5% at the adversarial 100× graph (598.8 vs
+    # 631.1 s idle, same VM). The pair stage is answer-bound either way
+    # (2.69e9 distinct sampled wedge pairs at 100×, profiled r10); the
+    # streaming hash join wins where groups are large — the array idiom
+    # wins where groups are small (itemCF's ≤64 baskets).
     wa, wb = small.alias("wa"), small.alias("wb")
     pairs = (
         wa.join(
@@ -3674,7 +3684,11 @@ def lineitem_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     is persisted for its two consumers (pairs + degrees). Pair
     enumeration is a JVM-side higher-order-function projection over
     the sorted basket array (no self-join reshuffle of the full
-    incidence), then one (i,j)-keyed count with map-side partials, two
+    incidence) — an idiom that wins BECAUSE the cap is 64: with ≤2016
+    pair structs per array it beats the self-join 3×, while the same
+    rewrite measured 1.4× WORSE on graph_link_prediction's 256-cap
+    centers (up-to-32k-struct arrays; see _link_prediction) — then
+    one (i,j)-keyed count with map-side partials, two
     explicitly broadcast degree joins (parts-sized frame; falls back
     to a parts-vs-pairs shuffle join only past the broadcast budget),
     and the global top-10 is TakeOrderedAndProject."""
