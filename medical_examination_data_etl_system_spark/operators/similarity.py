@@ -648,6 +648,32 @@ def srp_tables_for_planes(
     )
 
 
+def srp_adaptive_planes_tables(
+    n_rows: int,
+    num_planes: int,
+    num_tables: int,
+    threshold: float,
+    target_bucket_rows: int,
+    max_tables: int,
+) -> tuple[int, int]:
+    """The adaptive sizing decision as a pure function (unit-testable
+    without Spark): occupancy-targeted plane count k = max(num_planes,
+    ⌈log2(n/target)⌉) capped at 18, and the recall-holding table count
+    from :func:`srp_tables_for_planes`, capped at ``max_tables``. For
+    n ≤ target_bucket_rows both knobs return untouched."""
+    if n_rows > target_bucket_rows:
+        planes = max(
+            num_planes,
+            min(18, math.ceil(math.log2(n_rows / target_bucket_rows))),
+        )
+        tables = min(
+            max_tables,
+            srp_tables_for_planes(num_planes, num_tables, planes, threshold),
+        )
+        return planes, tables
+    return num_planes, num_tables
+
+
 def embedding_near_duplicates_srp(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -722,16 +748,9 @@ def embedding_near_duplicates_srp(
     """
     if target_bucket_rows is not None:
         n_rows = emb.select(id_col).count()
-        if n_rows > target_bucket_rows:
-            base_planes, base_tables = num_planes, num_tables
-            num_planes = max(
-                num_planes,
-                min(18, math.ceil(math.log2(n_rows / target_bucket_rows))),
-            )
-            num_tables = min(
-                max_tables,
-                srp_tables_for_planes(base_planes, base_tables, num_planes, threshold),
-            )
+        num_planes, num_tables = srp_adaptive_planes_tables(
+            n_rows, num_planes, num_tables, threshold, target_bucket_rows, max_tables
+        )
     sharded = _srp_sharded_groups(
         emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,
         size_sample_mod,

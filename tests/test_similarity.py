@@ -250,6 +250,22 @@ def test_srp_tables_for_planes_math():
                 assert 1 - (1 - p**k) ** lk >= r_base - 1e-12, (thr, k0, l0, k)
 
 
+def test_srp_adaptive_planes_tables_decision():
+    """The pure sizing decision: no-op at or under target, occupancy-k
+    + recall-holding L above it, both caps honored."""
+    f = similarity.srp_adaptive_planes_tables
+    # at/under target: untouched
+    assert f(4096, 4, 8, 0.4, 4096, 64) == (4, 8)
+    assert f(10, 4, 8, 0.4, 4096, 64) == (4, 8)
+    # 200k / 4096 → k=6, L=22 (the adversarial-corpus figures)
+    assert f(200_000, 4, 8, 0.4, 4096, 64) == (6, 22)
+    # max_tables caps L (8 = the pre-r10 fixed-L behavior)
+    assert f(200_000, 4, 8, 0.4, 4096, 8) == (6, 8)
+    # plane cap at 18 even for absurd n; L then hits its own cap
+    planes, tables = f(10**12, 4, 8, 0.4, 4096, 64)
+    assert planes == 18 and tables == 64
+
+
 def test_srp_adaptive_tables_hold_boundary_recall(spark):
     """VERDICT r9 #3 pin: on a corpus of boundary pairs (cosine spread
     0.35-0.75 around the 0.4 threshold), forcing the adaptive branch to
