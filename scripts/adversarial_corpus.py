@@ -201,6 +201,65 @@ def synthesize_adversarial_graph(spark, replicas: int, base: str, out: str) -> N
     print(f"adversarial graph lineitem: {stats['n']} rows, ~{stats['p']} distinct parts", flush=True)
 
 
+def synthesize_adversarial_events(spark, replicas: int, base: str, out: str) -> None:
+    """A genuinely 100× EVENT STREAM. The standard protocol shifts only
+    event_id, so user_id and ts replicate verbatim: distinct-user
+    metrics (DAU/WAU, retention, cumulative distinct) collapse back to
+    1× users, and every event lands on one of the base timestamps —
+    100 exact ties per instant, a degenerate regime that both flatters
+    sessionization (ties never open new sessions) and hides true
+    user-dimension growth; the same silent-collapse class the graph
+    corpus fixed for parts. Here user_id also shifts per replica (100
+    disjoint user populations), EXCEPT a deterministic ~1% of rows
+    that keep the base user — those become cross-replica HEAVY USERS
+    with ~100× the base event count, exactly the per-user-partition
+    skew the window/sessionization family must absorb; ts jitters by
+    a deterministic per-(event, replica) offset in ±12h so timestamps
+    are distinct and session gaps are realistic rather than tied (the
+    overall time span stays ~the base span, so calendar-bound queries
+    keep their grid size). Other tables are symlinked from ``base``."""
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    stride_e = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    stride_u = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    rep = ev.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+    keep_base = F.xxhash64(F.col("event_id"), F.col("_rep"), F.lit(17)) % 100 == 0
+    jitter_s = (
+        F.pmod(F.xxhash64(F.col("event_id"), F.col("_rep"), F.lit(29)), F.lit(86400))
+        - F.lit(43200)
+    ).cast("int")
+    adv = rep.select(
+        *[
+            (F.col("event_id") + F.col("_rep") * F.lit(stride_e)).alias("event_id")
+            if c == "event_id"
+            else F.when(keep_base, F.col("user_id"))
+            .otherwise(F.col("user_id") + F.col("_rep") * F.lit(stride_u))
+            .alias("user_id")
+            if c == "user_id"
+            else (F.col("ts") + F.make_interval(secs=jitter_s)).alias("ts")
+            if c == "ts"
+            else F.col(c)
+            for c in ev.columns
+        ]
+    )
+    os.makedirs(out, exist_ok=True)
+    adv.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "documents", "embeddings"):
+        dst = f"{out}/{name}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(os.path.abspath(f"{base}/{name}.parquet"), dst)
+    stats = spark.read.parquet(f"{out}/events.parquet").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id").alias("u"),
+        F.approx_count_distinct("ts").alias("t"),
+    ).collect()[0]
+    print(
+        f"adversarial events: {stats['n']} rows, ~{stats['u']} distinct users, "
+        f"~{stats['t']} distinct timestamps",
+        flush=True,
+    )
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfadv100"
@@ -213,6 +272,7 @@ def main() -> None:
     synthesize_adversarial_documents(spark, replicas, out)
     synthesize_adversarial_embeddings(spark, replicas, out)
     synthesize_adversarial_graph(spark, replicas, out, f"{out}graph")
+    synthesize_adversarial_events(spark, replicas, out, f"{out}events")
     print(f"total {time.perf_counter() - t0:.1f}s", flush=True)
 
 

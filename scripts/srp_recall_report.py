@@ -42,7 +42,13 @@ def main() -> None:
         print("corpus too small for the adaptive branch — report is vacuous", flush=True)
 
     results = {}
-    for name, kw in [("scaled", {}), ("fixed_L8", {"max_tables": 8})]:
+    for name, kw in [
+        ("scaled", {}),
+        ("fixed_L8", {"max_tables": 8, "max_probes": 0}),
+        # the r15 multi-probe branch: cap binds at L=8 → T sized (=3 at
+        # cos 0.4) — recall back near scaled-L at 8 tables instead of 22
+        ("capped_L8_probed", {"max_tables": 8}),
+    ]:
         t0 = time.perf_counter()
         df = (
             similarity.embedding_near_duplicates_srp(emb, threshold=0.4, **kw)

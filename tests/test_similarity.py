@@ -266,6 +266,54 @@ def test_srp_adaptive_planes_tables_decision():
     assert planes == 18 and tables == 64
 
 
+def test_srp_probes_for_cap_math():
+    """The multi-probe floor: q(T) = p^k + T·p^(k−1)(1−p) per table,
+    recall 1−(1−q)^L vs the (k0, L0) baseline — T must be the smallest
+    count that meets it, 0 when L alone does, capped at max_probes."""
+    f = similarity.srp_probes_for_cap
+    p = similarity.srp_collision_probability(0.4)
+    # k=6 capped at L=8 vs (4, 8) baseline: T=3 restores the floor
+    assert f(4, 8, 6, 8, 0.4, 6) == 3
+    base_miss = (1 - p**4) ** 8
+    q3 = p**6 + 3 * p**5 * (1 - p)
+    q2 = p**6 + 2 * p**5 * (1 - p)
+    assert (1 - q3) ** 8 <= base_miss < (1 - q2) ** 8
+    # uncapped tables (L=22 at k=6) already hold it: no probes
+    assert f(4, 8, 6, 22, 0.4, 6) == 0
+    # k not raised → no probes regardless
+    assert f(4, 8, 4, 8, 0.4, 6) == 0
+    # max_probes caps even when the floor is not met
+    assert f(4, 8, 6, 8, 0.4, 1) == 1
+    # deep-k regime: feasible at k=10 / L=64 with few probes ...
+    t10 = f(4, 8, 10, 64, 0.4, 10)
+    assert 1 <= t10 <= 3
+    # ... infeasible at k=18 / L=64 → returns the cap (residual stated)
+    assert f(4, 8, 18, 64, 0.4, 6) == 6
+    # monotone in T: the returned T is minimal
+    for t_less in range(t10):
+        q = p**10 + t_less * p**9 * (1 - p)
+        assert (1 - q) ** 64 > base_miss
+
+
+def test_srp_adaptive_plan_decision():
+    """The full (planes, tables, probes) decision: probes stay 0 until
+    max_tables binds, then cover the capped deficit; small corpora are
+    untouched; probes never exceed the plane count."""
+    f = similarity.srp_adaptive_plan
+    assert f(4096, 4, 8, 0.4, 4096, 64) == (4, 8, 0)
+    # L=22 fits under 64 → no probes
+    assert f(200_000, 4, 8, 0.4, 4096, 64) == (6, 22, 0)
+    # cap at 8 binds → k=6, L=8, T=3
+    assert f(200_000, 4, 8, 0.4, 4096, 8) == (6, 8, 3)
+    # absurd n: planes cap 18, tables cap 64, probes at their cap
+    planes, tables, probes = f(10**12, 4, 8, 0.4, 4096, 64)
+    assert (planes, tables) == (18, 64) and probes == 6
+    # max_probes=0 reproduces the pre-r15 pair of decisions exactly
+    assert f(200_000, 4, 8, 0.4, 4096, 8, max_probes=0) == (6, 8, 0)
+    # probes are clamped to the plane count
+    assert f(200_000, 4, 8, 0.4, 4096, 8, max_probes=99)[2] <= 6
+
+
 def test_srp_adaptive_tables_hold_boundary_recall(spark):
     """VERDICT r9 #3 pin: on a corpus of boundary pairs (cosine spread
     0.35-0.75 around the 0.4 threshold), forcing the adaptive branch to
@@ -309,18 +357,27 @@ def test_srp_adaptive_tables_hold_boundary_recall(spark):
     assert similarity.srp_tables_for_planes(4, 8, 6, 0.4) == 22
     base = srp(target_bucket_rows=None)  # k=4, L=8
     scaled = srp(target_bucket_rows=4)  # k=6, L=22
-    capped = srp(target_bucket_rows=4, max_tables=8)  # k=6, L=8 (old)
-    for s in (base, scaled, capped):
+    # k=6, L=8, probes OFF — the pre-r10 capped hole, kept reachable
+    capped = srp(target_bucket_rows=4, max_tables=8, max_probes=0)
+    # k=6, L=8, probes sized (=3 at cos 0.4) — the r15 multi-probe fix
+    probed = srp(target_bucket_rows=4, max_tables=8)
+    for s in (base, scaled, capped, probed):
         assert s <= exact, "SRP precision must stay 1"
     # tables 0..7 are shared → scaled candidates strictly include capped's
     assert capped <= scaled
+    # probing only ADDS buckets → superset of the probe-less capped set
+    assert capped <= probed
     # the r9 recall hole: fixed L at k=6 reads below baseline ...
     assert len(capped) < len(base)
-    # ... and the scaled branch holds the boundary-recall contract
+    # ... the scaled branch holds the boundary-recall contract ...
     assert len(scaled) >= len(base)
+    # ... and so does the capped-L multi-probe branch (VERDICT r9's
+    # "graceful degradation past the cap" is now a held floor)
+    assert len(probed) >= len(base)
     # pin the measured figures so a silent regression is loud
     assert len(capped & exact) / len(exact) < 0.75
     assert len(scaled & exact) / len(exact) >= 0.85
+    assert len(probed & exact) / len(exact) >= 0.85
 
 
 class TestKMeans:
