@@ -210,10 +210,12 @@ def synthesize_adversarial_events(spark, replicas: int, base: str, out: str) -> 
     sessionization (ties never open new sessions) and hides true
     user-dimension growth; the same silent-collapse class the graph
     corpus fixed for parts. Here user_id also shifts per replica (100
-    disjoint user populations), EXCEPT a deterministic ~1% of rows
-    that keep the base user — those become cross-replica HEAVY USERS
-    with ~100× the base event count, exactly the per-user-partition
-    skew the window/sessionization family must absorb; ts jitters by
+    disjoint user populations), EXCEPT that rows of a deterministic
+    ~1% HUB subset of base users (user_id ≡ 0 mod 100) keep the base
+    user half the time — concentrating (not spreading: a row-uniform
+    1% would give every user a flat ~2×) ~replicas/2× the base event
+    count on those ~15 heavy users, genuine per-user-partition skew
+    the window/sessionization family must absorb; ts jitters by
     a deterministic per-(event, replica) offset in ±12h so timestamps
     are distinct and session gaps are realistic rather than tied (the
     overall time span stays ~the base span, so calendar-bound queries
@@ -222,7 +224,9 @@ def synthesize_adversarial_events(spark, replicas: int, base: str, out: str) -> 
     stride_e = ev.agg(F.max("event_id")).collect()[0][0] + 1
     stride_u = ev.agg(F.max("user_id")).collect()[0][0] + 1
     rep = ev.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
-    keep_base = F.xxhash64(F.col("event_id"), F.col("_rep"), F.lit(17)) % 100 == 0
+    keep_base = (F.pmod(F.col("user_id"), F.lit(100)) == 0) & (
+        F.xxhash64(F.col("event_id"), F.col("_rep"), F.lit(17)) % 2 == 0
+    )
     jitter_s = (
         F.pmod(F.xxhash64(F.col("event_id"), F.col("_rep"), F.lit(29)), F.lit(86400))
         - F.lit(43200)
@@ -248,14 +252,18 @@ def synthesize_adversarial_events(spark, replicas: int, base: str, out: str) -> 
         dst = f"{out}/{name}.parquet"
         if not os.path.lexists(dst):
             os.symlink(os.path.abspath(f"{base}/{name}.parquet"), dst)
-    stats = spark.read.parquet(f"{out}/events.parquet").agg(
+    written = spark.read.parquet(f"{out}/events.parquet")
+    stats = written.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("user_id").alias("u"),
         F.approx_count_distinct("ts").alias("t"),
     ).collect()[0]
+    top = (
+        written.groupBy("user_id").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
     print(
         f"adversarial events: {stats['n']} rows, ~{stats['u']} distinct users, "
-        f"~{stats['t']} distinct timestamps",
+        f"~{stats['t']} distinct timestamps, heaviest user {top['count']} events",
         flush=True,
     )
 

@@ -10,13 +10,21 @@ unique, k adapts 4→6 at the 4096-row default target).
 
 Usage: python scripts/srp_recall_report.py [emb_dir=/tmp/sfadv100]
 
-Round-14 figures (local[32], ~1.6×-slow VM class, 200k vectors;
-exact ground truth 10,425,651 pairs in 213.9 s):
-  scaled-L (k=6, L=22): 8,298,434 pairs, 154.4 s, recall 0.7960
-  fixed-L8 (k=6, L=8):  4,637,884 pairs,  83.5 s, recall 0.4449
-  precision 1 on both (every emitted pair verified ⊆ exact).
+Round-15 figures (local[32], idle, 200k vectors; exact ground truth
+10,425,651 pairs in 133.6 s):
+  scaled-L (k=6, L=22):          8,298,434 pairs, 153.1 s, recall 0.7960
+  fixed-L8 (k=6, L=8, T=0):      4,637,884 pairs,  68.0 s, recall 0.4449
+  capped-L8 probed (k=6, L=8, T=3): 9,645,158 pairs, 281.2 s, recall 0.9251
+  precision 1 on all three (every emitted pair verified ⊆ exact).
 The (k=4, L=8) analytic boundary recall at cos 0.4 is 0.7484 — the
-scaled branch holds it; the fixed branch was the r9-flagged hole.
+scaled branch holds it; the fixed branch was the r9-flagged hole; the
+multi-probe branch's measured recall (0.925) lands far ABOVE its
+random-rank floor (0.748) because margin-ranked flips target exactly
+the buckets boundary pairs fall into — the empirical headroom the
+operator docstring claims past the floor's k≈13 feasibility limit.
+(At this corpus size the cap does not bind — the DEFAULT plan is
+scaled L=22 with T=0; the probed row forces max_tables=8 to exercise
+the capped regime the probes exist for.)
 """
 
 import math
