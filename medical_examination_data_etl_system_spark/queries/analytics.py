@@ -1710,11 +1710,18 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic for concentration monitoring (how much of the book one
     whale owns). Exact: cents are BIGINTs, ranks come from one window
     over the customer-count-bounded aggregate frame (the ABC class),
-    and the classic Σ(2i−n−1)·xᵢ numerator is summed in integers —
-    equal values make the within-tie rank order irrelevant (the
-    coefficient sum over a tie block factors out), so the statistic is
-    engine-deterministic without a tie-break column. One double
-    division at the end, mirrored."""
+    and the classic Σ(2i−n−1)·xᵢ numerator is summed exactly in
+    DECIMAL(38,0) — a long sum overflows past ~10⁶ customers
+    (rank·cents products reach ~10¹⁷ each; the adversarial customers
+    corpus caught the int64 blow-up at 1.39M customers), while 38
+    digits carry to ~10⁹ customers × whale books. Equal values make
+    the within-tie rank order irrelevant (the coefficient sum over a
+    tie block factors out), so the statistic is engine-deterministic
+    without a tie-break column. The n·Σx denominator multiplies as
+    doubles for the same reason (each factor is long-exact; only the
+    product overflows). One double division at the end, mirrored —
+    bit-identical to the pre-fix output wherever the old longs didn't
+    overflow, since the decimal sum is the same integer."""
     orders = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("_x"))
@@ -1726,8 +1733,14 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("_x").alias("total_cents"),
         F.round(
-            F.sum((2 * F.col("_i") - F.col("_n") - 1) * F.col("_x")).cast("double")
-            / (F.count(F.lit(1)) * F.sum("_x")),
+            F.sum(
+                (2 * F.col("_i") - F.col("_n") - 1).cast("decimal(38,0)")
+                * F.col("_x").cast("decimal(38,0)")
+            ).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("_x").cast("double")
+            ),
             6,
         ).alias("gini"),
     )

@@ -268,6 +268,71 @@ def synthesize_adversarial_events(spark, replicas: int, base: str, out: str) -> 
     )
 
 
+def synthesize_adversarial_customers(spark, replicas: int, base: str, out: str) -> None:
+    """A genuinely 100× CUSTOMER DIMENSION. The standard protocol
+    shifts only o_orderkey, so o_custkey replicates verbatim: the
+    customer-analytics family (RFM, cohort LTV, survival, churn,
+    ABC/gini, k-anonymity) groups 100 tied-date copies of each order
+    under the SAME 15k customers — per-customer depth inflates but the
+    customer dimension never grows, the same silent-collapse class the
+    graph/events corpora fixed for parts/users. Here both c_custkey
+    (customer table, replicated with shifted ids — replica 0 keeps the
+    base ids, so base-key joins stay live) and o_custkey shift per
+    replica, EXCEPT that orders of a deterministic ~1% HUB subset of
+    base customers (c_custkey ≡ 0 mod 100) keep the base customer half
+    the time — ~replicas/2× the base order count concentrated on ~150
+    heavy customers (genuine per-customer skew). o_orderkey shifts
+    with the SAME stride the base replicas use, so the symlinked
+    lineitem's l_orderkey keys still join. Dates replicate verbatim
+    (multiple orders per day per customer is a realistic regime)."""
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    stride_o = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    stride_c = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    os.makedirs(out, exist_ok=True)
+    rep_c = cust.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+    rep_c.select(
+        *[
+            (F.col("c_custkey") + F.col("_rep") * F.lit(stride_c)).alias("c_custkey")
+            if c == "c_custkey"
+            else F.col(c)
+            for c in cust.columns
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    rep_o = orders.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+    keep_base = (F.pmod(F.col("o_custkey"), F.lit(100)) == 0) & (
+        F.xxhash64(F.col("o_orderkey"), F.col("_rep"), F.lit(31)) % 2 == 0
+    )
+    rep_o.select(
+        *[
+            (F.col("o_orderkey") + F.col("_rep") * F.lit(stride_o)).alias("o_orderkey")
+            if c == "o_orderkey"
+            else F.when(keep_base, F.col("o_custkey"))
+            .otherwise(F.col("o_custkey") + F.col("_rep") * F.lit(stride_c))
+            .alias("o_custkey")
+            if c == "o_custkey"
+            else F.col(c)
+            for c in orders.columns
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    for name in ("region", "nation", "supplier", "part", "lineitem",
+                 "events", "documents", "embeddings"):
+        dst = f"{out}/{name}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(os.path.abspath(f"{base}/{name}.parquet"), dst)
+    written = spark.read.parquet(f"{out}/orders.parquet")
+    stats = written.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("o_custkey").alias("c"),
+    ).collect()[0]
+    top = written.groupBy("o_custkey").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    print(
+        f"adversarial customers: {stats['n']} orders, ~{stats['c']} distinct "
+        f"customers, heaviest customer {top['count']} orders",
+        flush=True,
+    )
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfadv100"
@@ -281,6 +346,7 @@ def main() -> None:
     synthesize_adversarial_embeddings(spark, replicas, out)
     synthesize_adversarial_graph(spark, replicas, out, f"{out}graph")
     synthesize_adversarial_events(spark, replicas, out, f"{out}events")
+    synthesize_adversarial_customers(spark, replicas, out, f"{out}customers")
     print(f"total {time.perf_counter() - t0:.1f}s", flush=True)
 
 
