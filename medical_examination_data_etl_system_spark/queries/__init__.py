@@ -70,6 +70,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+_ROWCOUNTS: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count of a testdata table, memoized per (sf_dir, table) for
+    the process lifetime — used as a cheap SIZING BOUND (e.g. the
+    distributed-rank switch sizes per-customer frames off |customer|),
+    where a one-job parquet count per query call would otherwise
+    dominate small-scale benchmarks. Testdata dirs are immutable
+    within a process, which is what makes the memo sound."""
+    key = (sf_dir, table)
+    if key not in _ROWCOUNTS:
+        _ROWCOUNTS[key] = load(spark, sf_dir, table).count()
+    return _ROWCOUNTS[key]
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
 # r3 #1). Structured bookkeeping (ADVICE r9 #3): each entry is a

@@ -18,7 +18,7 @@ from medical_examination_data_etl_system_spark.operators.timeseries import (
     resample_gap_fill,
     retention_cohorts,
 )
-from medical_examination_data_etl_system_spark.queries import QueryDef, load
+from medical_examination_data_etl_system_spark.queries import QueryDef, load, table_rowcount
 
 
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,11 +410,21 @@ ORDER BY t1, t2
 
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency / frequency / monetary,
-    quartiled with ``ntile`` and rolled up to segment sizes. Every
-    ntile ordering carries the customer key as the final tie-break, so
-    quartile assignment — normally order-dependent under ties — is
-    engine-deterministic and the whole segmentation value-hashes."""
-    from pyspark.sql import Window
+    quartiled and rolled up to segment sizes. Every quartile ordering
+    carries the customer key as the final tie-break, so assignment —
+    normally order-dependent under ties — is engine-deterministic and
+    the whole segmentation value-hashes.
+
+    Each quartile is ``with_global_ntile`` — native ``F.ntile`` over
+    the plain window while the per-customer frame is small (the exact
+    pre-round-15 plan; the sizing bound is the memoized |customer|
+    metadata count, distinct fact keys never exceeding the dimension),
+    switching to a range-partitioned parallel rank +
+    ``ntile_from_rank`` reconstruction past 10⁶ rows (bit-identical,
+    pinned in tests) — the frame is dim-sized (1.39M adversarial /
+    10⁹ cluster), past what three single-task ntile sorts should
+    carry."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_ntile
 
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -422,15 +432,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
     )
-    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-    fq = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
-    scored = per_cust.select(
-        "o_custkey",
-        r.alias("r_quartile"),
-        fq.alias("f_quartile"),
-        m.alias("m_quartile"),
-        "monetary_cents",
+    hint = table_rowcount(spark, sf_dir, "customer")
+    scored = per_cust
+    for out_col, order in (
+        ("r_quartile", [F.desc("last_order"), F.asc("o_custkey")]),
+        ("f_quartile", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m_quartile", [F.desc("monetary_cents"), F.asc("o_custkey")]),
+    ):
+        scored = with_global_ntile(scored, order, 4, out_col, n_rows_hint=hint)
+    scored = scored.select(
+        "o_custkey", "r_quartile", "f_quartile", "m_quartile", "monetary_cents"
     )
     return (
         scored.groupBy("r_quartile", "f_quartile", "m_quartile")
@@ -1598,24 +1609,31 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto revenue classification: customers ranked by exact
     total cents, cumulative share cut at 80% (A) and 95% (B) — the
     inventory-analytics standard. Class boundaries are INTEGER
-    comparisons (cum·100 ≤ total·80), so no float enters until the
-    final reported share. The cumulative window runs over the
-    per-customer aggregate frame — customer-count-bounded (dim scale,
-    the RFM ntile class), never row-bounded; ties are broken by
-    customer key so the ranking is engine-deterministic."""
+    comparisons (cum·100 ≤ total·80) in DECIMAL(38,0) — exact at any
+    book size, where a long product overflows past ~10¹⁷ total cents —
+    so no float enters until the final reported share. The cumulative
+    sum runs over the per-customer aggregate frame via
+    ``with_global_prefix`` (range-partitioned parallel prefix sum +
+    bounded offset collect) — the frame is dim-sized (1.39M customers
+    adversarial / 10⁹ on a cluster), past a single sort task; ties are
+    broken by customer key so the ranking is engine-deterministic."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
     orders = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
-    w = Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     total = per_cust.agg(F.sum("rev_cents").alias("_total"))
-    cum = per_cust.withColumn("_cum", F.sum("rev_cents").over(w)).crossJoin(
-        F.broadcast(total)
-    )
+    cum = with_global_prefix(
+        per_cust,
+        [F.desc("rev_cents"), F.asc("o_custkey")],
+        rank_col="_rk",
+        running_sums={"_cum": "rev_cents"},
+        n_rows_hint=table_rowcount(spark, sf_dir, "customer"),
+    ).crossJoin(F.broadcast(total))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     cls = (
-        F.when(F.col("_cum") * 100 <= F.col("_total") * 80, "A")
-        .when(F.col("_cum") * 100 <= F.col("_total") * 95, "B")
+        F.when(dec("_cum") * 100 <= dec("_total") * 80, "A")
+        .when(dec("_cum") * 100 <= dec("_total") * 95, "B")
         .otherwise("C")
     )
     return (
@@ -1721,13 +1739,26 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles for the same reason (each factor is long-exact; only the
     product overflows). One double division at the end, mirrored —
     bit-identical to the pre-fix output wherever the old longs didn't
-    overflow, since the decimal sum is the same integer."""
+    overflow, since the decimal sum is the same integer.
+
+    Ranks come from ``with_global_prefix`` (range-partitioned parallel
+    rank + bounded offset collect) rather than a single-task
+    ``Window.orderBy`` — the per-customer frame is dim-sized (1.39M on
+    the adversarial customers corpus, 10⁹ on a cluster), which is past
+    what one sort task should carry; the total count rides along from
+    the same offsets, replacing the unpartitioned count window."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
     orders = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("_x"))
-    w = Window.orderBy("_x", "o_custkey")
-    ranked = per_cust.select("_x", F.row_number().over(w).alias("_i")).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = with_global_prefix(
+        per_cust,
+        [F.asc("_x"), F.asc("o_custkey")],
+        rank_col="_i",
+        total_count_col="_n",
+        # sizing bound: distinct o_custkey ≤ |customer| (memoized count)
+        n_rows_hint=table_rowcount(spark, sf_dir, "customer"),
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),

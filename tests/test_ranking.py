@@ -1,0 +1,126 @@
+"""Distributed global rank / prefix-sum operator
+(``operators/ranking.py``): bit-equivalence to the single-task
+unpartitioned window it replaces, across partition counts, plus the
+exact Spark ntile reconstruction."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from medical_examination_data_etl_system_spark.operators.cache import cache_scope
+from medical_examination_data_etl_system_spark.operators.ranking import (
+    ntile_from_rank,
+    with_global_prefix,
+)
+
+
+def _seeded(spark, n=500):
+    # Values with heavy ties (mod 7) force the tie-break column to
+    # matter; ids are a total order suffix.
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(7)).alias("v"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000)).alias("x"),
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_global_prefix_matches_single_task_window(spark, parts):
+    df = _seeded(spark)
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r["k"]: (r["rnk"], r["run"], r["n"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rnk"),
+            F.sum("x").over(cum).alias("run"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        ).collect()
+    }
+    with cache_scope():
+        got = {
+            r["k"]: (r["rnk"], r["run"], r["n"])
+            for r in with_global_prefix(
+                df,
+                [F.desc("v"), F.asc("k")],
+                rank_col="rnk",
+                running_sums={"run": "x"},
+                total_count_col="n",
+                num_partitions=parts,
+                small_frame_rows=0,  # force the distributed branch
+            ).collect()
+        }
+    assert got == expected
+    # the adaptive small-frame branch must agree too (default threshold)
+    with cache_scope():
+        small = {
+            r["k"]: (r["rnk"], r["run"], r["n"])
+            for r in with_global_prefix(
+                df,
+                [F.desc("v"), F.asc("k")],
+                rank_col="rnk",
+                running_sums={"run": "x"},
+                total_count_col="n",
+            ).collect()
+        }
+    assert small == expected
+
+
+def test_adaptive_branch_selection(spark):
+    """Under the threshold the plan is a plain window (no range
+    exchange); over it (forced) the range partitioning appears."""
+    df = _seeded(spark, 100)
+    with cache_scope():
+        small_plan = with_global_prefix(
+            df, [F.asc("v"), F.asc("k")]
+        )._jdf.queryExecution().executedPlan().toString()
+        big_plan = with_global_prefix(
+            df, [F.asc("v"), F.asc("k")], small_frame_rows=0
+        )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in small_plan.lower()
+    assert "rangepartitioning" in big_plan.lower()
+
+
+def test_global_prefix_empty_frame(spark):
+    df = _seeded(spark).filter(F.lit(False))
+    with cache_scope():
+        out = with_global_prefix(
+            df, [F.asc("k")], rank_col="rnk", running_sums={"run": "x"},
+            total_count_col="n",
+        )
+        assert out.count() == 0
+        assert set(out.columns) >= {"k", "v", "x", "rnk", "run", "n"}
+
+
+def test_global_prefix_deterministic(spark):
+    df = _seeded(spark, 300)
+    with cache_scope():
+        a = with_global_prefix(
+            df, [F.asc("v"), F.asc("k")], num_partitions=8, small_frame_rows=0
+        ).collect()
+    with cache_scope():
+        b = with_global_prefix(
+            df, [F.asc("v"), F.asc("k")], num_partitions=8, small_frame_rows=0
+        ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@pytest.mark.parametrize("n,k", [(1, 4), (3, 4), (4, 4), (7, 4), (100, 4), (101, 7), (6, 10)])
+def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
+    df = spark.range(n).select(F.col("id").alias("i"))
+    w = Window.orderBy("i")
+    expected = [
+        (r["i"], r["t"])
+        for r in df.select("i", F.ntile(k).over(w).alias("t")).collect()
+    ]
+    got = [
+        (r["i"], r["t"])
+        for r in df.select(
+            "i",
+            ntile_from_rank(
+                F.row_number().over(w), F.lit(n).cast("long"), k
+            ).alias("t"),
+        ).collect()
+    ]
+    assert got == expected
