@@ -155,10 +155,16 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("stream_click_attribution", "r05"),
     ("stream_dedup_exactly_once", "r05"),
     ("stream_sessionize_stateful", "r05"),
-    ("stream_static_enrich", "r05"),
-    ("stream_tumbling_hourly", "r05"),
-    ("stream_upsert_latest_state", "r05"),
     # -- restructured in r10, prior rows re-certified in-window.
+    # -- (customer_rfm_segments / customer_abc_classes /
+    # -- customer_gini_revenue: distributed global-rank rewrite +
+    # -- gini/abc decimal overflow hardening — outputs bit-identical
+    # -- at driver scale by the adaptive small-frame branch, but the
+    # -- code changed, so they re-certify; three r05 rows rolled to
+    # -- the r11 head to make room.) --
+    ("customer_rfm_segments", "r10-restr"),
+    ("customer_abc_classes", "r10-restr"),
+    ("customer_gini_revenue", "r10-restr"),
     # -- (emb_near_dup_srp: the table-scaling change only alters the
     # -- executed plan when n > target·2^num_planes = 65,536, so its
     # -- sf0.01 run is bit-identical to the r09 row — re-certified
@@ -169,15 +175,17 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("graph_triangle_stats", "r10-restr"),
     ("emb_near_dup_srp", "r10-restr"),
     # ---- end of the r10 driver window (cut = WINDOW_SIZE) ----
-    # -- committed r11 plan: the r06-stale rows, name order (46 —
-    # -- graph_triangle_stats moved in-window above; the cut at 50
-    # -- leaves the tail plus the r07 backlog to r12) --
+    # -- committed r11 plan: the three r05 rows displaced by the
+    # -- customer-family restructures, then the r06-stale rows in
+    # -- name order (43 — graph_triangle_stats and the three customer
+    # -- queries moved in-window above; the cut at 50 leaves the tail
+    # -- plus the r07 backlog to r12) --
+    ("stream_static_enrich", "r05"),
+    ("stream_tumbling_hourly", "r05"),
+    ("stream_upsert_latest_state", "r05"),
     ("agg_cms_user_counts", "r06"),
     ("agg_p90_outlier_orders", "r06"),
     ("agg_percentiles_by_flag", "r06"),
-    ("customer_abc_classes", "r06"),
-    ("customer_gini_revenue", "r06"),
-    ("customer_rfm_segments", "r06"),
     ("docs_blocklist_filter", "r06"),
     ("docs_domain_mix", "r06"),
     ("docs_length_buckets", "r06"),
