@@ -73,16 +73,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _ROWCOUNTS: dict[tuple[str, str], int] = {}
 
 
-def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int:
+def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
     """Row count of a testdata table, memoized per (sf_dir, table) for
     the process lifetime — used as a cheap SIZING BOUND (e.g. the
     distributed-rank switch sizes per-customer frames off |customer|),
     where a one-job parquet count per query call would otherwise
     dominate small-scale benchmarks. Testdata dirs are immutable
-    within a process, which is what makes the memo sound."""
+    within a process, which is what makes the memo sound. Returns
+    ``None`` (unmemoized) when the table doesn't exist in ``sf_dir`` —
+    synthetic edge-case dirs carry only the tables a test needs, and
+    a missing HINT must degrade to self-sizing, not an error."""
+    from pyspark.errors import AnalysisException
+
     key = (sf_dir, table)
     if key not in _ROWCOUNTS:
-        _ROWCOUNTS[key] = load(spark, sf_dir, table).count()
+        try:
+            _ROWCOUNTS[key] = load(spark, sf_dir, table).count()
+        except AnalysisException:
+            return None
     return _ROWCOUNTS[key]
 
 

@@ -18,15 +18,17 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r10: graph_triangle_stats re-enters at the packed-adjacency
-# array_intersect plan — at sf0.1 it reads ~parity with the wedge
-# join once the 1.6×-slow r10 VM is normalized out, and 2.3× better
-# at the adversarial 100× graph, which is what the restructure was
-# for. r09's CHANGED set — itemCF, incremental_dedup, the two
-# MinHash-kernel consumers — re-entered at 2cc1e6c and now fold
-# normally.)
+# (r10 late-session: the three customer ranking queries re-enter at
+# the adaptive distributed-rank plan — at sf0.1 the small-frame
+# branch keeps the old window plan plus one memoized sizing count, so
+# fresh ≈ old modulo the VM class, while gini reads 2.1× better at
+# the adversarial 100× customers corpus, which is what the rewrite
+# was for. graph_triangle_stats re-entered at fed6be2/f2e0d8f and
+# now folds normally.)
 CHANGED: set[str] = {
-    "graph_triangle_stats",
+    "customer_rfm_segments",
+    "customer_abc_classes",
+    "customer_gini_revenue",
 }
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
