@@ -931,15 +931,26 @@ def lsh_bucketed_topk(
     num_planes: int = 4,
     dim: int = 64,
     num_tables: int = 4,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket in any
     of ``num_tables`` hash tables, re-ranked by the shared per-bucket
     GEMM kernel (see ``_grouped_topk_kernel``). Returns the same shape
     as ``cosine_topk``. A neighbor found in several tables yields
     identical bucket-local rows — deduped before the global ranking so
-    it occupies one top-k slot."""
+    it occupies one top-k slot.
+
+    ``probes`` is QUERY-SIDE multi-probe (the classic asymmetric form:
+    Lv et al., VLDB'07): each query row additionally searches its T
+    lowest-|margin| single-bit-flip buckets per table, so recall rises
+    at (1+T)× QUERY fan-out only — the corpus index is untouched, which
+    is the whole point at 10⁹ corpus rows vs a handful of queries.
+    Monotone: probes only add buckets searched, so the probed result's
+    per-query recall ≥ the probe-less one (pinned in tests)."""
     c = with_srp_buckets(corpus, id_col, vec_col, num_planes, dim, num_tables=num_tables)
-    q = with_srp_buckets(queries, id_col, vec_col, num_planes, dim, num_tables=num_tables)
+    q = with_srp_buckets(
+        queries, id_col, vec_col, num_planes, dim, num_tables=num_tables, probes=probes
+    )
     tagged = c.withColumn("_is_q", F.lit(False)).unionByName(
         q.withColumn("_is_q", F.lit(True))
     )

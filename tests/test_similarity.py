@@ -47,6 +47,23 @@ def test_lsh_recall_floor(spark):
     assert r >= 0.2, f"LSH recall {r:.2f} below floor"
 
 
+def test_lsh_query_side_multiprobe_lifts_recall(spark):
+    """Query-side probing only ADDS buckets searched, so per-query
+    recall is monotone in T — and on this corpus the lift is real,
+    not vacuous (strictly more hits at T=2)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = _topk_sets(similarity.cosine_topk(emb, queries, k=K))
+    base = _topk_sets(similarity.lsh_bucketed_topk(emb, queries, k=K))
+    probed = _topk_sets(similarity.lsh_bucketed_topk(emb, queries, k=K, probes=2))
+    r0, r2 = _recall(base, exact), _recall(probed, exact)
+    assert r2 >= r0, f"probing reduced recall: {r2:.3f} < {r0:.3f}"
+    assert r2 > r0, "multi-probe made no difference on the test corpus"
+    # determinism of the probed path
+    again = _topk_sets(similarity.lsh_bucketed_topk(emb, queries, k=K, probes=2))
+    assert again == probed
+
+
 def test_ivf_full_probe_equals_exact(spark):
     """nprobe == num_centroids probes every list → exact result."""
     emb = load(spark, SF_DIR, "embeddings")
