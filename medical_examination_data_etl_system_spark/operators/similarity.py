@@ -104,9 +104,19 @@ def cosine_topk(
     """Exact top-k neighbors per query: (query_id, neighbor_id, cos_sim, rank).
 
     Self-matches are excluded. Ties break on neighbor id (deterministic).
-    """
+
+    Parallelism guard: the O(n·q) fold's task count is bound by the
+    CORPUS SCAN's partitioning — a 200k-vector corpus written as one
+    parquet file put the whole quadratic fold on ONE core (the
+    full-battery 100× sweep caught it at 45+ idle minutes). When the
+    scan is narrower than the session shuffle width, the corpus side
+    is round-robin rebalanced first — values unchanged, and every
+    output ordering is fully determined by (query_id, rank)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    target = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if c.rdd.getNumPartitions() < target:
+        c = c.repartition(target)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))

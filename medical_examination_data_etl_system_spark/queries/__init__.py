@@ -162,8 +162,12 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("sql_recursive_hierarchy", "r05"),
     ("stream_click_attribution", "r05"),
     ("stream_dedup_exactly_once", "r05"),
-    ("stream_sessionize_stateful", "r05"),
     # -- restructured in r10, prior rows re-certified in-window.
+    # -- (emb_cosine_topk: corpus-side parallelism rebalance — the
+    # -- full-battery 100× sweep caught the quadratic fold running on
+    # -- ONE core when the corpus scan is a single parquet file;
+    # -- values unchanged, plan changed.) --
+    ("emb_cosine_topk", "r10-restr"),
     # -- (customer_rfm_segments / customer_abc_classes /
     # -- customer_gini_revenue: distributed global-rank rewrite +
     # -- gini/abc decimal overflow hardening — outputs bit-identical
@@ -183,11 +187,12 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("graph_triangle_stats", "r10-restr"),
     ("emb_near_dup_srp", "r10-restr"),
     # ---- end of the r10 driver window (cut = WINDOW_SIZE) ----
-    # -- committed r11 plan: the three r05 rows displaced by the
-    # -- customer-family restructures, then the r06-stale rows in
-    # -- name order (43 — graph_triangle_stats and the three customer
-    # -- queries moved in-window above; the cut at 50 leaves the tail
-    # -- plus the r07 backlog to r12) --
+    # -- committed r11 plan: the four r05 rows displaced by the
+    # -- customer-family + cosine-topk restructures, then the
+    # -- r06-stale rows in name order (43 — graph_triangle_stats and
+    # -- the three customer queries moved in-window above; the cut at
+    # -- 50 leaves the tail plus the r07 backlog to r12) --
+    ("stream_sessionize_stateful", "r05"),
     ("stream_static_enrich", "r05"),
     ("stream_tumbling_hourly", "r05"),
     ("stream_upsert_latest_state", "r05"),

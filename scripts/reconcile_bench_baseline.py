@@ -29,6 +29,16 @@ CHANGED: set[str] = {
     "customer_rfm_segments",
     "customer_abc_classes",
     "customer_gini_revenue",
+    # corpus-side parallelism rebalance (plan changed; sf0.1 reads
+    # FASTER than the old best — 0.765 idle min-of-3 vs 1.08 — because
+    # the sf0.1 scan was also one file)
+    "emb_cosine_topk",
+}
+
+# Idle min-of-3 for plan-changed queries measured outside the last full
+# pass (the full pass predated the change): folded as fresh values.
+CHANGED_IDLE: dict[str, float] = {
+    "emb_cosine_topk": 0.765,
 }
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
@@ -61,6 +71,9 @@ for rev in sys.argv[1:]:
 for name, v in IDLE_REMEASURED.items():
     if name in folded and name not in CHANGED:
         folded[name] = min(folded[name], v)
+for name, v in CHANGED_IDLE.items():
+    if name in folded:
+        folded[name] = v
 improved = sum(1 for n in folded if folded[n] < fresh[n])
 total = round(sum(folded.values()), 3)
 json.dump(
