@@ -80,6 +80,17 @@ def with_global_prefix(
     """
     sums = running_sums or {}
     spark = df.sparkSession
+    # Offsets cross the driver as exact longs; a fractional sum column
+    # would silently round there. Integral inputs only (the callers
+    # sum cents / counts — the repo-wide exact-integer discipline).
+    dtypes = dict(df.dtypes)
+    for out, src in sums.items():
+        if dtypes.get(src) not in ("bigint", "int", "smallint", "tinyint", "long"):
+            raise TypeError(
+                f"running_sums[{out!r}] over non-integral column {src!r} "
+                f"({dtypes.get(src)}): partition offsets are carried as exact "
+                "longs; cast to cents/ticks first or sum doubles downstream"
+            )
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pin = None

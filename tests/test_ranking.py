@@ -106,6 +106,53 @@ def test_global_prefix_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_global_prefix_rejects_fractional_sum(spark):
+    """Partition offsets cross the driver as exact longs — a double
+    source column must be rejected loudly, not silently rounded."""
+    df = _seeded(spark).withColumn("xf", F.col("x").cast("double"))
+    with pytest.raises(TypeError, match="non-integral"):
+        with_global_prefix(df, [F.asc("k")], running_sums={"run": "xf"})
+
+
+def test_global_prefix_property_random_frames(spark):
+    """Hypothesis-style sweep without fixture interplay: random sizes,
+    duplicate-heavy keys, random partition counts — the distributed
+    branch must agree with the single-task window on every draw."""
+    import random
+
+    rnd = random.Random(41)
+    for _ in range(5):
+        n = rnd.randint(0, 120)
+        parts = rnd.choice([1, 2, 7, 32])
+        rows = [
+            (i, rnd.randint(0, 5), rnd.randint(-100, 100)) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k long, v long, x long") if rows else (
+            _seeded(spark).filter(F.lit(False))
+        )
+        w = Window.orderBy(F.desc("v"), F.asc("k"))
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        expected = {
+            r["k"]: (r["rnk"], r["run"])
+            for r in df.select(
+                "k", F.row_number().over(w).alias("rnk"), F.sum("x").over(cum).alias("run")
+            ).collect()
+        }
+        with cache_scope():
+            got = {
+                r["k"]: (r["rnk"], r["run"])
+                for r in with_global_prefix(
+                    df,
+                    [F.desc("v"), F.asc("k")],
+                    rank_col="rnk",
+                    running_sums={"run": "x"},
+                    num_partitions=parts,
+                    small_frame_rows=0,
+                ).collect()
+            }
+        assert got == expected, (n, parts)
+
+
 @pytest.mark.parametrize("n,k", [(1, 4), (3, 4), (4, 4), (7, 4), (100, 4), (101, 7), (6, 10)])
 def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
     df = spark.range(n).select(F.col("id").alias("i"))
