@@ -18,39 +18,30 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r10 late-session: the three customer ranking queries re-enter at
-# the adaptive distributed-rank plan — at sf0.1 the small-frame
-# branch keeps the old window plan plus one memoized sizing count, so
-# fresh ≈ old modulo the VM class, while gini reads 2.1× better at
-# the adversarial 100× customers corpus, which is what the rewrite
-# was for. graph_triangle_stats re-entered at fed6be2/f2e0d8f and
-# now folds normally.)
-CHANGED: set[str] = {
-    "customer_rfm_segments",
-    "customer_abc_classes",
-    "customer_gini_revenue",
-    # corpus-side parallelism rebalance (plan changed; sf0.1 reads
-    # FASTER than the old best — 0.765 idle min-of-3 vs 1.08 — because
-    # the sf0.1 scan was also one file)
-    "emb_cosine_topk",
-}
+# (r11: no plan changes yet — the driver's r10 pass simply overwrote
+# the reconciled 203.9s baseline with fresh 237.3s totals on the SAME
+# plans, the recurring hazard VERDICT r9 #2 / r10 #2 flags. All r10
+# plan changes were already folded at 97fb21b, so the r11 reconcile
+# is a pure min-fold against that rev.)
+#
+# graph_triangle_stats provenance (VERDICT r10 watch item): the
+# packed-adjacency rewrite landed at b9db81a and re-entered fresh at
+# 5.756 under the CHANGED discipline; the committed best 4.794 first
+# appears at 9f60eec, a LATER full pass on the same packed plan (every
+# hist rev folded there — 5.756 @ b9db81a, 5.678 @ f2e0d8f — already
+# postdated the rewrite, and no pre-change rev carries 4.794). The
+# best therefore postdates the rewrite and stands.
+CHANGED: set[str] = set()
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
 # pass (the full pass predated the change): folded as fresh values.
-CHANGED_IDLE: dict[str, float] = {
-    "emb_cosine_topk": 0.765,
-}
+CHANGED_IDLE: dict[str, float] = {}
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
-# extra snapshot (VERDICT r9 #2 / "What's wrong" #1: the judge
-# re-measured the three worst fresh-vs-best movers standalone idle on
-# the r09 VM and found them at-or-below the committed bests — the
-# baseline should carry those confirmed floors, not the mover noise).
-IDLE_REMEASURED: dict[str, float] = {
-    "pipeline_render_reports": 1.80,  # VERDICT r9 (vs 3.33 best / 6.02 fresh)
-    "emb_matryoshka_recall": 1.77,  # VERDICT r9
-    "emb_near_dup_cosine": 1.51,  # VERDICT r9
-}
+# extra snapshot. (The r9 entries — pipeline_render_reports 1.80,
+# emb_matryoshka_recall 1.77, emb_near_dup_cosine 1.51 — are already
+# folded into the 97fb21b baseline and need not be repeated.)
+IDLE_REMEASURED: dict[str, float] = {}
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 path = os.path.join(repo, "bench_queries.json")
