@@ -56,6 +56,11 @@ def with_global_prefix(
     (which must form a TOTAL order) and, per ``running_sums`` entry
     ``{out: src}``, the inclusive running total of ``src`` in that
     order — without an unbounded single-task global window.
+    ``running_sums`` sources must be integral AND effectively non-null
+    (coalesce upstream): the integral check below raises on the former;
+    the latter is a documented contract because schema nullability
+    cannot distinguish a genuinely nullable column from an F.sum
+    aggregate (see the branch-divergence note at the guard).
 
     ``total_count_col`` additionally attaches the frame's total row
     count as a column (free: already on the driver either way) —
@@ -83,6 +88,20 @@ def with_global_prefix(
     # Offsets cross the driver as exact longs; a fractional sum column
     # would silently round there. Integral inputs only (the callers
     # sum cents / counts — the repo-wide exact-integer discipline).
+    #
+    # NON-NULL inputs only, by CONTRACT (ADVICE r10 #1): with a null in
+    # the first range partition, the plain window carries NULL for the
+    # prefix before the first non-null while the distributed branch's
+    # null-prefix-plus-long-offset arithmetic also yields NULL *per
+    # partition* — rows in a LATER partition before its first non-null
+    # would get NULL where the plain window would carry the prior
+    # partitions' running total, silently breaking the bit-identical
+    # branch contract. A schema-level nullability rejection would ban
+    # every F.sum-derived column (aggregates are nullable-by-schema even
+    # when values never are), so the requirement is documented here and
+    # in the docstring instead: coalesce nullable sources to 0 upstream.
+    # Current callers pass groupBy sums over non-null fact columns,
+    # which cannot be null on non-empty groups.
     dtypes = dict(df.dtypes)
     for out, src in sums.items():
         if dtypes.get(src) not in ("bigint", "int", "smallint", "tinyint", "long"):
@@ -92,7 +111,12 @@ def with_global_prefix(
                 "longs; cast to cents/ticks first or sum doubles downstream"
             )
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            # Non-numeric on some AQE-coupled runtimes (e.g. "auto") —
+            # same fallback as operators.similarity.cosine_topk.
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = spark.sparkContext.defaultParallelism
     pin = None
     if n_rows_hint is not None:
         n_rows = n_rows_hint

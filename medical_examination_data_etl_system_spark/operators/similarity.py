@@ -114,7 +114,13 @@ def cosine_topk(
     output ordering is fully determined by (query_id, rank)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    target = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spark = corpus.sparkSession
+    try:
+        # Non-numeric on some AQE-coupled runtimes (e.g. "auto") — fall
+        # back to cluster parallelism rather than raising (ADVICE r10 #3).
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        target = spark.sparkContext.defaultParallelism
     if c.rdd.getNumPartitions() < target:
         c = c.repartition(target)
     scored = (
@@ -648,6 +654,12 @@ def _srp_sharded_groups(
     results. Unsampled buckets default to S=1 via the left join.
     ``size_sample_mod=1`` forces exact counting (tests).
     """
+    # Clamp ONCE at the entry so the emit pass (with_srp_buckets, which
+    # clamps internally) and the sizing pass (_srp_bucket_sizes, which
+    # does not) see the same value — an unclamped probes > num_planes
+    # would make _srp_table_codes argsort-index past k in the sizing
+    # pass and desynchronize shard sizing from emission (ADVICE r10 #2).
+    probes = min(max(0, probes), num_planes)
     tagged = with_srp_buckets(
         emb, id_col, vec_col, num_planes, dim, num_tables=num_tables, probes=probes
     ).select(

@@ -90,7 +90,12 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
         try:
             _ROWCOUNTS[key] = load(spark, sf_dir, table).count()
         except AnalysisException:
-            return None
+            # Memoize the miss too (ADVICE r10 #4): the dir is immutable
+            # per-process by the same argument that makes the count memo
+            # sound, so re-running load() + catching the AnalysisException
+            # on every call for an intentionally-absent table is pure
+            # repeated catalog/path-resolution cost.
+            _ROWCOUNTS[key] = None
     return _ROWCOUNTS[key]
 
 
@@ -98,17 +103,19 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
 # order, so the registry is ordered by EVIDENCE NEED each round (VERDICT
 # r3 #1). Structured bookkeeping (ADVICE r9 #3): each entry is a
 # ``(name, why)`` tuple where ``why`` is the machine-checkable reason the
-# row sits in the current window — "r04"/"r05" = driver evidence last
-# refreshed that round (VERDICT r9 #1: the committed r10 plan, six rolled
-# r04 rows then the 42 live r05-stale rows in name order), "r10-restr" =
-# RESTRUCTURED this round, so its prior row is re-certified in-window
-# (the rule r08 applied to ushape/CDC and r09 to the MinHash kernel).
+# row sits in the current window — "r05"/"r06"/"r07" = driver evidence
+# last refreshed that round (VERDICT r10 #3: the committed r11 plan —
+# the four r05-stale stream rows, the 43 r06-stale rows, then 3 r07
+# rows to fill the cut), "rNN-restr" = RESTRUCTURED that round, so its
+# prior row is re-certified in-window (the rule r08 applied to
+# ushape/CDC, r09 to the MinHash kernel, r10 to the customer-rank and
+# cosine-topk rewrites).
 # The window cut is WINDOW_SIZE; the import-time check below fails
 # loudly if an insert shifts a restructured row past the cut, and
 # tests/test_edge_cases.py pins the invariant.
-# Positions 51+ are the COMMITTED R11 PLAN: the r06-stale rows in name
-# order (47 of them; the cut at 50 leaves the remainder plus the r07
-# backlog to r12). Every windowed name is hash-green in the local
+# Positions 51+ are the COMMITTED R12 PLAN: the remaining 42 r07-stale
+# rows in name order, then the first 5 r08-stale rows (the r08 tail
+# rolls to r13+). Every windowed name is hash-green in the local
 # replica before commit (scripts/parity_subset.py).
 # Retired rows-only originals (VERDICT r8 #2) are in RETIRED below —
 # out of the driver/bench registry, still importable and pytest-smoked
@@ -116,82 +123,12 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
 WINDOW_SIZE = 50
 
 _WINDOW_PLAN: list[tuple[str, str]] = [
-    # -- the six r04-stale rows rolled from the r09 window --
-    ("text_quality_langid", "r04"),
-    ("text_token_stats", "r04"),
-    ("unpivot_status_priority", "r04"),
-    ("window_order_gaps", "r04"),
-    ("window_running_total", "r04"),
-    ("window_topk_orders_per_customer", "r04"),
-    # -- the 42 live r05-stale rows, name order --
-    ("agg_grouping_sets", "r05"),
-    ("cdc_merge_orders", "r05"),
-    ("customer_spend_trend", "r05"),
-    ("docs_bigram_coherence", "r05"),
-    ("docs_decontaminate", "r05"),
-    ("docs_dedup_cluster_sizes", "r05"),
-    ("docs_dedup_keep_best", "r05"),
-    ("docs_epoch_shuffle", "r05"),
-    ("docs_heavy_hitter_terms", "r05"),
-    ("docs_ngram_containment", "r05"),
-    ("docs_repetition_ratio", "r05"),
-    ("docs_stratified_sample", "r05"),
-    ("docs_vocab_growth", "r05"),
-    ("dq_check_orders", "r05"),
-    ("emb_negative_sampling", "r05"),
-    ("emb_standardize", "r05"),
-    ("events_conversion_latency", "r05"),
-    ("events_cumulative_distinct", "r05"),
-    ("events_ewma_smoothing", "r05"),
-    ("events_funnel_conversion", "r05"),
-    ("events_gap_fill_hourly", "r05"),
-    ("events_histogram_equidepth", "r05"),
-    ("events_holt_forecast", "r05"),
-    ("events_linear_attribution", "r05"),
-    ("events_retention_cohorts", "r05"),
-    ("events_transition_matrix", "r05"),
-    ("fn_url_parse", "r05"),
-    ("incr_agg_merge_orders", "r05"),
-    ("join_interval_overlap", "r05"),
-    ("layout_zorder_cluster", "r05"),
-    ("lineitem_spearman_corr", "r05"),
-    ("orders_seasonality_index", "r05"),
-    ("pit_purchase_user_state", "r05"),
-    ("scd2_user_event_history", "r05"),
-    ("sql_interface_revenue", "r05"),
-    ("sql_recursive_hierarchy", "r05"),
-    ("stream_click_attribution", "r05"),
-    ("stream_dedup_exactly_once", "r05"),
-    # -- restructured in r10, prior rows re-certified in-window.
-    # -- (emb_cosine_topk: corpus-side parallelism rebalance — the
-    # -- full-battery 100× sweep caught the quadratic fold running on
-    # -- ONE core when the corpus scan is a single parquet file;
-    # -- values unchanged, plan changed.) --
-    ("emb_cosine_topk", "r10-restr"),
-    # -- (customer_rfm_segments / customer_abc_classes /
-    # -- customer_gini_revenue: distributed global-rank rewrite +
-    # -- gini/abc decimal overflow hardening — outputs bit-identical
-    # -- at driver scale by the adaptive small-frame branch, but the
-    # -- code changed, so they re-certify; three r05 rows rolled to
-    # -- the r11 head to make room.) --
-    ("customer_rfm_segments", "r10-restr"),
-    ("customer_abc_classes", "r10-restr"),
-    ("customer_gini_revenue", "r10-restr"),
-    # -- (emb_near_dup_srp: the table-scaling change only alters the
-    # -- executed plan when n > target·2^num_planes = 65,536, so its
-    # -- sf0.01 run is bit-identical to the r09 row — re-certified
-    # -- anyway under the strict reading of the rule since the
-    # -- operator's code changed; the behavior change itself is
-    # -- certified by the pytest recall pins +
-    # -- scripts/srp_recall_report.py.) --
-    ("graph_triangle_stats", "r10-restr"),
-    ("emb_near_dup_srp", "r10-restr"),
-    # ---- end of the r10 driver window (cut = WINDOW_SIZE) ----
-    # -- committed r11 plan: the four r05 rows displaced by the
-    # -- customer-family + cosine-topk restructures, then the
-    # -- r06-stale rows in name order (43 — graph_triangle_stats and
-    # -- the three customer queries moved in-window above; the cut at
-    # -- 50 leaves the tail plus the r07 backlog to r12) --
+    # ---- r11 driver window: exactly the committed plan from the r10
+    # ---- rotation (VERDICT r10 #3) — the four r05-stale stream rows
+    # ---- displaced by the r10 restructures, then the 43 r06-stale
+    # ---- rows in name order, then the first 3 r07-stale rows in name
+    # ---- order to fill the 50-entry cut. No r11 restructures at plan
+    # ---- time; any late-round restructure rotates in per the rule. --
     ("stream_sessionize_stateful", "r05"),
     ("stream_static_enrich", "r05"),
     ("stream_tumbling_hourly", "r05"),
@@ -239,6 +176,60 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("text_rolling_fingerprint", "r06"),
     ("window_distribution_stats", "r06"),
     ("window_range_30d_sum", "r06"),
+    ("agg_bitmap_distinct_parts", "r07"),
+    ("agg_hll_md5_rollup_exact", "r07"),
+    ("agg_kmv_overlap_exact", "r07"),
+    # ---- end of the r11 driver window (cut = WINDOW_SIZE) ----
+    # -- committed r12 plan: the remaining 42 r07-stale rows in name
+    # -- order, then the first 5 r08-stale rows in name order (the cut
+    # -- at 50 leaves the r08 tail and later rounds to r13+) --
+    ("customer_cohort_ltv", "r07"),
+    ("docs_bm25_search", "r07"),
+    ("docs_bpe_pair_merges", "r07"),
+    ("docs_dup_span_audit", "r07"),
+    ("docs_langid_confusion", "r07"),
+    ("docs_lm_quality", "r07"),
+    ("docs_ngram_novelty", "r07"),
+    ("docs_quality_calibration", "r07"),
+    ("docs_simhash_md5_exact", "r07"),
+    ("docs_temperature_mix", "r07"),
+    ("emb_ann_recall_report", "r07"),
+    ("emb_ivf_topk_exact", "r07"),
+    ("emb_ivfpq_topk", "r07"),
+    ("emb_kmeans_assign_round1", "r07"),
+    ("emb_kmeans_iter2_exact", "r07"),
+    ("emb_power_iteration_exact", "r07"),
+    ("emb_pq_adc_topk", "r07"),
+    ("emb_pq_encode", "r07"),
+    ("emb_srp_bucket_profile", "r07"),
+    ("emb_srp_topk_exact", "r07"),
+    ("events_activity_streaks", "r07"),
+    ("events_dau_wau_stickiness", "r07"),
+    ("events_nearest_event_join", "r07"),
+    ("events_session_length_stats", "r07"),
+    ("events_watermark_late_audit", "r07"),
+    ("fn_higher_order_arrays", "r07"),
+    ("fn_try_arithmetic", "r07"),
+    ("graph_pagerank_int3", "r07"),
+    ("incr_join_merge_revenue", "r07"),
+    ("join_null_safe_keys", "r07"),
+    ("lineitem_basket_lift", "r07"),
+    ("lineitem_skyline_frontier", "r07"),
+    ("multimodal_chunk_dedup", "r07"),
+    ("orders_open_backlog_monthly", "r07"),
+    ("orders_price_mad", "r07"),
+    ("pipeline_e2e_reports", "r07"),
+    ("pipeline_ingest_enrich_clean", "r07"),
+    ("pipeline_llm_rewrite", "r07"),
+    ("set_bag_semantics_nations", "r07"),
+    ("stream_bitmap_distinct_users", "r07"),
+    ("window_locf_fill", "r07"),
+    ("window_topk_with_ties", "r07"),
+    ("customer_k_anonymity", "r08"),
+    ("customer_survival_km", "r08"),
+    ("docs_cdc_chunk_dedup", "r08"),
+    ("docs_dataset_card", "r08"),
+    ("docs_feature_hashing", "r08"),
 ]
 
 _DRIVER_WINDOW_PRIORITY = [name for name, _why in _WINDOW_PLAN]

@@ -166,3 +166,27 @@ def test_repetition_stats_values(spark):
     assert set(got) == {1, 2}
     assert (got[1]["n_grams"], got[1]["n_distinct"], got[1]["rep_ratio"]) == (5, 2, 0.6)
     assert got[2]["rep_ratio"] == 0.0
+
+
+def test_table_rowcount_memoizes_missing_tables(spark, tmp_path):
+    """ADVICE r10 #4: a missing table's outcome is memoized too — the
+    second lookup for an absent table must not re-run load() (the dir
+    is immutable per-process, same argument as the count memo)."""
+    from medical_examination_data_etl_system_spark import queries as q
+
+    calls = {"n": 0}
+    orig_load = q.load
+
+    def counting_load(sp, sf_dir, table):
+        calls["n"] += 1
+        return orig_load(sp, sf_dir, table)
+
+    q.load = counting_load
+    try:
+        missing_dir = str(tmp_path)  # empty dir: every table absent
+        assert q.table_rowcount(spark, missing_dir, "orders") is None
+        assert q.table_rowcount(spark, missing_dir, "orders") is None
+        assert calls["n"] == 1, f"load re-ran for a memoized miss: {calls}"
+    finally:
+        q.load = orig_load
+        q._ROWCOUNTS.pop((str(tmp_path), "orders"), None)

@@ -435,3 +435,35 @@ class TestKMeans:
             inertias.append(a.agg(F.sum("sq_dist")).collect()[0][0])
         assert inertias[0] >= inertias[1] - 1e-6
         assert inertias[1] >= inertias[2] - 1e-6
+
+
+def test_srp_probes_overclamp(spark):
+    """ADVICE r10 #2: an explicit ``probes`` larger than the plane count
+    must be clamped ONCE at the _srp_sharded_groups entry — previously
+    the emit pass clamped but the sizing pass did not, so
+    probes > num_planes argsort-indexed past k in _srp_table_codes
+    (worker-side IndexError). The clamped run must emit exactly the
+    probes=num_planes pair set."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(2, 64))
+    rows = []
+    for i in range(80):
+        base = centers[i % 2] if i % 3 else rng.normal(size=64)
+        rows.append((i, (base + rng.normal(scale=0.05, size=64)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pairs(p):
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_duplicates_srp(
+                emb, threshold=0.8, num_tables=2, target_bucket_rows=None,
+                num_planes=4, probes=p, size_sample_mod=1,
+            ).collect()
+        )
+
+    at_cap = pairs(4)       # probes == num_planes
+    over = pairs(99)        # must clamp to 4, not crash
+    assert at_cap, "corpus should produce near-dup pairs"
+    assert over == at_cap, "over-clamped probes changed the pair set"
