@@ -45,7 +45,7 @@ from .cache import persist_tracked
 def with_global_prefix(
     df: DataFrame,
     order_exprs: Sequence[Column],
-    rank_col: str = "_rank",
+    rank_col: str | None = "_rank",
     running_sums: dict[str, str] | None = None,
     total_count_col: str | None = None,
     num_partitions: int | None = None,
@@ -56,6 +56,9 @@ def with_global_prefix(
     (which must form a TOTAL order) and, per ``running_sums`` entry
     ``{out: src}``, the inclusive running total of ``src`` in that
     order — without an unbounded single-task global window.
+    ``rank_col=None`` skips the rank entirely (value-domain callers
+    need only the running sums; on the small branch this reproduces
+    their pre-existing single-window plan expression-for-expression).
     ``running_sums`` sources must be integral AND effectively non-null
     (coalesce upstream): the integral check below raises on the former;
     the latter is a documented contract because schema nullability
@@ -125,9 +128,9 @@ def with_global_prefix(
         n_rows = pin.count()
     if n_rows <= small_frame_rows:
         w = Window.orderBy(*order_exprs)
-        out_df = (pin if pin is not None else df).withColumn(
-            rank_col, F.row_number().over(w)
-        )
+        out_df = pin if pin is not None else df
+        if rank_col is not None:
+            out_df = out_df.withColumn(rank_col, F.row_number().over(w))
         for out, src in sums.items():
             out_df = out_df.withColumn(
                 out,
@@ -179,10 +182,11 @@ def with_global_prefix(
     off = spark.createDataFrame(offsets or [(0, 0, *[0] * len(sums))], off_schema)
     w = Window.partitionBy("_gp_pid").orderBy(*order_exprs)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out_df = (
-        part.join(F.broadcast(off), "_gp_pid", "left")
-        .withColumn(rank_col, F.row_number().over(w) + F.coalesce("_gp_off_n", F.lit(0)))
-    )
+    out_df = part.join(F.broadcast(off), "_gp_pid", "left")
+    if rank_col is not None:
+        out_df = out_df.withColumn(
+            rank_col, F.row_number().over(w) + F.coalesce("_gp_off_n", F.lit(0))
+        )
     for out, src in sums.items():
         out_df = out_df.withColumn(
             out, F.sum(src).over(cum) + F.coalesce(f"_gp_off_{out}", F.lit(0))
@@ -190,6 +194,105 @@ def with_global_prefix(
     if total_count_col is not None:
         out_df = out_df.withColumn(total_count_col, F.lit(total_rows))
     return out_df.drop("_gp_pid", "_gp_off_n", *[f"_gp_off_{out}" for out in sums])
+
+
+def with_partitioned_prefix(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_exprs: Sequence[Column],
+    running_sums: dict[str, str],
+    part_total_cols: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    small_frame_rows: int = 1_000_000,
+    n_rows_hint: int | None = None,
+) -> DataFrame:
+    """Per-``part_cols`` inclusive running totals of ``running_sums``
+    sources in ``order_exprs`` order, plus (``part_total_cols``) the
+    per-partition grand totals as columns — the PARTITIONED sibling of
+    :func:`with_global_prefix` for windows like
+    ``sum(c) OVER (PARTITION BY flag ORDER BY value)`` whose partition
+    count is tiny (a handful of flags) while each partition's frame can
+    be ~n rows (the continuous-value-domain regime): partitioning by
+    flag bounds the TASK count at the flag count, not the task SIZE.
+
+    Small frames (≤ ``small_frame_rows``) keep the plain partitioned
+    window — expression-for-expression today's plan, zero added jobs
+    when ``n_rows_hint`` is given. Past the threshold the frame takes
+    ONE global range shuffle on (part, order) via
+    :func:`with_global_prefix` (rank skipped), and per-part sums are
+    recovered as ``global_cum − exclusive_part_offset`` with the
+    offsets/totals coming from a bounded ``groupBy(part)`` aggregate
+    (rows = distinct parts, window over THAT frame is domain-bounded
+    by construction). Bit-identical branches: exact integer arithmetic
+    either way (``running_sums`` inherits the integral + non-null
+    contract of :func:`with_global_prefix`).
+
+    ``part_cols`` must be NON-NULL (the offset join is an equi-join on
+    them) and (part_cols + order_exprs) must form a total order —
+    callers pass distinct-value frames keyed by (part, value), which
+    satisfies both.
+    """
+    sums = running_sums or {}
+    totals = part_total_cols or {}
+    parts = [F.col(p) for p in part_cols]
+    if n_rows_hint is not None:
+        n_rows = n_rows_hint
+        pin = None
+    else:
+        pin = persist_tracked(df)
+        n_rows = pin.count()
+    if n_rows <= small_frame_rows:
+        base = pin if pin is not None else df
+        wo = Window.partitionBy(*part_cols).orderBy(*order_exprs)
+        cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wp = Window.partitionBy(*part_cols)
+        out_df = base
+        for out, src in sums.items():
+            out_df = out_df.withColumn(out, F.sum(src).over(cum))
+        for out, src in totals.items():
+            out_df = out_df.withColumn(out, F.sum(src).over(wp))
+        return out_df
+    # Large branch: the frame feeds TWO consumers (the totals aggregate
+    # and the range-shuffled prefix) — pin it even when a hint skipped
+    # the sizing count, or the upstream aggregation would run twice.
+    if pin is None:
+        pin = persist_tracked(df)
+    src_needed = {src for src in sums.values()} | {src for src in totals.values()}
+    tot = pin.groupBy(*part_cols).agg(
+        *[F.sum(src).alias(f"_pp_t_{src}") for src in sorted(src_needed)]
+    )
+    # Exclusive per-part offsets: a window over the DISTINCT-part frame
+    # — bounded by the part domain (a handful of flags), never by n.
+    w_exc = Window.orderBy(*part_cols).rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        *part_cols,
+        *[F.col(f"_pp_t_{src}") for src in sorted(src_needed)],
+        *[
+            F.coalesce(F.sum(f"_pp_t_{src}").over(w_exc), F.lit(0)).alias(f"_pp_e_{src}")
+            for src in sorted(src_needed)
+        ],
+    )
+    glob = with_global_prefix(
+        pin,
+        [*parts, *order_exprs],
+        rank_col=None,
+        running_sums={f"_pp_g_{out}": src for out, src in sums.items()},
+        num_partitions=num_partitions,
+        small_frame_rows=0,  # sized here; always the distributed branch
+        n_rows_hint=n_rows,
+    )
+    out_df = glob.join(F.broadcast(off), list(part_cols))
+    for out, src in sums.items():
+        out_df = out_df.withColumn(
+            out, F.col(f"_pp_g_{out}") - F.col(f"_pp_e_{src}")
+        )
+    for out, src in totals.items():
+        out_df = out_df.withColumn(out, F.col(f"_pp_t_{src}"))
+    return out_df.drop(
+        *[f"_pp_g_{out}" for out in sums],
+        *[f"_pp_t_{src}" for src in sorted(src_needed)],
+        *[f"_pp_e_{src}" for src in sorted(src_needed)],
+    )
 
 
 def with_global_ntile(

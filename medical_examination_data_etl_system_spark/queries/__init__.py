@@ -135,12 +135,14 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("stream_upsert_latest_state", "r05"),
     ("agg_cms_user_counts", "r06"),
     ("agg_p90_outlier_orders", "r06"),
-    ("agg_percentiles_by_flag", "r06"),
+    # (in-window rows retagged r11-restr: percentile family adaptive
+    # value-domain prefix; semantic-dedup pair kernel packing)
+    ("agg_percentiles_by_flag", "r11-restr"),
     ("docs_blocklist_filter", "r06"),
     ("docs_domain_mix", "r06"),
     ("docs_length_buckets", "r06"),
-    ("docs_semantic_dedup", "r06"),
-    ("docs_semantic_dedup_srp", "r06"),
+    ("docs_semantic_dedup", "r11-restr"),
+    ("docs_semantic_dedup_srp", "r11-restr"),
     ("docs_tfidf_top_terms", "r06"),
     ("docs_token_entropy", "r06"),
     ("docs_train_val_test_split", "r06"),
@@ -168,6 +170,34 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("multimodal_phash_near_dup", "r06"),
     ("orders_daily_anomaly", "r06"),
     ("orders_mom_growth", "r06"),
+    # -- RESTRUCTURED in r11, rotated in-window per the rule (11 tail
+    # -- rows displaced to the r12 plan head):
+    # -- percentile family — adaptive value-domain cumulative prefix
+    # -- (with_global_prefix / with_partitioned_prefix under the
+    # -- fact-rowcount hint; bit-identical small branch at driver
+    # -- scale, distributed branch on continuous-value corpora) --
+    ("lineitem_winsorize_prices", "r11-restr"),
+    ("orders_price_mad", "r11-restr"),
+    ("events_histogram_equidepth", "r11-restr"),
+    ("events_conversion_latency", "r11-restr"),
+    ("orders_mann_whitney", "r11-restr"),
+    # -- SRP small-bucket packing (negative-keyed coalesced kernel
+    # -- groups) + the shared GEMM kernel's packed-group dispatch --
+    ("emb_near_dup_srp", "r11-restr"),
+    ("emb_near_dup_cosine", "r11-restr"),
+    # -- ranking-operator callers (rank_col made optional + conf
+    # -- fallback; executed branch unchanged, re-certified under the
+    # -- strict code-changed reading, as r10 did for emb_near_dup_srp)
+    ("customer_rfm_segments", "r11-restr"),
+    ("customer_abc_classes", "r11-restr"),
+    ("customer_gini_revenue", "r11-restr"),
+    # -- cosine_topk shuffle-partitions conf guard --
+    ("emb_cosine_topk", "r11-restr"),
+    # ---- end of the r11 driver window (cut = WINDOW_SIZE) ----
+    # -- committed r12 plan: the 8 r06 + 3 r07 rows displaced by the
+    # -- r11 restructures, then the remaining 42 r07-stale rows in
+    # -- name order, then r08 rows to the next cut (the tail rolls to
+    # -- r13+) --
     ("pipeline_render_reports", "r06"),
     ("stream_cms_user_counts", "r06"),
     ("stream_running_ewma", "r06"),
@@ -179,10 +209,6 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("agg_bitmap_distinct_parts", "r07"),
     ("agg_hll_md5_rollup_exact", "r07"),
     ("agg_kmv_overlap_exact", "r07"),
-    # ---- end of the r11 driver window (cut = WINDOW_SIZE) ----
-    # -- committed r12 plan: the remaining 42 r07-stale rows in name
-    # -- order, then the first 5 r08-stale rows in name order (the cut
-    # -- at 50 leaves the r08 tail and later rounds to r13+) --
     ("customer_cohort_ltv", "r07"),
     ("docs_bm25_search", "r07"),
     ("docs_bpe_pair_merges", "r07"),
@@ -217,7 +243,6 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("lineitem_skyline_frontier", "r07"),
     ("multimodal_chunk_dedup", "r07"),
     ("orders_open_backlog_monthly", "r07"),
-    ("orders_price_mad", "r07"),
     ("pipeline_e2e_reports", "r07"),
     ("pipeline_ingest_enrich_clean", "r07"),
     ("pipeline_llm_rewrite", "r07"),

@@ -923,10 +923,19 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     nb = 10
     sizes = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "value", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
-    )
+    # Exclusive cumulative = inclusive − own count; the inclusive sum
+    # ADAPTS to the value-domain size under the fact-rowcount hint (r11
+    # continuous-value hardening — plain bounded-domain window today,
+    # range-partitioned parallel prefix when distinct values ≈ n).
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
+    offsets = with_global_prefix(
+        sizes,
+        [F.col("value")],
+        rank_col=None,
+        running_sums={"_cumv": "cnt"},
+        n_rows_hint=table_rowcount(spark, sf_dir, "events"),
+    ).select("value", (F.col("_cumv") - F.col("cnt")).alias("off"))
     w_in = Window.partitionBy("value").orderBy("event_id")
     ranked = (
         ev.join(offsets, "value")
@@ -1332,11 +1341,22 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = counts.select(
+    # The latency domain is bounded by the corpus time range in the
+    # driver data but degenerates to ~n_users on jittered-timestamp
+    # corpora — the cumulative window ADAPTS under the events-rowcount
+    # hint (an upper bound on converted users; r11 hardening).
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
+    cum = with_global_prefix(
+        counts,
+        [F.col("lat_s")],
+        rank_col=None,
+        running_sums={"cum": "cnt"},
+        n_rows_hint=table_rowcount(spark, sf_dir, "events"),
+    ).select(
         "lat_s",
-        F.sum("cnt").over(w).alias("cum"),
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("prev_cum"),
+        "cum",
+        (F.col("cum") - F.col("cnt")).alias("prev_cum"),
     )
     total = lat.agg(F.count(F.lit(1)).alias("n"))
     c = cum.crossJoin(F.broadcast(total))
@@ -1928,18 +1948,29 @@ def orders_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     median| over the deviation domain. Each cumulative window runs
     over a distinct-value frame (granularity-bounded), the median
     scalar travels as a broadcast 1-row cross join — no collect, no
-    per-row rank."""
+    per-row rank. Both cumulative windows ADAPT to the value-domain
+    size under the fact-rowcount hint (r11 continuous-value hardening:
+    plain window on bounded domains, range-partitioned parallel prefix
+    when distinct cents ≈ n)."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
     orders = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    hint = table_rowcount(spark, sf_dir, "orders")
 
     def lower_median(df: DataFrame, col: str) -> DataFrame:
         counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
-        wo = Window.orderBy(col)
-        ranked = counts.select(
-            F.col(col),
-            F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("_cum"),
-            F.sum("_c").over(Window.partitionBy()).alias("_nn"),
-        )
+        # n as an aggregate + broadcast cross join, NOT
+        # sum(_c) OVER () — the unpartitioned-total window was itself a
+        # single-task pass over the (possibly ~n) distinct-value frame.
+        tot = counts.agg(F.sum("_c").alias("_nn"))
+        ranked = with_global_prefix(
+            counts,
+            [F.col(col)],
+            rank_col=None,
+            running_sums={"_cum": "_c"},
+            n_rows_hint=hint,
+        ).crossJoin(F.broadcast(tot))
         return ranked.agg(
             F.min(F.when(2 * F.col("_cum") >= F.col("_nn"), F.col(col))).alias("_med")
         )
@@ -3155,14 +3186,23 @@ def lineitem_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches ceil(q·n)), so both engines pick the identical cent.
 
     Fact rows are touched twice map-side (value-domain collapse; final
-    clamped sum); every window runs on the bounded distinct-price
-    domain."""
+    clamped sum); every window ADAPTS to the distinct-price domain
+    (plain bounded-domain window under the fact-rowcount hint; the
+    range-partitioned parallel prefix when the domain is ~n — the r11
+    continuous-value hardening)."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
     li = load(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     vals = li.select(cents.alias("v")).groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     tot = vals.agg(F.sum("c").alias("n"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.crossJoin(F.broadcast(tot)).withColumn("cum", F.sum("c").over(w))
+    cum = with_global_prefix(
+        vals,
+        [F.col("v")],
+        rank_col=None,
+        running_sums={"cum": "c"},
+        n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
+    ).crossJoin(F.broadcast(tot))
     lo = (
         cum.filter(F.col("cum") >= F.ceil(F.col("n") * 0.01))
         .agg(F.min("v").alias("lo_cents"))
@@ -3853,12 +3893,22 @@ def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("long").alias("n1v"),
         F.count(F.lit(1)).alias("ntv"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = vals.select(
+    # cum-before = inclusive running total − own tie count; adapts to
+    # the value-domain size under the orders-rowcount hint (r11
+    # continuous-value hardening).
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
+    cum = with_global_prefix(
+        vals,
+        [F.col("v")],
+        rank_col=None,
+        running_sums={"_cumt": "ntv"},
+        n_rows_hint=table_rowcount(spark, sf_dir, "orders"),
+    ).select(
         "v",
         "n1v",
         "ntv",
-        (F.sum("ntv").over(w) - F.col("ntv")).alias("cb"),
+        (F.col("_cumt") - F.col("ntv")).alias("cb"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = cum.agg(

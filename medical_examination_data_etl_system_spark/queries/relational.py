@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from medical_examination_data_etl_system_spark.queries import QueryDef, load
+from medical_examination_data_etl_system_spark.queries import QueryDef, load, table_rowcount
 
 # ---------------------------------------------------------------------------
 # X6 — join battery
@@ -661,19 +661,29 @@ def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Interpolation stays h = (n−1)·p + 1, v = v_lo + frac·(v_hi − v_lo)
     — identical arithmetic tree to the oracle. The mean comes from
     exact integer cents (Σ round(v·100)·c), divided once — no float
-    summation order anywhere."""
+    summation order anywhere.
+
+    The cumulative window ADAPTS to the value-domain size (the r11
+    continuous-value hardening): on a bounded domain the plain
+    flag-partitioned window runs as before (zero added jobs — the hint
+    is the fact table's metadata rowcount, an upper bound on distinct
+    (flag, price) rows); when the price domain is ~n (unique cents per
+    row — the adversarial values corpus), the per-flag frame no longer
+    fits one task and ``with_partitioned_prefix`` recovers the same
+    sums from a range-partitioned parallel prefix, bit-identically."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_partitioned_prefix
+
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    wo = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wp = W.partitionBy("l_returnflag")
-    ranked = counts.select(
-        "l_returnflag",
-        "l_extendedprice",
-        "_c",
-        F.sum("_c").over(wo).alias("_cum"),
-        F.sum("_c").over(wp).alias("_n"),
+    ranked = with_partitioned_prefix(
+        counts,
+        ["l_returnflag"],
+        [F.col("l_extendedprice")],
+        running_sums={"_cum": "_c"},
+        part_total_cols={"_n": "_c"},
+        n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
     ).withColumn("_off", F.col("_cum") - F.col("_c"))
 
     def _q(p: float) -> F.Column:

@@ -333,6 +333,100 @@ def synthesize_adversarial_customers(spark, replicas: int, base: str, out: str) 
     )
 
 
+def synthesize_adversarial_values(spark, replicas: int, base: str, out: str) -> None:
+    """A genuinely CONTINUOUS VALUE DOMAIN at 100× (VERDICT r10 #1).
+    The standard protocol replicates every price/value verbatim, so the
+    value-domain percentile family (percentiles/winsorize/MAD/
+    equi-depth/Mann-Whitney/latency) always sees a distinct-value frame
+    bounded at the BASE domain (~583k prices) — its "bounded domain"
+    allowlist assumption is never tested. Here every replica's values
+    are jittered to near-all-distinct CENTS (the queries' own
+    granularity — sub-cent jitter would collapse right back at
+    round(v*100)):
+
+    - lineitem.l_extendedprice / orders.o_totalprice += a deterministic
+      per-(key, replica) cent offset in [0, $10M) — unrealistic prices,
+      but the point is distinct-cents ≈ n (97%+ unique at 60M rows: 1e9
+      cent domain vs 6e7 draws), turning the distinct-value frame into
+      ~n rows through the cumulative window;
+    - events.value += a [0, 1e5) offset at 3 decimals (1e8 domain);
+    - events.ts jitters ±12h and user_id shifts per replica (the events
+      corpus protocol), so conversion LATENCIES spread over ~n_users
+      distinct seconds instead of the base grid.
+
+    Primary keys shift exactly like scale_check so every query can run;
+    untouched tables are symlinked from ``base``."""
+    os.makedirs(out, exist_ok=True)
+
+    def _priced(table, key_cols, price_col, cent_domain):
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        stride = df.agg(F.max(key_cols[0])).collect()[0][0] + 1
+        rep = df.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+        jitter = (
+            F.pmod(F.xxhash64(*[F.col(k) for k in key_cols], F.col("_rep"), F.lit(41)),
+                   F.lit(cent_domain))
+        ).cast("double") / 100.0
+        rep.select(
+            *[
+                (F.col(key_cols[0]) + F.col("_rep") * F.lit(stride)).alias(key_cols[0])
+                if c == key_cols[0]
+                else F.round(F.col(price_col) + jitter, 2).alias(price_col)
+                if c == price_col
+                else F.col(c)
+                for c in df.columns
+            ]
+        ).write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+
+    _priced("lineitem", ["l_orderkey", "l_linenumber"], "l_extendedprice", 10**9)
+    _priced("orders", ["o_orderkey"], "o_totalprice", 10**9)
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    stride_e = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    stride_u = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    rep = ev.crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+    vjit = (
+        F.pmod(F.xxhash64(F.col("event_id"), F.col("_rep"), F.lit(43)), F.lit(10**8))
+    ).cast("double") / 1000.0
+    tjit = (
+        F.pmod(F.xxhash64(F.col("event_id"), F.col("_rep"), F.lit(47)), F.lit(86400))
+        - F.lit(43200)
+    ).cast("int")
+    rep.select(
+        *[
+            (F.col("event_id") + F.col("_rep") * F.lit(stride_e)).alias("event_id")
+            if c == "event_id"
+            else (F.col("user_id") + F.col("_rep") * F.lit(stride_u)).alias("user_id")
+            if c == "user_id"
+            else (F.col("ts") + F.make_interval(secs=tjit)).alias("ts")
+            if c == "ts"
+            else F.round(F.col("value") + vjit, 3).alias("value")
+            if c == "value"
+            else F.col(c)
+            for c in ev.columns
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "documents", "embeddings"):
+        dst = f"{out}/{name}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(os.path.abspath(f"{base}/{name}.parquet"), dst)
+    stats = spark.read.parquet(f"{out}/lineitem.parquet").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("d"),
+    ).collect()[0]
+    ev_stats = spark.read.parquet(f"{out}/events.parquet").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("value").alias("d"),
+        F.approx_count_distinct("user_id").alias("u"),
+    ).collect()[0]
+    print(
+        f"adversarial values: lineitem {stats['n']} rows ~{stats['d']} distinct cents "
+        f"({100.0 * stats['d'] / stats['n']:.1f}% unique); events {ev_stats['n']} rows "
+        f"~{ev_stats['d']} distinct values, ~{ev_stats['u']} users",
+        flush=True,
+    )
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfadv100"
@@ -347,6 +441,7 @@ def main() -> None:
     synthesize_adversarial_graph(spark, replicas, out, f"{out}graph")
     synthesize_adversarial_events(spark, replicas, out, f"{out}events")
     synthesize_adversarial_customers(spark, replicas, out, f"{out}customers")
+    synthesize_adversarial_values(spark, replicas, out, f"{out}values")
     print(f"total {time.perf_counter() - t0:.1f}s", flush=True)
 
 

@@ -171,3 +171,66 @@ def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
         ).collect()
     ]
     assert got == expected
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_partitioned_prefix_matches_partitioned_window(spark, parts):
+    """with_partitioned_prefix (r11 continuous-value hardening) must be
+    bit-identical to the plain flag-partitioned cumulative window on
+    both branches, across partition counts."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_partitioned_prefix
+
+    df = spark.range(600).select(
+        F.pmod(F.xxhash64("id"), F.lit(3)).cast("string").alias("flag"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(50)).alias("v"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(100)) + 1).alias("c"),
+    ).groupBy("flag", "v").agg(F.sum("c").alias("c"))  # unique (flag, v)
+    wo = Window.partitionBy("flag").orderBy("v")
+    expected = {
+        (r["flag"], r["v"]): (r["cum"], r["n"])
+        for r in df.select(
+            "flag",
+            "v",
+            F.sum("c").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+            F.sum("c").over(Window.partitionBy("flag")).alias("n"),
+        ).collect()
+    }
+    for kwargs in (
+        {"small_frame_rows": 0, "num_partitions": parts},  # distributed
+        {"n_rows_hint": 10},                               # small w/ hint
+        {},                                                # small, sized
+    ):
+        with cache_scope():
+            got = {
+                (r["flag"], r["v"]): (r["cum"], r["n"])
+                for r in with_partitioned_prefix(
+                    df,
+                    ["flag"],
+                    [F.col("v")],
+                    running_sums={"cum": "c"},
+                    part_total_cols={"n": "c"},
+                    **kwargs,
+                ).collect()
+            }
+        assert got == expected, f"branch mismatch for {kwargs}"
+
+
+def test_global_prefix_rank_none_skips_rank(spark):
+    """rank_col=None returns only the running sums — no rank column on
+    either branch, sums identical to the ranked variant."""
+    df = _seeded(spark)
+    order = [F.asc("v"), F.asc("k")]
+    for kwargs in ({"small_frame_rows": 0}, {"n_rows_hint": 10}):
+        with cache_scope():
+            out = with_global_prefix(
+                df, order, rank_col=None, running_sums={"run": "x"}, **kwargs
+            )
+            assert "_rank" not in out.columns and "rnk" not in out.columns
+            got = {r["k"]: r["run"] for r in out.collect()}
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {r["k"]: r["run"] for r in df.select("k", F.sum("x").over(w).alias("run")).collect()}
+        assert got == want, f"sums diverged for {kwargs}"

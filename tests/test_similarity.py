@@ -467,3 +467,41 @@ def test_srp_probes_overclamp(spark):
     over = pairs(99)        # must clamp to 4, not crash
     assert at_cap, "corpus should produce near-dup pairs"
     assert over == at_cap, "over-clamped probes changed the pair set"
+
+
+def test_srp_bucket_packing_invariant(spark):
+    """VERDICT r10 #4: packing small S=1 buckets into negative-keyed
+    coalesced kernel groups must leave the emitted pair set IDENTICAL
+    while strictly reducing the Arrow group count (the deep-k regime's
+    L·2^k tiny-group overhead)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(3, 64))
+    rows = []
+    for i in range(150):
+        base = centers[i % 3] if i % 4 else rng.normal(size=64)
+        rows.append((i, (base + rng.normal(scale=0.05, size=64)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def run(hint):
+        sharded = similarity._srp_sharded_groups(
+            emb, "vec_id", "embedding", num_planes=6, dim=64, num_tables=4,
+            target_block_rows=64, size_sample_mod=1, probes=2, n_rows_hint=hint,
+        )
+        groups = sharded.select("_pa", "_pb").distinct().count()
+        pairs = sorted(
+            (r["id_a"], r["id_b"])
+            for r in sharded.groupBy("_pa", "_pb")
+            .applyInPandas(similarity._gemm_pairs_factory(0.8), schema=similarity._PAIR_SCHEMA)
+            .select("id_a", "id_b")
+            .distinct()
+            .collect()
+        )
+        return groups, pairs
+
+    g_unpacked, p_unpacked = run(None)
+    g_packed, p_packed = run(150)
+    assert p_unpacked, "corpus should produce candidate pairs"
+    assert p_packed == p_unpacked, "packing changed the pair set"
+    assert g_packed < g_unpacked, f"packing did not reduce groups ({g_packed} vs {g_unpacked})"
