@@ -325,6 +325,7 @@ def with_srp_buckets(
     bucket_col: str = "_bucket",
     num_tables: int = 1,
     probes: int = 0,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """(id, vec, table, bucket, home): SRP bucket per row, hash table,
     and probe slot, via one map-only ``mapInPandas`` sweep — all
@@ -353,23 +354,32 @@ def with_srp_buckets(
     Same planes as ``_srp_bucket``; float64 matmul vs the interpreted
     left-fold can flip a knife-edge sign (dot ≈ 0) on rare vectors,
     which moves a near-orthogonal pair between buckets — irrelevant to
-    the near-dup regime the bucketing targets."""
+    the near-dup regime the bucketing targets.
+
+    ``carry_vectors=False`` drops ``_v`` from the OUTPUT (the matmul
+    still reads it): every row is emitted L·(1+probes)× , and the r11
+    deep-cap decomposition measured the ~300 B vector payload on each
+    copy — not the kernel, not the group count — as essentially the
+    entire probed wall clock (emit+shuffle-only 1,538 s of a 1,533 s
+    run). Consumers that can re-attach vectors from a broadcast (the
+    GEMM kernel's lookup path) shuffle ~26 B rows instead."""
     import numpy as np
+    import pandas as pd
 
     probes = min(max(0, probes), num_planes)
     spark = df.sparkSession
     planes = srp_plane_matrix(spark, num_planes * num_tables, dim)
     weights = (1 << np.arange(num_planes)).astype(np.int64)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("_id", T.LongType(), False),
-            T.StructField("_v", T.ArrayType(T.FloatType()), True),
-            T.StructField("_table", T.IntegerType(), False),
-            T.StructField(bucket_col, T.LongType(), False),
-            T.StructField("_home", T.BooleanType(), False),
-        ]
-    )
+    fields = [T.StructField("_id", T.LongType(), False)]
+    if carry_vectors:
+        fields.append(T.StructField("_v", T.ArrayType(T.FloatType()), True))
+    fields += [
+        T.StructField("_table", T.IntegerType(), False),
+        T.StructField(bucket_col, T.LongType(), False),
+        T.StructField("_home", T.BooleanType(), False),
+    ]
+    out_schema = T.StructType(fields)
     copies = 1 + probes
 
     def _assign(batches):
@@ -389,7 +399,12 @@ def with_srp_buckets(
                 ],
                 axis=1,
             )  # (n, L·copies): per table, home then probe slots
-            out = pdf.loc[pdf.index.repeat(num_tables * copies)].reset_index(drop=True)
+            if carry_vectors:
+                out = pdf.loc[pdf.index.repeat(num_tables * copies)].reset_index(drop=True)
+            else:
+                out = pd.DataFrame(
+                    {"_id": np.repeat(pdf["_id"].to_numpy(), num_tables * copies)}
+                )
             out["_table"] = np.tile(
                 np.repeat(np.arange(num_tables, dtype=np.int32), copies), len(pdf)
             )
@@ -412,10 +427,17 @@ _PAIR_SCHEMA = T.StructType(
 )
 
 
-def _gemm_pairs_factory(threshold: float):
+def _gemm_pairs_factory(threshold: float, vecs=None):
     """applyInPandas kernel: cosine GEMM between the two sides of a
     block-pair group, emitting (id_a<id_b) CANDIDATE pairs at
     ``threshold − 1e-4`` (margin covers the final rounding half-step).
+
+    ``vecs`` is an optional Broadcast of ``(sorted_ids, normalized
+    float64 matrix)``: when the shuffled rows carry no ``_v`` column
+    (``carry_vectors=False`` — the r11 volume fix, see
+    ``with_srp_buckets``), the kernel re-attaches vectors by binary
+    search on the broadcast index instead. The candidate set is
+    identical either way (same normalized float64 GEMM).
 
     The kernel PRUNES; it does not produce the reported value. BLAS
     summation order is blocked/pairwise, so its float64 cosine differs
@@ -437,23 +459,77 @@ def _gemm_pairs_factory(threshold: float):
             {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
         )
 
+    def _mat(col):
+        # Arrow hands list<float> columns over as a Series of numpy
+        # arrays — np.stack is the C-speed path; the comprehension is
+        # the fallback for plain-list elements (local createDataFrame).
+        arr = col.to_numpy()
+        try:
+            return np.stack(arr).astype(np.float64, copy=False)
+        except (ValueError, TypeError):
+            return np.array([list(v) for v in arr], dtype=np.float64)
+
+    def _lookup(ids):
+        # Broadcast path: rows carry ids only; vectors come from the
+        # pre-normalized broadcast matrix by binary search.
+        sorted_ids, mat = vecs.value
+        return mat[np.searchsorted(sorted_ids, ids)]
+
     def _pairs(key, pdf):
         # PACKED group (negative key, see _srp_sharded_groups): many
         # whole small buckets coalesced into one Arrow group to amortize
         # the per-group kernel overhead (the deep-k regime pays L·2^k
         # tiny groups otherwise). Pairs must stay WITHIN a bucket, so
-        # the kernel re-splits on _g — a pandas groupby inside one Arrow
-        # transfer, ~free next to the serialization boundary it saves.
-        # Packed buckets are all diagonal by construction (only S==1
-        # buckets pack).
+        # the kernel re-splits on _g — but with NUMPY run-slicing over
+        # one pack-wide normalized matrix, not a pandas groupby: the
+        # per-sub-bucket cost is a few array views + one small BLAS
+        # matmul (~µs), where per-bucket pandas frames measured ~ms and
+        # at L·2^k sub-buckets dominated the wall clock. Packed buckets
+        # are all diagonal by construction (only S==1 buckets pack).
         if key[0] < 0 and "_g" in pdf.columns:
-            outs = [
-                r
-                for _g, sub in pdf.groupby("_g", sort=False)
-                for r in (_one(True, sub),)
-                if len(r)
-            ]
-            return pd.concat(outs, ignore_index=True) if outs else _empty()
+            if len(pdf) < 2:
+                return _empty()
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            g = pdf["_g"].to_numpy(dtype=np.int64)
+            if vecs is not None and "_v" not in pdf.columns:
+                v = _lookup(ids)
+            else:
+                v = _mat(pdf["_v"])
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+            home = (
+                pdf["_home"].to_numpy(dtype=bool) if "_home" in pdf.columns else None
+            )
+            order = np.argsort(g, kind="stable")
+            gs = g[order]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            bounds = np.append(starts, len(gs))
+            out_a, out_b, out_c = [], [], []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s < 2:
+                    continue
+                idx = order[s:e]
+                sub_ids = ids[idx]
+                sub_v = v[idx]
+                cos = sub_v @ sub_v.T
+                hit = cos >= threshold - 1e-4
+                if home is not None:
+                    h = home[idx]
+                    hit &= h[:, None] | h[None, :]
+                hit &= sub_ids[:, None] < sub_ids[None, :]
+                ia, ib = np.nonzero(hit)
+                if len(ia):
+                    out_a.append(sub_ids[ia])
+                    out_b.append(sub_ids[ib])
+                    out_c.append(cos[ia, ib])
+            if not out_a:
+                return _empty()
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cos_sim": np.concatenate(out_c),
+                }
+            )
         return _one(key[0] == key[1], pdf)
 
     def _one(diagonal, pdf):
@@ -467,10 +543,14 @@ def _gemm_pairs_factory(threshold: float):
             return _empty()
         ids_a = side_a["_id"].to_numpy(dtype=np.int64)
         ids_b = side_b["_id"].to_numpy(dtype=np.int64)
-        va = np.array([list(v) for v in side_a["_v"]], dtype=np.float64)
-        vb = np.array([list(v) for v in side_b["_v"]], dtype=np.float64)
-        na = va / np.linalg.norm(va, axis=1, keepdims=True)
-        nb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+        if vecs is not None and "_v" not in pdf.columns:
+            na = _lookup(ids_a)
+            nb = _lookup(ids_b)
+        else:
+            va = _mat(side_a["_v"])
+            vb = _mat(side_b["_v"])
+            na = va / np.linalg.norm(va, axis=1, keepdims=True)
+            nb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
         cos = na @ nb.T
         hit = cos >= threshold - 1e-4
         if "_home" in pdf.columns:
@@ -644,6 +724,7 @@ def _srp_sharded_groups(
     size_sample_mod: int = 20,
     probes: int = 0,
     n_rows_hint: int | None = None,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """SRP bucket assignment + mega-bucket sharding: rows tagged with
     the (``_pa``, ``_pb``, ``_is_a``, ``_home``) group layout the GEMM
@@ -693,11 +774,13 @@ def _srp_sharded_groups(
     # would make _srp_table_codes argsort-index past k in the sizing
     # pass and desynchronize shard sizing from emission (ADVICE r10 #2).
     probes = min(max(0, probes), num_planes)
+    vcols = ["_v"] if carry_vectors else []
     tagged = with_srp_buckets(
-        emb, id_col, vec_col, num_planes, dim, num_tables=num_tables, probes=probes
+        emb, id_col, vec_col, num_planes, dim, num_tables=num_tables, probes=probes,
+        carry_vectors=carry_vectors,
     ).select(
         "_id",
-        "_v",
+        *vcols,
         (F.col("_table").cast("long") * (1 << num_planes) + F.col("_bucket")).alias("_g"),
         "_home",
     )
@@ -732,7 +815,7 @@ def _srp_sharded_groups(
         )
         .select(
             "_id",
-            "_v",
+            *vcols,
             "_g",
             "_s",
             "_shard",
@@ -741,7 +824,7 @@ def _srp_sharded_groups(
         )
         .select(
             "_id",
-            "_v",
+            *vcols,
             "_g",
             pa.alias("_pa"),
             pb.alias("_pb"),
@@ -893,6 +976,7 @@ def embedding_near_duplicates_srp(
     max_tables: int = 64,
     max_probes: int = 6,
     probes: int | None = None,
+    broadcast_corpus_bytes: int = 256 << 20,
 ) -> DataFrame:
     """SRP-blocked embedding near-dup — the 100 TB path.
 
@@ -981,6 +1065,36 @@ def embedding_near_duplicates_srp(
             n_rows, num_planes, num_tables, threshold, target_bucket_rows,
             max_tables, max_probes,
         )
+    # BROADCAST-VECTORS path (the r11 deep-cap volume fix): every row is
+    # emitted L·(1+T)× through the bucket shuffle, and the decomposition
+    # measured the per-copy ~300 B vector payload — not the kernel, not
+    # the group count — as essentially the whole probed wall (emit+
+    # shuffle-only 1,538 s of a 1,533 s run at k=12/L=64/T=6). When the
+    # normalized corpus matrix fits the broadcast budget (n·dim·8 B ≤
+    # ``broadcast_corpus_bytes``, the autoBroadcastJoinThreshold
+    # discipline — 256 MB ≈ 500k 64-dim vectors; executors hold ONE
+    # copy like any broadcast join build side), rows shuffle as
+    # (id, group, home) only and the kernel re-attaches vectors by
+    # binary search on the broadcast. Past the budget the rows carry
+    # vectors exactly as before — the L·(1+T)× payload is then the
+    # documented price of data-side probing at that scale.
+    vecs_b = None
+    carry = True
+    if n_rows is not None and n_rows * dim * 8 <= broadcast_corpus_bytes:
+        import numpy as np
+
+        pdf = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        try:
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        except (ValueError, TypeError):
+            mat = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs_b = emb.sparkSession.sparkContext.broadcast((ids, mat / norms))
+        carry = False
     sharded = _srp_sharded_groups(
         emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,
         size_sample_mod,
@@ -989,10 +1103,11 @@ def embedding_near_duplicates_srp(
         # count is already paid above; without it (explicit-plan calls)
         # packing is skipped and the per-bucket group layout is kept.
         n_rows_hint=n_rows,
+        carry_vectors=carry,
     )
     cand = (
         sharded.groupBy("_pa", "_pb")
-        .applyInPandas(_gemm_pairs_factory(threshold), schema=_PAIR_SCHEMA)
+        .applyInPandas(_gemm_pairs_factory(threshold, vecs_b), schema=_PAIR_SCHEMA)
         .select("id_a", "id_b")
         .distinct()  # a pair found in several tables/shard-pairs is one candidate
     )

@@ -37,12 +37,12 @@ INFO = (
 # keys), NOT the fact table — its row count is bounded by content
 # cardinality, so one task sees a small frame at any corpus scale.
 UNPARTITIONED_WINDOW_ALLOWED = {
-    "agg_percentiles_by_flag": "frame = distinct (flag, value) domain, not lineitem rows",
-    "events_histogram_equidepth": "offset window = distinct value domain with counts",
-    "events_conversion_latency": "frame = distinct integer-seconds latency domain",
+    "agg_percentiles_by_flag": "frame = distinct (flag, value) domain; r11: adaptive — past 1M distinct the partitioned parallel prefix takes over",
+    "events_histogram_equidepth": "offset window = distinct value domain; r11: adaptive past 1M distinct",
+    "events_conversion_latency": "frame = distinct integer-seconds latency domain; r11: adaptive past 1M distinct",
     "events_session_length_stats": "frame = distinct integer-minutes duration domain",
     "events_cumulative_distinct": "frame = one row per day (first-occurrence trick)",
-    "orders_price_mad": "frame = distinct rounded-price domain (two passes)",
+    "orders_price_mad": "frame = distinct rounded-price domain (two passes); r11: adaptive past 1M distinct",
     "orders_open_backlog_monthly": "frame = one +/-1 delta row per month (sweep-line)",
     "customer_abc_classes": "frame = one revenue row per customer group key",
     "lineitem_skyline_frontier": "frame = per-qty minima (<=50 distinct quantities)",
@@ -64,7 +64,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "orders_bootstrap_ci": "order-statistic window = the 100 replicate means",
     "events_cusum_changepoint": "running-sum frame = one row per day (time-bounded domain)",
     "emb_drift_monitor": "rank window runs post-limit on the 10-row TakeOrdered head",
-    "lineitem_winsorize_prices": "cumulative window = distinct-price value domain",
+    "lineitem_winsorize_prices": "cumulative window = distinct-price value domain; r11: adaptive past 1M distinct",
     "docs_epoch_shuffle": "frame = the 100-row post-limit head per epoch",
     "events_top_paths": "frame = |event_type|^3 path-count rows",
     "customer_rfm_segments": "frame = one row per customer (dimension-bounded; exact global quartiles need a total order)",
@@ -74,7 +74,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "orders_purged_cv_folds": "day-index window = one row per distinct day (time-bounded domain)",
     "customer_ipw_spend": "overall-ATE fold = one row per market segment (dimension-bounded, <=5 rows)",
     "orders_conformal_forecast": "lag/index + residual-rank windows = one row per day (time-bounded domain)",
-    "orders_mann_whitney": "cumulative window = distinct-cents value domain (never ranks rows)",
+    "orders_mann_whitney": "cumulative window = distinct-cents value domain (never ranks rows); r11: adaptive past 1M distinct",
 }
 
 

@@ -18,11 +18,12 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r11: no plan changes yet — the driver's r10 pass simply overwrote
-# the reconciled 203.9s baseline with fresh 237.3s totals on the SAME
-# plans, the recurring hazard VERDICT r9 #2 / r10 #2 flags. All r10
-# plan changes were already folded at 97fb21b, so the r11 reconcile
-# is a pure min-fold against that rev.)
+# (r11 late-session: the value-domain percentile family re-enters on
+# the adaptive-prefix plans — at sf0.1 the fact-rowcount hint keeps the
+# plain windows, so fresh ≈ old modulo micro-deltas (MAD's total moved
+# from a window to an agg+crossJoin; equi-depth's exclusive window
+# became cum − cnt) — and the two SRP consumers re-enter on the
+# bucket-packed kernel layout.)
 #
 # graph_triangle_stats provenance (VERDICT r10 watch item): the
 # packed-adjacency rewrite landed at b9db81a and re-entered fresh at
@@ -31,7 +32,16 @@ import sys
 # hist rev folded there — 5.756 @ b9db81a, 5.678 @ f2e0d8f — already
 # postdated the rewrite, and no pre-change rev carries 4.794). The
 # best therefore postdates the rewrite and stands.
-CHANGED: set[str] = set()
+CHANGED: set[str] = {
+    "agg_percentiles_by_flag",
+    "lineitem_winsorize_prices",
+    "orders_price_mad",
+    "events_histogram_equidepth",
+    "events_conversion_latency",
+    "orders_mann_whitney",
+    "emb_near_dup_srp",
+    "docs_semantic_dedup_srp",
+}
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
 # pass (the full pass predated the change): folded as fresh values.

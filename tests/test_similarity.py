@@ -505,3 +505,33 @@ def test_srp_bucket_packing_invariant(spark):
     assert p_unpacked, "corpus should produce candidate pairs"
     assert p_packed == p_unpacked, "packing changed the pair set"
     assert g_packed < g_unpacked, f"packing did not reduce groups ({g_packed} vs {g_unpacked})"
+
+
+def test_srp_broadcast_vectors_invariant(spark):
+    """The broadcast-vectors path (r11 deep-cap volume fix: rows shuffle
+    as (id, group, home) and the kernel re-attaches vectors from a
+    broadcast) must emit the IDENTICAL final pair set as the
+    vector-carrying rows path at the same plan."""
+    import numpy as np
+
+    rng = np.random.default_rng(37)
+    centers = rng.normal(size=(2, 64))
+    rows = []
+    for i in range(120):
+        base = centers[i % 2] if i % 3 else rng.normal(size=64)
+        rows.append((i, (base + rng.normal(scale=0.05, size=64)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pairs(budget):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in similarity.embedding_near_duplicates_srp(
+                emb, threshold=0.8, num_tables=2, size_sample_mod=1,
+                broadcast_corpus_bytes=budget,
+            ).collect()
+        )
+
+    rows_path = pairs(0)             # budget 0: vectors ride the rows
+    bcast_path = pairs(256 << 20)    # broadcast lookup
+    assert rows_path, "corpus should produce near-dup pairs"
+    assert bcast_path == rows_path, "broadcast path changed the pair set"
