@@ -604,6 +604,26 @@ def _finalize_pairs(
     )
 
 
+def _normalized_vectors_broadcast(emb: DataFrame, id_col: str, vec_col: str):
+    """Broadcast of ``(sorted_ids, row-normalized float64 matrix)`` for
+    the GEMM kernel's id→vector lookup path (``carry_vectors=False``).
+    One bounded driver pull, the broadcast-join build-side discipline —
+    callers gate on an explicit byte budget before calling."""
+    import numpy as np
+
+    pdf = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    try:
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+    except (ValueError, TypeError):
+        mat = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return emb.sparkSession.sparkContext.broadcast((ids, mat / norms))
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -611,6 +631,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     num_blocks: int | None = None,
     target_block_rows: int = 4096,
+    broadcast_corpus_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cos_sim) with
     id_a < id_b and round(cos, 4) ≥ threshold. Exact all-pairs — the
@@ -627,13 +648,30 @@ def embedding_near_duplicates(
 
     All-pairs work is inherently quadratic (B² tasks of bounded size) —
     that is what makes it the oracle twin, not the 100 TB path.
-    """
+
+    Each row rides in B block pairs, so the exploded frame is B× the
+    corpus: when the normalized corpus fits the broadcast budget the
+    rows shuffle as (id, pair, side) only and the kernel re-attaches
+    vectors from the broadcast (the r11 volume discipline —
+    quadratic PAIR work is the twin's contract, quadratic VECTOR
+    SHUFFLE bytes are not)."""
+    n = None
     if num_blocks is None:
         n = emb.count()  # cheap: parquet row-group metadata count
         num_blocks = max(1, -(-n // target_block_rows))
+    vecs_b = None
+    vcols = ["_v"]
+    if n is not None and n > 0:
+        head = emb.select(vec_col).head()
+        dim = len(head[0]) if head and head[0] is not None else 0
+        if n * dim * 8 <= broadcast_corpus_bytes:
+            vecs_b = _normalized_vectors_broadcast(emb, id_col, vec_col)
+            vcols = []
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
     tagged = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_blk")
+        F.col(id_col).alias("_id"),
+        *([F.col(vec_col).alias("_v")] if vcols else []),
+        blk.alias("_blk"),
     )
     # Replicate each vector to every block pair it participates in:
     # B copies per row (inherent to all-pairs blocking), each a ROW in
@@ -641,19 +679,19 @@ def embedding_near_duplicates(
     # packed per-block array.
     expanded = tagged.select(
         "_id",
-        "_v",
+        *vcols,
         "_blk",
         F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1), F.lit(1))).alias("_j"),
     ).select(
         "_id",
-        "_v",
+        *vcols,
         F.least("_blk", "_j").alias("_pa"),
         F.greatest("_blk", "_j").alias("_pb"),
         (F.col("_blk") == F.least("_blk", "_j")).alias("_is_a"),
     )
     cand = (
         expanded.groupBy("_pa", "_pb")
-        .applyInPandas(_gemm_pairs_factory(threshold), schema=_PAIR_SCHEMA)
+        .applyInPandas(_gemm_pairs_factory(threshold, vecs_b), schema=_PAIR_SCHEMA)
         .select("id_a", "id_b")
     )
     return _finalize_pairs(emb, cand, threshold, id_col, vec_col).orderBy("id_a", "id_b")
@@ -1081,19 +1119,7 @@ def embedding_near_duplicates_srp(
     vecs_b = None
     carry = True
     if n_rows is not None and n_rows * dim * 8 <= broadcast_corpus_bytes:
-        import numpy as np
-
-        pdf = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
-        ids = pdf["_id"].to_numpy(dtype=np.int64)
-        try:
-            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
-        except (ValueError, TypeError):
-            mat = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
-        order = np.argsort(ids)
-        ids, mat = ids[order], mat[order]
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        vecs_b = emb.sparkSession.sparkContext.broadcast((ids, mat / norms))
+        vecs_b = _normalized_vectors_broadcast(emb, id_col, vec_col)
         carry = False
     sharded = _srp_sharded_groups(
         emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,

@@ -41,6 +41,9 @@ CHANGED: set[str] = {
     "orders_mann_whitney",
     "emb_near_dup_srp",
     "docs_semantic_dedup_srp",
+    # exact GEMM twins: broadcast-vectors path active at sf0.1 too
+    "emb_near_dup_cosine",
+    "docs_semantic_dedup",
 }
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
