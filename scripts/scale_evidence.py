@@ -44,7 +44,8 @@ OVER_LINEAR_NOTES = {
     "docs_ngram_jaccard": "Sigma-df^2 candidate mass on a replicated corpus",
     "docs_ngram_containment": "Sigma-df^2 candidate mass (df-cap bounds it structurally)",
     "join_bucketed_colocated": "one-time bucketed-layout WRITE dominates; re-run on the layout is 4.6 s",
-    "join_interval_overlap": "1.08x — measurement noise band (SURVEY r15 sweep note)",
+    "join_interval_overlap": "~1.1-1.2x — measurement noise band (SURVEY r15/r16 sweep notes)",
+    "docs_pii_redact": "1.00x — exactly-linear regex map; noise band",
 }
 
 
