@@ -1975,8 +1975,15 @@ def orders_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(2 * F.col("_cum") >= F.col("_nn"), F.col(col))).alias("_med")
         )
 
+    from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
     base = orders.select(cents.alias("_cents"))
-    med = lower_median(base, "_cents").select(F.col("_med").alias("_med_cents"))
+    # The 1-row median feeds TWO consumers (the deviation pass and the
+    # final select) — pin it, or its whole counts+prefix lineage runs
+    # twice (the dominant pass on the continuous-domain corpus).
+    med = persist_tracked(
+        lower_median(base, "_cents").select(F.col("_med").alias("_med_cents"))
+    )
     dev = base.crossJoin(F.broadcast(med)).select(
         F.abs(F.col("_cents") - F.col("_med_cents")).alias("_dev"), "_med_cents"
     )
@@ -3203,15 +3210,14 @@ def lineitem_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_sums={"cum": "c"},
         n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
     ).crossJoin(F.broadcast(tot))
-    lo = (
-        cum.filter(F.col("cum") >= F.ceil(F.col("n") * 0.01))
-        .agg(F.min("v").alias("lo_cents"))
+    # Both bounds from ONE conditional aggregation (min-over-filter ≡
+    # min-of-when): the separate lo/hi aggregates each re-ran the whole
+    # counts+prefix lineage — 2× the dominant pass on the continuous-
+    # domain corpus where the distributed prefix is live.
+    bounds = cum.agg(
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("n") * 0.01), F.col("v"))).alias("lo_cents"),
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("n") * 0.99), F.col("v"))).alias("hi_cents"),
     )
-    hi = (
-        cum.filter(F.col("cum") >= F.ceil(F.col("n") * 0.99))
-        .agg(F.min("v").alias("hi_cents"))
-    )
-    bounds = lo.crossJoin(hi)
     clamped = li.select(cents.alias("v")).crossJoin(F.broadcast(bounds))
     return (
         clamped.agg(
