@@ -47,6 +47,7 @@ def with_global_prefix(
     order_exprs: Sequence[Column],
     rank_col: str | None = "_rank",
     running_sums: dict[str, str] | None = None,
+    running_mins_excl: dict[str, str] | None = None,
     total_count_col: str | None = None,
     num_partitions: int | None = None,
     small_frame_rows: int = 1_000_000,
@@ -59,6 +60,13 @@ def with_global_prefix(
     ``rank_col=None`` skips the rank entirely (value-domain callers
     need only the running sums; on the small branch this reproduces
     their pre-existing single-window plan expression-for-expression).
+    ``running_mins_excl`` entries ``{out: src}`` compute the EXCLUSIVE
+    running minimum (``min(src) OVER (... ROWS UNBOUNDED PRECEDING TO
+    1 PRECEDING)`` — NULL on each partition-order first row), the
+    skyline/frontier shape: min is associative, so the distributed
+    branch takes ``least`` of the within-partition exclusive cummin
+    and the prior partitions' min (``F.least`` skips NULLs, which
+    makes the first-row/first-partition semantics line up exactly).
     ``running_sums`` sources must be integral AND effectively non-null
     (coalesce upstream): the integral check below raises on the former;
     the latter is a documented contract because schema nullability
@@ -105,14 +113,16 @@ def with_global_prefix(
     # in the docstring instead: coalesce nullable sources to 0 upstream.
     # Current callers pass groupBy sums over non-null fact columns,
     # which cannot be null on non-empty groups.
+    mins = running_mins_excl or {}
     dtypes = dict(df.dtypes)
-    for out, src in sums.items():
-        if dtypes.get(src) not in ("bigint", "int", "smallint", "tinyint", "long"):
-            raise TypeError(
-                f"running_sums[{out!r}] over non-integral column {src!r} "
-                f"({dtypes.get(src)}): partition offsets are carried as exact "
-                "longs; cast to cents/ticks first or sum doubles downstream"
-            )
+    for kind, mapping in (("running_sums", sums), ("running_mins_excl", mins)):
+        for out, src in mapping.items():
+            if dtypes.get(src) not in ("bigint", "int", "smallint", "tinyint", "long"):
+                raise TypeError(
+                    f"{kind}[{out!r}] over non-integral column {src!r} "
+                    f"({dtypes.get(src)}): partition offsets are carried as exact "
+                    "longs; cast to cents/ticks first or aggregate doubles downstream"
+                )
     if num_partitions is None:
         try:
             # Non-numeric on some AQE-coupled runtimes (e.g. "auto") —
@@ -137,6 +147,11 @@ def with_global_prefix(
                 F.sum(src).over(
                     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 ),
+            )
+        for out, src in mins.items():
+            out_df = out_df.withColumn(
+                out,
+                F.min(src).over(w.rowsBetween(Window.unboundedPreceding, -1)),
             )
         if total_count_col is not None:
             # With a hint the exact count may differ from the bound —
@@ -164,6 +179,7 @@ def with_global_prefix(
         .agg(
             F.count(F.lit(1)).alias("_gp_n"),
             *[F.sum(src).alias(f"_gp_s_{out}") for out, src in sums.items()],
+            *[F.min(src).alias(f"_gp_m_{out}") for out, src in mins.items()],
         )
         .collect(),
         key=lambda r: r["_gp_pid"],
@@ -171,15 +187,31 @@ def with_global_prefix(
     total_rows = sum(r["_gp_n"] for r in partials)
     offsets, run_n = [], 0
     run_s = {out: 0 for out in sums}
+    run_m: dict[str, int | None] = {out: None for out in mins}
     for r in partials:
-        offsets.append((r["_gp_pid"], run_n, *[run_s[out] for out in sums]))
+        offsets.append(
+            (
+                r["_gp_pid"],
+                run_n,
+                *[run_s[out] for out in sums],
+                *[run_m[out] for out in mins],
+            )
+        )
         run_n += r["_gp_n"]
         for out in sums:
             run_s[out] += r[f"_gp_s_{out}"] or 0
-    off_schema = "_gp_pid int, _gp_off_n long" + "".join(
-        f", _gp_off_{out} long" for out in sums
+        for out in mins:
+            m = r[f"_gp_m_{out}"]
+            if m is not None and (run_m[out] is None or m < run_m[out]):
+                run_m[out] = m
+    off_schema = (
+        "_gp_pid int, _gp_off_n long"
+        + "".join(f", _gp_off_{out} long" for out in sums)
+        + "".join(f", _gp_min_{out} long" for out in mins)
     )
-    off = spark.createDataFrame(offsets or [(0, 0, *[0] * len(sums))], off_schema)
+    off = spark.createDataFrame(
+        offsets or [(0, 0, *[0] * len(sums), *[None] * len(mins))], off_schema
+    )
     w = Window.partitionBy("_gp_pid").orderBy(*order_exprs)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out_df = part.join(F.broadcast(off), "_gp_pid", "left")
@@ -191,9 +223,26 @@ def with_global_prefix(
         out_df = out_df.withColumn(
             out, F.sum(src).over(cum) + F.coalesce(f"_gp_off_{out}", F.lit(0))
         )
+    for out, src in mins.items():
+        out_df = out_df.withColumn(
+            out,
+            # F.least skips NULLs: first row of a partition has a NULL
+            # within-partition exclusive min, the first PARTITION has a
+            # NULL prior-partition offset, and both-NULL (global first
+            # row) stays NULL — exactly the plain exclusive window.
+            F.least(
+                F.min(src).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.col(f"_gp_min_{out}"),
+            ),
+        )
     if total_count_col is not None:
         out_df = out_df.withColumn(total_count_col, F.lit(total_rows))
-    return out_df.drop("_gp_pid", "_gp_off_n", *[f"_gp_off_{out}" for out in sums])
+    return out_df.drop(
+        "_gp_pid",
+        "_gp_off_n",
+        *[f"_gp_off_{out}" for out in sums],
+        *[f"_gp_min_{out}" for out in mins],
+    )
 
 
 def with_partitioned_prefix(

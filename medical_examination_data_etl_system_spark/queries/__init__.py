@@ -169,7 +169,6 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("lineitem_weighted_median", "r06"),
     ("multimodal_phash_near_dup", "r06"),
     ("orders_daily_anomaly", "r06"),
-    ("orders_mom_growth", "r06"),
     # -- RESTRUCTURED in r11, rotated in-window per the rule (11 tail
     # -- rows displaced to the r12 plan head):
     # -- percentile family — adaptive value-domain cumulative prefix
@@ -193,11 +192,16 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("customer_gini_revenue", "r11-restr"),
     # -- cosine_topk shuffle-partitions conf guard --
     ("emb_cosine_topk", "r11-restr"),
+    # -- skyline: exclusive-running-min routed through the adaptive
+    # -- prefix (the same continuous-price wall the percentile family
+    # -- had; 49.7 vs 69.1 s on the values corpus) --
+    ("lineitem_skyline_frontier", "r11-restr"),
     # ---- end of the r11 driver window (cut = WINDOW_SIZE) ----
-    # -- committed r12 plan: the 8 r06 + 3 r07 rows displaced by the
-    # -- r11 restructures, then the remaining 42 r07-stale rows in
+    # -- committed r12 plan: the 9 r06 + 3 r07 rows displaced by the
+    # -- r11 restructures, then the remaining r07-stale rows in
     # -- name order, then r08 rows to the next cut (the tail rolls to
     # -- r13+) --
+    ("orders_mom_growth", "r06"),
     ("pipeline_render_reports", "r06"),
     ("stream_cms_user_counts", "r06"),
     ("stream_running_ewma", "r06"),
@@ -240,7 +244,6 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("incr_join_merge_revenue", "r07"),
     ("join_null_safe_keys", "r07"),
     ("lineitem_basket_lift", "r07"),
-    ("lineitem_skyline_frontier", "r07"),
     ("multimodal_chunk_dedup", "r07"),
     ("orders_open_backlog_monthly", "r07"),
     ("pipeline_e2e_reports", "r07"),

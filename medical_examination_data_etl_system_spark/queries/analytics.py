@@ -2362,16 +2362,29 @@ def lineitem_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     never be on the frontier), then one running strict-min over the
     price-ordered DISTINCT-price frame keeps exactly the points whose
     quantity beats every cheaper point. Value-domain-bounded like the
-    percentile family; the oracle replays the identical formulation
-    (the naive dominance join would be 3.6e9 pairs at sf0.01)."""
+    percentile family — and hardened the same way (r11): the running
+    strict-min over the distinct-PRICE frame degenerates to ~n rows on
+    a continuous price domain, so it routes through the adaptive
+    prefix operator's exclusive-running-min under the fact-rowcount
+    hint (plain window on bounded domains, range-partitioned
+    least-of-cummin-and-offset past 1M distinct). The oracle replays
+    the identical formulation (the naive dominance join would be
+    3.6e9 pairs at sf0.01)."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
     li = load(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     qty = F.round(F.col("l_quantity")).cast("long")
     per_price = li.select(cents.alias("price_cents"), qty.alias("qty")).groupBy(
         "price_cents"
     ).agg(F.min("qty").alias("min_qty"))
-    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
-    frontier = per_price.withColumn("_prev_best", F.min("min_qty").over(w)).filter(
+    frontier = with_global_prefix(
+        per_price,
+        [F.col("price_cents")],
+        rank_col=None,
+        running_mins_excl={"_prev_best": "min_qty"},
+        n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
+    ).filter(
         F.col("_prev_best").isNull() | (F.col("min_qty") < F.col("_prev_best"))
     )
     return frontier.select(

@@ -45,7 +45,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "orders_price_mad": "frame = distinct rounded-price domain (two passes); r11: adaptive past 1M distinct",
     "orders_open_backlog_monthly": "frame = one +/-1 delta row per month (sweep-line)",
     "customer_abc_classes": "frame = one revenue row per customer group key",
-    "lineitem_skyline_frontier": "frame = per-qty minima (<=50 distinct quantities)",
+    "lineitem_skyline_frontier": "frame = per-price minima (distinct-price domain); r11: adaptive exclusive-running-min past 1M distinct",
     "window_distribution_stats": "frame = one row per (flag, status) group",
     "events_dau_wau_stickiness": "frame = one row per day (range frame over dates)",
     "orders_daily_anomaly": "frame = one row per day",

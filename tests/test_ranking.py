@@ -234,3 +234,35 @@ def test_global_prefix_rank_none_skips_rank(spark):
         )
         want = {r["k"]: r["run"] for r in df.select("k", F.sum("x").over(w).alias("run")).collect()}
         assert got == want, f"sums diverged for {kwargs}"
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_global_prefix_exclusive_running_min(spark, parts):
+    """running_mins_excl (the r11 skyline hardening) must be
+    bit-identical to min(src) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING TO 1 PRECEDING) on both branches — including the NULL
+    first row and ties."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_global_prefix
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(97)).alias("m"),
+    )
+    w = Window.orderBy(F.asc("k")).rowsBetween(Window.unboundedPreceding, -1)
+    expected = {
+        r["k"]: r["prev"]
+        for r in df.select("k", F.min("m").over(w).alias("prev")).collect()
+    }
+    for kwargs in (
+        {"small_frame_rows": 0, "num_partitions": parts},
+        {"n_rows_hint": 10},
+    ):
+        with cache_scope():
+            got = {
+                r["k"]: r["prev"]
+                for r in with_global_prefix(
+                    df, [F.asc("k")], rank_col=None,
+                    running_mins_excl={"prev": "m"}, **kwargs
+                ).collect()
+            }
+        assert got == expected, f"branch mismatch for {kwargs}"
