@@ -123,18 +123,18 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
 WINDOW_SIZE = 50
 
 _WINDOW_PLAN: list[tuple[str, str]] = [
-    # ---- r11 driver window: exactly the committed plan from the r10
-    # ---- rotation (VERDICT r10 #3) — the four r05-stale stream rows
-    # ---- displaced by the r10 restructures, then the 43 r06-stale
-    # ---- rows in name order, then the first 3 r07-stale rows in name
-    # ---- order to fill the 50-entry cut. No r11 restructures at plan
-    # ---- time; any late-round restructure rotates in per the rule. --
+    # ---- r11 driver window: the committed plan from the r10 rotation
+    # ---- (VERDICT r10 #3) — the four r05-stale stream rows, the
+    # ---- r06-stale rows in name order, 3 r07 rows to fill the cut —
+    # ---- with the round's 17 RESTRUCTURED queries rotated in per the
+    # ---- rule (retagged in place where already windowed; 12 stale
+    # ---- rows displaced to the r12 plan head). --
     ("stream_sessionize_stateful", "r05"),
     ("stream_static_enrich", "r05"),
     ("stream_tumbling_hourly", "r05"),
     ("stream_upsert_latest_state", "r05"),
     ("agg_cms_user_counts", "r06"),
-    ("agg_p90_outlier_orders", "r06"),
+    ("agg_p90_outlier_orders", "r11-restr"),
     # (in-window rows retagged r11-restr: percentile family adaptive
     # value-domain prefix; semantic-dedup pair kernel packing)
     ("agg_percentiles_by_flag", "r11-restr"),
@@ -166,7 +166,7 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("layout_partition_prune", "r06"),
     ("layout_schema_evolution", "r06"),
     ("lineitem_price_qty_corr", "r06"),
-    ("lineitem_weighted_median", "r06"),
+    ("lineitem_weighted_median", "r11-restr"),
     ("multimodal_phash_near_dup", "r06"),
     ("orders_daily_anomaly", "r06"),
     # -- RESTRUCTURED in r11, rotated in-window per the rule (11 tail

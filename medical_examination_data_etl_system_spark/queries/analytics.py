@@ -1699,18 +1699,23 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite: per-(flag, price) INTEGER weight sums, cumulative window
     over the distinct-price frame, median = smallest price whose
     doubled cumulative weight reaches the total (2·cumw ≥ W — pure
-    integer comparison, no halves, no floats until the output)."""
+    integer comparison, no halves, no floats until the output).
+
+    The cumulative window ADAPTS to the value-domain size under the
+    fact-rowcount hint (r11 continuous-value hardening — the
+    distinct-(flag, price) frame is ~n on the values corpus)."""
+    from medical_examination_data_etl_system_spark.operators.ranking import with_partitioned_prefix
+
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_quantity")
     qty = F.round(F.col("l_quantity")).cast("long")
     counts = li.groupBy("l_returnflag", "l_extendedprice").agg(F.sum(qty).alias("_w"))
-    wo = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wp = Window.partitionBy("l_returnflag")
-    ranked = counts.select(
-        "l_returnflag",
-        "l_extendedprice",
-        "_w",
-        F.sum("_w").over(wo).alias("_cumw"),
-        F.sum("_w").over(wp).alias("_tw"),
+    ranked = with_partitioned_prefix(
+        counts,
+        ["l_returnflag"],
+        [F.col("l_extendedprice")],
+        running_sums={"_cumw": "_w"},
+        part_total_cols={"_tw": "_w"},
+        n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
     )
     return (
         ranked.groupBy("l_returnflag")

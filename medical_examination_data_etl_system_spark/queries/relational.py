@@ -824,18 +824,53 @@ def agg_p90_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     greater-than can't flip at a display-rounding boundary.
     """
     orders = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice", "o_orderkey")
-    wo = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    wp = W.partitionBy("o_orderpriority")
-    ranked = orders.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(wo).alias("_rn"),
-        F.count(F.lit(1)).over(wp).alias("_n"),
-    )
-    h = (F.col("_n") - 1) * F.lit(0.9) + 1
-    lo = F.max(F.when(F.col("_rn") == F.floor(h), F.col("o_totalprice")))
-    hi = F.max(F.when(F.col("_rn") == F.floor(h) + 1, F.col("o_totalprice")))
-    frac = F.max(h - F.floor(h))
+    # ADAPTIVE p90 plan (r11 hardening, measured both ways on the 15M
+    # continuous-domain corpus): BELOW the threshold the original
+    # per-row row_number form wins — the 5-way priority split divides
+    # the sort across tasks and the value-domain collapse is pure
+    # overhead on a near-unique domain (row form 14.2 s vs 21.7
+    # distributed / 29.8 collapsed-plain). PAST the threshold a
+    # per-priority sort task stops fitting (n/5 rows through ONE task
+    # at 10⁹) and the value-domain + partitioned parallel prefix takes
+    # over: the value at row-rank r in sorted-with-ties order is the v
+    # with offset(v) < r ≤ cum(v), so the IDENTICAL interpolation tree
+    # runs over per-(priority, price) counts (branch equality pinned).
+    hint = table_rowcount(spark, sf_dir, "orders")
+    if hint is None or hint <= 20_000_000:
+        wo = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        wp = W.partitionBy("o_orderpriority")
+        ranked = orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.row_number().over(wo).alias("_rn"),
+            F.count(F.lit(1)).over(wp).alias("_n"),
+        )
+        h = (F.col("_n") - 1) * F.lit(0.9) + 1
+        lo = F.max(F.when(F.col("_rn") == F.floor(h), F.col("o_totalprice")))
+        hi = F.max(F.when(F.col("_rn") == F.floor(h) + 1, F.col("o_totalprice")))
+        frac = F.max(h - F.floor(h))
+    else:
+        from medical_examination_data_etl_system_spark.operators.ranking import with_partitioned_prefix
+
+        counts = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        ranked = with_partitioned_prefix(
+            counts,
+            ["o_orderpriority"],
+            [F.col("o_totalprice")],
+            running_sums={"_cum": "_c"},
+            part_total_cols={"_n": "_c"},
+            n_rows_hint=hint,
+        ).withColumn("_off", F.col("_cum") - F.col("_c"))
+        h = (F.col("_n") - 1) * F.lit(0.9) + 1
+        lo = F.max(
+            F.when((F.col("_off") < F.floor(h)) & (F.floor(h) <= F.col("_cum")), F.col("o_totalprice"))
+        )
+        hi = F.max(
+            F.when((F.col("_off") < F.floor(h) + 1) & (F.floor(h) + 1 <= F.col("_cum")), F.col("o_totalprice"))
+        )
+        frac = F.max(h - F.floor(h))
     p90 = ranked.groupBy("o_orderpriority").agg(
         (lo + frac * (F.coalesce(hi, lo) - lo)).alias("_p90")
     )

@@ -44,6 +44,12 @@ CHANGED: set[str] = {
     # exact GEMM twins: broadcast-vectors path active at sf0.1 too
     "emb_near_dup_cosine",
     "docs_semantic_dedup",
+    # late-round: exclusive-running-min routed through the adaptive
+    # prefix (small branch identical at sf0.1; measured faster on the
+    # values corpus)
+    "lineitem_skyline_frontier",
+    "lineitem_weighted_median",
+    "agg_p90_outlier_orders",
 }
 
 # Idle min-of-3 for plan-changed queries measured outside the last full

@@ -266,3 +266,17 @@ def test_global_prefix_exclusive_running_min(spark, parts):
                 ).collect()
             }
         assert got == expected, f"branch mismatch for {kwargs}"
+
+
+def test_p90_outlier_branches_agree(spark, monkeypatch):
+    """agg_p90_outlier_orders' adaptive split (row-form below 20M,
+    value-domain distributed prefix above) must produce identical rows
+    — the span lookup picks exactly the row_number ranks' values."""
+    from medical_examination_data_etl_system_spark.queries import relational
+
+    sf = "/root/testdata/sf0.01"
+    base = sorted(map(tuple, relational.agg_p90_outlier_orders(spark, sf).collect()))
+    monkeypatch.setattr(relational, "table_rowcount", lambda *a, **k: 30_000_000)
+    with cache_scope():
+        big = sorted(map(tuple, relational.agg_p90_outlier_orders(spark, sf).collect()))
+    assert base and big == base
