@@ -18,39 +18,10 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r11 late-session: the value-domain percentile family re-enters on
-# the adaptive-prefix plans — at sf0.1 the fact-rowcount hint keeps the
-# plain windows, so fresh ≈ old modulo micro-deltas (MAD's total moved
-# from a window to an agg+crossJoin; equi-depth's exclusive window
-# became cum − cnt) — and the two SRP consumers re-enter on the
-# bucket-packed kernel layout.)
-#
-# graph_triangle_stats provenance (VERDICT r10 watch item): the
-# packed-adjacency rewrite landed at b9db81a and re-entered fresh at
-# 5.756 under the CHANGED discipline; the committed best 4.794 first
-# appears at 9f60eec, a LATER full pass on the same packed plan (every
-# hist rev folded there — 5.756 @ b9db81a, 5.678 @ f2e0d8f — already
-# postdated the rewrite, and no pre-change rev carries 4.794). The
-# best therefore postdates the rewrite and stands.
-CHANGED: set[str] = {
-    "agg_percentiles_by_flag",
-    "lineitem_winsorize_prices",
-    "orders_price_mad",
-    "events_histogram_equidepth",
-    "events_conversion_latency",
-    "orders_mann_whitney",
-    "emb_near_dup_srp",
-    "docs_semantic_dedup_srp",
-    # exact GEMM twins: broadcast-vectors path active at sf0.1 too
-    "emb_near_dup_cosine",
-    "docs_semantic_dedup",
-    # late-round: exclusive-running-min routed through the adaptive
-    # prefix (small branch identical at sf0.1; measured faster on the
-    # values corpus)
-    "lineitem_skyline_frontier",
-    "lineitem_weighted_median",
-    "agg_p90_outlier_orders",
-}
+# (r12 start-of-round: the r11 CHANGED set re-entered at fresh values
+# in the e101373 reconcile, so it is cleared here; repopulate as r12
+# restructures land.)
+CHANGED: set[str] = set()
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
 # pass (the full pass predated the change): folded as fresh values.
