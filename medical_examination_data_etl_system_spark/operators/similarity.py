@@ -427,7 +427,7 @@ _PAIR_SCHEMA = T.StructType(
 )
 
 
-def _gemm_pairs_factory(threshold: float, vecs=None):
+def _gemm_pairs_factory(threshold: float, vecs=None, cross_slab_only: bool = False):
     """applyInPandas kernel: cosine GEMM between the two sides of a
     block-pair group, emitting (id_a<id_b) CANDIDATE pairs at
     ``threshold − 1e-4`` (margin covers the final rounding half-step).
@@ -437,7 +437,17 @@ def _gemm_pairs_factory(threshold: float, vecs=None):
     (``carry_vectors=False`` — the r11 volume fix, see
     ``with_srp_buckets``), the kernel re-attaches vectors by binary
     search on the broadcast index instead. The candidate set is
-    identical either way (same normalized float64 GEMM).
+    identical either way: both paths normalize with the SAME zero-norm
+    guard (a zero vector maps to the zero row → cos 0 against
+    everything, never NaN — ADVICE r11 #3 pinned the carry path to the
+    broadcast convention in tests).
+
+    ``cross_slab_only`` is the slab-pass mask (see
+    ``embedding_near_duplicates_srp``'s slab-sharded broadcast): rows
+    carry a ``_sx`` boolean (slab-membership flag) and only pairs with
+    ``_sx_a != _sx_b`` are emitted — within-slab pairs belong to that
+    slab's own diagonal pass, so each pair is emitted by exactly one
+    pass and the union over passes is the single-broadcast pair set.
 
     The kernel PRUNES; it does not produce the reported value. BLAS
     summation order is blocked/pairwise, so its float64 cosine differs
@@ -475,6 +485,15 @@ def _gemm_pairs_factory(threshold: float, vecs=None):
         sorted_ids, mat = vecs.value
         return mat[np.searchsorted(sorted_ids, ids)]
 
+    def _normalize(v):
+        # Shared zero-vector convention with _normalized_vectors_broadcast
+        # (ADVICE r11 #3): a zero norm divides by 1, so the zero vector
+        # scores cos 0 — not NaN (which would silently drop its pairs at
+        # non-positive thresholds and diverge from the broadcast path).
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return v / norms
+
     def _pairs(key, pdf):
         # PACKED group (negative key, see _srp_sharded_groups): many
         # whole small buckets coalesced into one Arrow group to amortize
@@ -494,10 +513,12 @@ def _gemm_pairs_factory(threshold: float, vecs=None):
             if vecs is not None and "_v" not in pdf.columns:
                 v = _lookup(ids)
             else:
-                v = _mat(pdf["_v"])
-                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                v = _normalize(_mat(pdf["_v"]))
             home = (
                 pdf["_home"].to_numpy(dtype=bool) if "_home" in pdf.columns else None
+            )
+            slab = (
+                pdf["_sx"].to_numpy(dtype=bool) if cross_slab_only else None
             )
             order = np.argsort(g, kind="stable")
             gs = g[order]
@@ -515,6 +536,9 @@ def _gemm_pairs_factory(threshold: float, vecs=None):
                 if home is not None:
                     h = home[idx]
                     hit &= h[:, None] | h[None, :]
+                if slab is not None:
+                    sx = slab[idx]
+                    hit &= sx[:, None] != sx[None, :]
                 hit &= sub_ids[:, None] < sub_ids[None, :]
                 ia, ib = np.nonzero(hit)
                 if len(ia):
@@ -547,12 +571,14 @@ def _gemm_pairs_factory(threshold: float, vecs=None):
             na = _lookup(ids_a)
             nb = _lookup(ids_b)
         else:
-            va = _mat(side_a["_v"])
-            vb = _mat(side_b["_v"])
-            na = va / np.linalg.norm(va, axis=1, keepdims=True)
-            nb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+            na = _normalize(_mat(side_a["_v"]))
+            nb = _normalize(_mat(side_b["_v"]))
         cos = na @ nb.T
         hit = cos >= threshold - 1e-4
+        if cross_slab_only:
+            sx_a = side_a["_sx"].to_numpy(dtype=bool)
+            sx_b = side_b["_sx"].to_numpy(dtype=bool)
+            hit &= sx_a[:, None] != sx_b[None, :]
         if "_home" in pdf.columns:
             # Multi-probe groups: a pair needs at least one HOME side —
             # two probe copies meeting here have their own home bucket
@@ -580,11 +606,18 @@ def _finalize_pairs(
     """Recompute each candidate pair's cosine with the sequential-fold
     expression tree (per-vector norms precomputed, dot / (nrm_a·nrm_b))
     — bit-identical to the DuckDB oracle's mirrored formula — and apply
-    the rounded threshold. One JVM fold per pair on the pruned set."""
+    the rounded threshold. One JVM fold per pair on the pruned set.
+
+    Zero-norm vectors divide by 1 (cos 0 — the kernel/broadcast
+    convention, ADVICE r11 #3); on positive-norm data the guard's
+    CASE WHEN is value-transparent, so the oracle-mirrored arithmetic
+    is untouched. Without it, a zero-vector candidate (reachable at
+    non-positive thresholds) is an ANSI DIVIDE_BY_ZERO error."""
+    nrm = l2_norm(F.col(vec_col))
     e = emb.select(
         F.col(id_col).alias("_fid"),
         F.col(vec_col).alias("_fv"),
-        l2_norm(F.col(vec_col)).alias("_fn"),
+        F.when(nrm == 0, F.lit(1.0)).otherwise(nrm).alias("_fn"),
     )
     return (
         cand.join(
@@ -604,15 +637,32 @@ def _finalize_pairs(
     )
 
 
-def _normalized_vectors_broadcast(emb: DataFrame, id_col: str, vec_col: str):
-    """Broadcast of ``(sorted_ids, row-normalized float64 matrix)`` for
+def _normalized_vector_data(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+):
+    """Driver-side ``(sorted_ids, row-normalized float64 matrix)`` for
     the GEMM kernel's id→vector lookup path (``carry_vectors=False``).
-    One bounded driver pull, the broadcast-join build-side discipline —
-    callers gate on an explicit byte budget before calling."""
+    One bounded driver pull — callers gate on an explicit byte budget
+    before calling (and the slab loop calls this per ≤budget slab).
+
+    MEMORY MODEL (ADVICE r11 #1 — sizing guidance, not a hidden ×1):
+    the transient ``toPandas`` materialization costs ~2-3× the n·dim·8
+    matrix bytes on the driver (per-row list objects before the stack);
+    and once broadcast, the value is unpickled ONCE PER PYTHON WORKER
+    PROCESS, not once per executor — peak executor-side memory is
+    ~python-workers-per-executor × budget. Size
+    ``broadcast_corpus_bytes`` ≈ executor_overhead_mem / cores-per-
+    executor; the 256 MB default assumes ≥8 GB of off-heap headroom at
+    32 workers (the local[32] test box) — LOWER it on thin executors
+    and let the slab loop absorb the difference."""
     import numpy as np
 
     pdf = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
     ids = pdf["_id"].to_numpy(dtype=np.int64)
+    if not len(ids):
+        # An empty slab (id-hash imbalance on tiny corpora) must still
+        # merge/concatenate cleanly with its 2-D siblings.
+        return ids, np.zeros((0, dim or 1), dtype=np.float64)
     try:
         mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
     except (ValueError, TypeError):
@@ -621,7 +671,150 @@ def _normalized_vectors_broadcast(emb: DataFrame, id_col: str, vec_col: str):
     ids, mat = ids[order], mat[order]
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    return emb.sparkSession.sparkContext.broadcast((ids, mat / norms))
+    return ids, mat / norms
+
+
+def _normalized_vectors_broadcast(emb: DataFrame, id_col: str, vec_col: str):
+    """Broadcast wrapper of :func:`_normalized_vector_data` (see its
+    docstring for the per-Python-worker memory model)."""
+    return emb.sparkSession.sparkContext.broadcast(
+        _normalized_vector_data(emb, id_col, vec_col)
+    )
+
+
+# Seed decorrelating the slab id-hash from the shard (7919), pack (6007)
+# and sample (104729) hashes.
+_SLAB_SEED = 9377
+
+
+def _slab_expr(id_col, n_slabs: int):
+    """Deterministic slab tag of an id column: pmod(xxhash64(id, seed),
+    n_slabs). Evaluated Spark-side only (filters + the ``_sx`` flag) —
+    the kernel never recomputes it."""
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(_SLAB_SEED)), F.lit(n_slabs))
+
+
+def _slab_pass_candidates(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    dim: int,
+    num_tables: int,
+    target_block_rows: int,
+    size_sample_mod: int,
+    probes: int,
+    n_slabs: int,
+) -> DataFrame:
+    """Candidate pairs via the SLAB-SHARDED broadcast loop (VERDICT r11
+    #3 — closing the broadcast-budget cliff): ids hash into ``n_slabs``
+    slabs, each slab's normalized matrix ≤ the byte budget, and every
+    unordered slab pair (si ≤ sj) runs ONE bucketed GEMM pass over only
+    the rows of those two slabs, with the pass broadcast holding just
+    the two slabs' vectors. A candidate pair (a, b) needs a shared
+    (table, bucket) — its SRP codes don't depend on the slab filter —
+    so it appears in exactly the (slab(a), slab(b)) pass: diagonal
+    passes keep within-slab pairs, off-diagonal passes mask to
+    cross-slab (``_sx``), and the union over passes IS the
+    single-broadcast pair set (pinned in tests).
+
+    Cost model vs the vector-carrying fallback: each of the
+    S(S+1)/2 passes shuffles 2n/S id-only (~26 B) row copies, so total
+    shuffle is (S+1)× the single-broadcast volume — cheaper than
+    carrying ~300 B vectors while S+1 < vector_bytes/id_bytes (≈12 at
+    64-dim float32); the caller caps S at ``max_broadcast_slabs`` and
+    reverts to carry past it. SRP hashing runs (S+1)× total (each row
+    is hashed once per pass it joins); the per-bucket SHARD PLAN is
+    computed once globally and reused (conservative for any subset).
+
+    Execution is EAGER per pass (persist + count) so at most one pass
+    broadcast (2 slabs ≈ 2× budget per Python worker) is resident
+    executor-side at a time — the previous pass's broadcast is
+    unpersisted as soon as its candidates are materialized. Slab
+    matrices are pulled once (S bounded driver pulls) and staged on
+    driver-local disk between passes, so driver memory stays ~3× budget
+    while driver disk holds one corpus copy for the loop's duration."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .cache import persist_tracked
+
+    sc = emb.sparkSession.sparkContext
+    slab_of = _slab_expr(id_col, n_slabs)
+    shards = persist_tracked(
+        srp_shard_plan(
+            emb, id_col, vec_col, num_planes, dim, num_tables,
+            target_block_rows, size_sample_mod, probes,
+        )
+    )
+    parts = []
+    tmpdir = tempfile.mkdtemp(prefix="srp_slabs_")
+    try:
+        sizes = []
+        for s in range(n_slabs):
+            ids, mat = _normalized_vector_data(
+                emb.filter(slab_of == s), id_col, vec_col, dim=dim
+            )
+            np.save(f"{tmpdir}/ids_{s}.npy", ids)
+            np.save(f"{tmpdir}/mat_{s}.npy", mat)
+            sizes.append(len(ids))
+
+        def _load(s: int):
+            return np.load(f"{tmpdir}/ids_{s}.npy"), np.load(f"{tmpdir}/mat_{s}.npy")
+
+        for si in range(n_slabs):
+            for sj in range(si, n_slabs):
+                if sizes[si] + sizes[sj] == 0:
+                    continue
+                ids_i, mat_i = _load(si)
+                if sj == si:
+                    data = (ids_i, mat_i)
+                    pass_emb = emb.filter(slab_of == si)
+                    flag = None
+                else:
+                    ids_j, mat_j = _load(sj)
+                    merged_ids = np.concatenate([ids_i, ids_j])
+                    order = np.argsort(merged_ids)
+                    data = (
+                        merged_ids[order],
+                        np.concatenate([mat_i, mat_j])[order],
+                    )
+                    pass_emb = emb.filter(slab_of.isin(si, sj))
+                    flag = _slab_expr("_id", n_slabs) == si
+                b = sc.broadcast(data)
+                sharded = _srp_sharded_groups(
+                    pass_emb, id_col, vec_col, num_planes, dim, num_tables,
+                    target_block_rows, size_sample_mod, probes=probes,
+                    n_rows_hint=sizes[si] + (sizes[sj] if sj != si else 0),
+                    carry_vectors=False, shards_df=shards, slab_expr=flag,
+                )
+                part = persist_tracked(
+                    sharded.groupBy("_pa", "_pb")
+                    .applyInPandas(
+                        _gemm_pairs_factory(
+                            threshold, b, cross_slab_only=flag is not None
+                        ),
+                        schema=_PAIR_SCHEMA,
+                    )
+                    .select("id_a", "id_b")
+                    .distinct()
+                )
+                part.count()  # run the pass NOW: one live pass broadcast at a time
+                # Executor/worker copies drop here; the driver keeps the
+                # value (the kernel closure pins the Broadcast object, so
+                # a persisted-part recompute can still refetch it).
+                b.unpersist(blocking=False)
+                parts.append(part)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # Per-pass distinct is global: a pair lives in exactly one pass.
+    return out
 
 
 def embedding_near_duplicates(
@@ -763,6 +956,8 @@ def _srp_sharded_groups(
     probes: int = 0,
     n_rows_hint: int | None = None,
     carry_vectors: bool = True,
+    shards_df: DataFrame | None = None,
+    slab_expr: Column | None = None,
 ) -> DataFrame:
     """SRP bucket assignment + mega-bucket sharding: rows tagged with
     the (``_pa``, ``_pb``, ``_is_a``, ``_home``) group layout the GEMM
@@ -805,6 +1000,28 @@ def _srp_sharded_groups(
     to S (pinned in tests), so sampling affects task sizing only, never
     results. Unsampled buckets default to S=1 via the left join.
     ``size_sample_mod=1`` forces exact counting (tests).
+
+    PACKING CAP (ADVICE r11 #4): only S=1 buckets whose ESTIMATED size
+    is ≤ target_block_rows/2 join a pack — a sampled bucket whose
+    estimate lands in (target/2, target] keeps its own group, so a
+    moderate under-estimate degrades to the pre-packing behavior
+    instead of compounding several near-target buckets into one
+    oversized Arrow group. Unsampled buckets (NULL estimate) still
+    pack: a bucket the 1/mod sample missed entirely is small w.h.p.
+    (P ≈ (1−1/mod)^m), and packing exactly those many-tiny-buckets is
+    the point; the kernel's per-_g re-split bounds the GEMM either way.
+    The pair set is invariant — the cap only changes which Arrow group
+    a whole bucket rides in.
+
+    ``shards_df`` lets a caller running SEVERAL passes over subsets of
+    ``emb`` (the slab-sharded broadcast loop) reuse ONE global sizing
+    pass: global estimates are conservative for any subset (a pass sees
+    ≤ the full bucket), so shard splits stay sound. Must be the
+    (_g, _n, _s) frame :func:`srp_shard_plan` computes.
+
+    ``slab_expr`` (a boolean Column over the post-bucketing ``_id``
+    column) is carried through to the kernel as ``_sx`` — the
+    slab-membership flag the cross-slab mask keys on.
     """
     # Clamp ONCE at the entry so the emit pass (with_srp_buckets, which
     # clamps internally) and the sizing pass (_srp_bucket_sizes, which
@@ -813,6 +1030,7 @@ def _srp_sharded_groups(
     # pass and desynchronize shard sizing from emission (ADVICE r10 #2).
     probes = min(max(0, probes), num_planes)
     vcols = ["_v"] if carry_vectors else []
+    scols = ["_sx"] if slab_expr is not None else []
     tagged = with_srp_buckets(
         emb, id_col, vec_col, num_planes, dim, num_tables=num_tables, probes=probes,
         carry_vectors=carry_vectors,
@@ -821,18 +1039,11 @@ def _srp_sharded_groups(
         *vcols,
         (F.col("_table").cast("long") * (1 << num_planes) + F.col("_bucket")).alias("_g"),
         "_home",
+        *([slab_expr.alias("_sx")] if slab_expr is not None else []),
     )
-    sampled = emb if size_sample_mod <= 1 else emb.filter(
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(104729)), F.lit(size_sample_mod)) == 0
-    )
-    est = _srp_bucket_sizes(
-        sampled, vec_col, num_planes, dim, num_tables, probes=probes
-    ).select("_g", (F.col("_n") * size_sample_mod).alias("_n"))
-    shards = est.select(
-        "_g",
-        F.greatest(
-            F.lit(1), F.ceil(F.col("_n") / target_block_rows)
-        ).cast("int").alias("_s"),
+    shards = shards_df if shards_df is not None else srp_shard_plan(
+        emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,
+        size_sample_mod, probes,
     )
     # Composite group key _g·2³¹ + shard stays unique across buckets and
     # inside int64 (_g ≤ L·2^k ≪ 2³²; shard count < 2³¹ by construction).
@@ -843,8 +1054,14 @@ def _srp_sharded_groups(
         total_copies = n_rows_hint * num_tables * (1 + probes)
         n_packs = max(1, -(-total_copies // target_block_rows))
         packed = F.lit(-1) - F.pmod(F.xxhash64(F.col("_g"), F.lit(6007)), F.lit(n_packs))
-        pa = F.when(F.col("_s") == 1, packed).otherwise(pa)
-        pb = F.when(F.col("_s") == 1, packed).otherwise(pb)
+        # Packing cap (ADVICE r11 #4): estimated-large S=1 buckets keep
+        # their own group; NULL-estimate (unsampled → small w.h.p.)
+        # buckets pack.
+        packable = (F.col("_s") == 1) & (
+            F.coalesce(F.col("_n"), F.lit(0)) <= F.lit(max(1, target_block_rows // 2))
+        )
+        pa = F.when(packable, packed).otherwise(pa)
+        pb = F.when(packable, packed).otherwise(pb)
     return (
         tagged.join(F.broadcast(shards), "_g", "left")
         .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
@@ -854,8 +1071,10 @@ def _srp_sharded_groups(
         .select(
             "_id",
             *vcols,
+            *scols,
             "_g",
             "_s",
+            "_n",
             "_shard",
             "_home",
             F.explode(F.sequence(F.lit(0), F.col("_s") - 1, F.lit(1))).alias("_j"),
@@ -863,12 +1082,44 @@ def _srp_sharded_groups(
         .select(
             "_id",
             *vcols,
+            *scols,
             "_g",
             pa.alias("_pa"),
             pb.alias("_pb"),
             (F.col("_shard") == F.least("_shard", "_j")).alias("_is_a"),
             "_home",
         )
+    )
+
+
+def srp_shard_plan(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    dim: int,
+    num_tables: int,
+    target_block_rows: int,
+    size_sample_mod: int = 20,
+    probes: int = 0,
+) -> DataFrame:
+    """The (_g, _n, _s) per-bucket shard plan ``_srp_sharded_groups``
+    consumes: estimated bucket size ``_n`` (scaled up from the
+    1/``size_sample_mod`` sample) and shard count ``_s`` = ⌈_n/target⌉.
+    Factored out so the slab-sharded broadcast loop can compute it once
+    and feed every slab pass the same (conservative) plan."""
+    sampled = emb if size_sample_mod <= 1 else emb.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(104729)), F.lit(size_sample_mod)) == 0
+    )
+    est = _srp_bucket_sizes(
+        sampled, vec_col, num_planes, dim, num_tables, probes=probes
+    ).select("_g", (F.col("_n") * size_sample_mod).alias("_n"))
+    return est.select(
+        "_g",
+        "_n",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_n") / target_block_rows)
+        ).cast("int").alias("_s"),
     )
 
 
@@ -1015,6 +1266,7 @@ def embedding_near_duplicates_srp(
     max_probes: int = 6,
     probes: int | None = None,
     broadcast_corpus_bytes: int = 256 << 20,
+    max_broadcast_slabs: int = 8,
 ) -> DataFrame:
     """SRP-blocked embedding near-dup — the 100 TB path.
 
@@ -1109,34 +1361,57 @@ def embedding_near_duplicates_srp(
     # the group count — as essentially the whole probed wall (emit+
     # shuffle-only 1,538 s of a 1,533 s run at k=12/L=64/T=6). When the
     # normalized corpus matrix fits the broadcast budget (n·dim·8 B ≤
-    # ``broadcast_corpus_bytes``, the autoBroadcastJoinThreshold
-    # discipline — 256 MB ≈ 500k 64-dim vectors; executors hold ONE
-    # copy like any broadcast join build side), rows shuffle as
-    # (id, group, home) only and the kernel re-attaches vectors by
-    # binary search on the broadcast. Past the budget the rows carry
-    # vectors exactly as before — the L·(1+T)× payload is then the
-    # documented price of data-side probing at that scale.
+    # ``broadcast_corpus_bytes`` — 256 MB ≈ 500k 64-dim vectors; note
+    # each PYTHON WORKER unpickles its own copy, so executor-side peak
+    # is ~workers-per-executor × budget — see _normalized_vector_data's
+    # memory model, ADVICE r11 #1), rows shuffle as (id, group, home)
+    # only and the kernel re-attaches vectors by binary search on the
+    # broadcast. PAST the budget (VERDICT r11 #3): the SLAB-SHARDED loop
+    # — S = ⌈bytes/budget⌉ id-hash slabs, one bucketed pass per slab
+    # pair with a 2-slab broadcast, pair set provably invariant (each
+    # pair lives in exactly its (slab_a, slab_b) pass; pinned in tests)
+    # — keeps id-only shuffles at (S+1)× the single-broadcast volume,
+    # a win over the ~300 B carried vector while S ≤ max_broadcast_slabs
+    # (default 8). Only past THAT (≥2 GB of normalized vectors at the
+    # default budget) do rows carry vectors again — the documented
+    # price, now ~8× further out.
+    probes_eff = sized_probes if probes is None else probes
     vecs_b = None
     carry = True
-    if n_rows is not None and n_rows * dim * 8 <= broadcast_corpus_bytes:
-        vecs_b = _normalized_vectors_broadcast(emb, id_col, vec_col)
-        carry = False
-    sharded = _srp_sharded_groups(
-        emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,
-        size_sample_mod,
-        probes=sized_probes if probes is None else probes,
-        # Pack small buckets into bounded kernel groups — the sizing
-        # count is already paid above; without it (explicit-plan calls)
-        # packing is skipped and the per-bucket group layout is kept.
-        n_rows_hint=n_rows,
-        carry_vectors=carry,
-    )
-    cand = (
-        sharded.groupBy("_pa", "_pb")
-        .applyInPandas(_gemm_pairs_factory(threshold, vecs_b), schema=_PAIR_SCHEMA)
-        .select("id_a", "id_b")
-        .distinct()  # a pair found in several tables/shard-pairs is one candidate
-    )
+    n_slabs = 1
+    if n_rows is not None:
+        need = n_rows * dim * 8
+        if need <= broadcast_corpus_bytes:
+            vecs_b = _normalized_vectors_broadcast(emb, id_col, vec_col)
+            carry = False
+        elif (
+            broadcast_corpus_bytes > 0
+            and -(-need // broadcast_corpus_bytes) <= max_broadcast_slabs
+        ):
+            n_slabs = -(-need // broadcast_corpus_bytes)
+            carry = False
+    if n_slabs > 1:
+        cand = _slab_pass_candidates(
+            emb, threshold, id_col, vec_col, num_planes, dim, num_tables,
+            target_block_rows, size_sample_mod, probes_eff, n_slabs,
+        )
+    else:
+        sharded = _srp_sharded_groups(
+            emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,
+            size_sample_mod,
+            probes=probes_eff,
+            # Pack small buckets into bounded kernel groups — the sizing
+            # count is already paid above; without it (explicit-plan calls)
+            # packing is skipped and the per-bucket group layout is kept.
+            n_rows_hint=n_rows,
+            carry_vectors=carry,
+        )
+        cand = (
+            sharded.groupBy("_pa", "_pb")
+            .applyInPandas(_gemm_pairs_factory(threshold, vecs_b), schema=_PAIR_SCHEMA)
+            .select("id_a", "id_b")
+            .distinct()  # a pair found in several tables/shard-pairs is one candidate
+        )
     return _finalize_pairs(emb, cand, threshold, id_col, vec_col).orderBy("id_a", "id_b")
 
 

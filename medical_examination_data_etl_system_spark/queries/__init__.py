@@ -83,18 +83,29 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
     ``None`` (unmemoized) when the table doesn't exist in ``sf_dir`` —
     synthetic edge-case dirs carry only the tables a test needs, and
     a missing HINT must degrade to self-sizing, not an error."""
+    import os
+
     from pyspark.errors import AnalysisException
 
     key = (sf_dir, table)
+    if _ROWCOUNTS.get(key, 0) is None and os.path.exists(
+        os.path.join(sf_dir, f"{table}.parquet")
+    ):
+        # A memoized MISS whose path now exists (ADVICE r11 #5:
+        # pipeline-style flows can write a table after a first lookup)
+        # — invalidate and recount instead of silently disabling the
+        # hint for the rest of the process. One os.path probe per call
+        # on the miss path only; hits stay a pure dict lookup.
+        del _ROWCOUNTS[key]
     if key not in _ROWCOUNTS:
         try:
             _ROWCOUNTS[key] = load(spark, sf_dir, table).count()
         except AnalysisException:
-            # Memoize the miss too (ADVICE r10 #4): the dir is immutable
-            # per-process by the same argument that makes the count memo
-            # sound, so re-running load() + catching the AnalysisException
-            # on every call for an intentionally-absent table is pure
-            # repeated catalog/path-resolution cost.
+            # Memoize the miss too (ADVICE r10 #4): re-running load() +
+            # catching the AnalysisException on every call for an
+            # absent table is pure repeated catalog/path-resolution
+            # cost; the existence re-probe above un-memoizes if the
+            # table appears later.
             _ROWCOUNTS[key] = None
     return _ROWCOUNTS[key]
 

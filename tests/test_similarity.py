@@ -535,3 +535,108 @@ def test_srp_broadcast_vectors_invariant(spark):
     bcast_path = pairs(256 << 20)    # broadcast lookup
     assert rows_path, "corpus should produce near-dup pairs"
     assert bcast_path == rows_path, "broadcast path changed the pair set"
+
+
+def test_srp_slab_sharded_broadcast_invariant(spark):
+    """VERDICT r11 #3: past the broadcast budget the slab-sharded loop
+    (one bucketed pass per slab pair, 2-slab broadcast each) must emit
+    the IDENTICAL final pair set as the single-broadcast path and the
+    vector-carrying fallback — every pair lives in exactly its
+    (slab_a, slab_b) pass."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(3, 32))
+    rows = []
+    for i in range(300):
+        base = centers[i % 3] if i % 4 else rng.normal(size=32)
+        rows.append((i, (base + rng.normal(scale=0.05, size=32)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    full = 300 * 32 * 8
+
+    def pairs(budget, slabs=8):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in similarity.embedding_near_duplicates_srp(
+                emb, threshold=0.8, dim=32, num_tables=4, size_sample_mod=1,
+                broadcast_corpus_bytes=budget, max_broadcast_slabs=slabs,
+            ).collect()
+        )
+
+    single = pairs(full + 1)
+    slab3 = pairs(full // 3 + 1)         # forces S = 3 → 6 passes
+    carry = pairs(full // 3 + 1, slabs=0)  # same budget, slabs disabled
+    assert single, "corpus should produce near-dup pairs"
+    assert slab3 == single, "slab passes changed the pair set"
+    assert carry == single, "carry fallback changed the pair set"
+
+
+def test_gemm_zero_norm_carry_matches_broadcast(spark):
+    """ADVICE r11 #3: the carry path's kernel normalization shares the
+    broadcast path's zero-vector convention (zero norm → cos 0, never
+    NaN) — observable at a non-positive threshold, where NaN comparisons
+    would silently drop the zero vector's pairs on one path only."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    rows = [(i, rng.normal(size=16).astype("float32").tolist()) for i in range(80)]
+    rows.append((80, [0.0] * 16))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    full = 81 * 16 * 8
+
+    def pairs(budget, slabs):
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_duplicates_srp(
+                emb, threshold=-0.5, dim=16, num_planes=2, num_tables=4,
+                target_bucket_rows=None, size_sample_mod=1,
+                broadcast_corpus_bytes=budget, max_broadcast_slabs=slabs,
+            ).collect()
+        )
+
+    bcast = pairs(full + 1, 8)
+    carry = pairs(0, 0)
+    assert any(80 in (a, b) for a, b in bcast), "zero vector should pair at cos 0"
+    assert carry == bcast, "zero-norm semantics diverge between paths"
+
+
+def test_srp_packing_cap_keeps_estimated_large_buckets_unpacked(spark):
+    """ADVICE r11 #4: S=1 buckets whose ESTIMATED size exceeds
+    target_block_rows/2 keep their own kernel group (positive composite
+    key) instead of joining a shared pack — an estimate miss degrades to
+    the pre-packing behavior, never compounds into one oversized pack."""
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    # 3 tight clusters of 30 (bucket size in (target/2, target] → own
+    # group) + 60 scattered singles (tiny buckets → packed).
+    rows = []
+    i = 0
+    for c in range(3):
+        center = rng.normal(size=16)
+        for _ in range(30):
+            rows.append((i, (center + rng.normal(scale=0.01, size=16)).astype("float32").tolist()))
+            i += 1
+    for _ in range(60):
+        rows.append((i, rng.normal(size=16).astype("float32").tolist()))
+        i += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    target = 40
+    sharded = similarity._srp_sharded_groups(
+        emb, "vec_id", "embedding", num_planes=5, dim=16, num_tables=2,
+        target_block_rows=target, size_sample_mod=1, probes=0, n_rows_hint=150,
+    )
+    stats = (
+        sharded.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("_pa").alias("pa"))
+        .collect()
+    )
+    packed = [r for r in stats if r["pa"] < 0]
+    own_mid = [r for r in stats if target >= r["n"] > target // 2 and r["pa"] >= 0]
+    assert packed, "tiny buckets should pack"
+    assert own_mid, "mid-size (cap-excluded) buckets should exist unpacked"
+    # every bucket with true size > target/2 must be unpacked (for S=1
+    # buckets n is the true size; S>1 buckets are never packed anyway)
+    for r in stats:
+        if r["n"] > target // 2:
+            assert r["pa"] >= 0, f"bucket {r['_g']} (n={r['n']}) was packed past the cap"
