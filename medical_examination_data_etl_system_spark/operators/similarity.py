@@ -719,14 +719,20 @@ def _slab_pass_candidates(
     cross-slab (``_sx``), and the union over passes IS the
     single-broadcast pair set (pinned in tests).
 
-    Cost model vs the vector-carrying fallback: each of the
-    S(S+1)/2 passes shuffles 2n/S id-only (~26 B) row copies, so total
-    shuffle is (S+1)× the single-broadcast volume — cheaper than
-    carrying ~300 B vectors while S+1 < vector_bytes/id_bytes (≈12 at
-    64-dim float32); the caller caps S at ``max_broadcast_slabs`` and
-    reverts to carry past it. SRP hashing runs (S+1)× total (each row
-    is hashed once per pass it joins); the per-bucket SHARD PLAN is
-    computed once globally and reused (conservative for any subset).
+    Cost model vs the vector-carrying fallback: a row in slab s joins
+    its diagonal pass plus the S−1 off-diagonal passes — S passes — so
+    total id-only (~26 B) emit+shuffle volume is S× the
+    single-broadcast run, cheaper than carrying ~300 B vectors while
+    S < vector_bytes/id_bytes (≈12 at 64-dim float32); the caller caps
+    S at ``max_broadcast_slabs`` and reverts to carry past it. SRP
+    hashing also runs S× (once per pass a row joins); the per-bucket
+    SHARD PLAN is computed once globally and reused (conservative for
+    any subset). Measured at the r12 deep-cap plan (k=13/L=64/T=6,
+    200k adversarial vectors): budget forced to 40 MB → S=3 reads
+    2.45× the same-run single-broadcast wall — at-model (≤S×, fixed
+    costs amortized) and ~3× under the 1,533 s carry wall the budget
+    cliff used to reinstate; the cliff-adjacent S=2 case is measured
+    in SURVEY's round log.
 
     Execution is EAGER per pass (persist + count) so at most one pass
     broadcast (2 slabs ≈ 2× budget per Python worker) is resident
@@ -743,6 +749,7 @@ def _slab_pass_candidates(
     from .cache import persist_tracked
 
     sc = emb.sparkSession.sparkContext
+    probes = min(max(0, probes), num_planes)
     slab_of = _slab_expr(id_col, n_slabs)
     shards = persist_tracked(
         srp_shard_plan(
@@ -750,6 +757,14 @@ def _slab_pass_candidates(
             target_block_rows, size_sample_mod, probes,
         )
     )
+    # Each pass RE-HASHES its two slabs (S× total hashing) rather than
+    # bucketing once into a persisted id-only frame and filtering it per
+    # pass: both designs were measured at the deep-cap plan (k=13/L=64/
+    # T=6, S=3) and the bucket-once variant read 3.65× the same-run
+    # single-broadcast wall vs 2.45× for re-hashing — the S(S+1)/2
+    # scans of the ~90M-copy cached frame (plus its materialization)
+    # cost more than the redundant matmul+emit they avoid. Re-measure
+    # before "fixing" this again (the r11 cost-attribution lesson).
     parts = []
     tmpdir = tempfile.mkdtemp(prefix="srp_slabs_")
     try:
@@ -1030,7 +1045,6 @@ def _srp_sharded_groups(
     # pass and desynchronize shard sizing from emission (ADVICE r10 #2).
     probes = min(max(0, probes), num_planes)
     vcols = ["_v"] if carry_vectors else []
-    scols = ["_sx"] if slab_expr is not None else []
     tagged = with_srp_buckets(
         emb, id_col, vec_col, num_planes, dim, num_tables=num_tables, probes=probes,
         carry_vectors=carry_vectors,
@@ -1045,6 +1059,28 @@ def _srp_sharded_groups(
         emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,
         size_sample_mod, probes,
     )
+    return _sharded_groups_from_tagged(
+        tagged, shards, target_block_rows, num_tables, probes, n_rows_hint,
+        extra_cols=vcols + (["_sx"] if slab_expr is not None else []),
+    )
+
+
+def _sharded_groups_from_tagged(
+    tagged: DataFrame,
+    shards: DataFrame,
+    target_block_rows: int,
+    num_tables: int,
+    probes: int,
+    n_rows_hint: int | None,
+    extra_cols: list[str],
+) -> DataFrame:
+    """The shard/pack group layout over an ALREADY-BUCKETED frame
+    (``_id``, ``_g``, ``_home`` + ``extra_cols``): join the shard plan,
+    explode each row to its S block-pair copies, assign the composite
+    (or packed) group keys. Split out of :func:`_srp_sharded_groups` so
+    the slab loop can bucket ONCE into a persisted id-only frame and
+    run this (cheap, JVM-side) tail per slab pass instead of re-hashing
+    every pass."""
     # Composite group key _g·2³¹ + shard stays unique across buckets and
     # inside int64 (_g ≤ L·2^k ≪ 2³²; shard count < 2³¹ by construction).
     # Packed S=1 buckets take the NEGATIVE id −1−pack instead.
@@ -1070,8 +1106,7 @@ def _srp_sharded_groups(
         )
         .select(
             "_id",
-            *vcols,
-            *scols,
+            *extra_cols,
             "_g",
             "_s",
             "_n",
@@ -1081,8 +1116,7 @@ def _srp_sharded_groups(
         )
         .select(
             "_id",
-            *vcols,
-            *scols,
+            *extra_cols,
             "_g",
             pa.alias("_pa"),
             pb.alias("_pb"),

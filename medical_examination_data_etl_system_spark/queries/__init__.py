@@ -124,94 +124,41 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
 # The window cut is WINDOW_SIZE; the import-time check below fails
 # loudly if an insert shifts a restructured row past the cut, and
 # tests/test_edge_cases.py pins the invariant.
-# Positions 51+ are the COMMITTED R12 PLAN: the remaining 42 r07-stale
-# rows in name order, then the first 5 r08-stale rows (the r08 tail
-# rolls to r13+). Every windowed name is hash-green in the local
-# replica before commit (scripts/parity_subset.py).
+# Positions 51+ are the COMMITTED R13 PLAN: the 14 r07-stale rows the
+# r12 restructures displaced, then r08-stale rows in name order (the
+# r08 tail rolls to r14+). Every windowed name is hash-green in the
+# local replica before commit (scripts/parity_subset.py).
 # Retired rows-only originals (VERDICT r8 #2) are in RETIRED below —
 # out of the driver/bench registry, still importable and pytest-smoked
 # (tests/test_retired.py).
 WINDOW_SIZE = 50
 
 _WINDOW_PLAN: list[tuple[str, str]] = [
-    # ---- r11 driver window: the committed plan from the r10 rotation
-    # ---- (VERDICT r10 #3) — the four r05-stale stream rows, the
-    # ---- r06-stale rows in name order, 3 r07 rows to fill the cut —
-    # ---- with the round's 17 RESTRUCTURED queries rotated in per the
-    # ---- rule (retagged in place where already windowed; 12 stale
-    # ---- rows displaced to the r12 plan head). --
-    ("stream_sessionize_stateful", "r05"),
-    ("stream_static_enrich", "r05"),
-    ("stream_tumbling_hourly", "r05"),
-    ("stream_upsert_latest_state", "r05"),
-    ("agg_cms_user_counts", "r06"),
-    ("agg_p90_outlier_orders", "r11-restr"),
-    # (in-window rows retagged r11-restr: percentile family adaptive
-    # value-domain prefix; semantic-dedup pair kernel packing)
-    ("agg_percentiles_by_flag", "r11-restr"),
-    ("docs_blocklist_filter", "r06"),
-    ("docs_domain_mix", "r06"),
-    ("docs_length_buckets", "r06"),
-    ("docs_semantic_dedup", "r11-restr"),
-    ("docs_semantic_dedup_srp", "r11-restr"),
-    ("docs_tfidf_top_terms", "r06"),
-    ("docs_token_entropy", "r06"),
-    ("docs_train_val_test_split", "r06"),
-    ("docs_weighted_sample", "r06"),
-    ("emb_gram_matrix", "r06"),
-    ("emb_label_centroids", "r06"),
-    ("emb_quantize_int8", "r06"),
-    ("events_chi_square", "r06"),
-    ("events_corrupt_json_audit", "r06"),
-    ("events_pmi_cooccurrence", "r06"),
-    ("events_sessionized_funnel", "r06"),
-    ("events_top_paths", "r06"),
-    ("events_variant_extract", "r06"),
-    ("fn_explode_outer_arrays", "r06"),
-    ("fn_value_histogram", "r06"),
-    ("graph_bfs_depths", "r06"),
-    ("join_bloom_prefilter", "r06"),
-    ("join_full_outer_reconcile", "r06"),
-    ("layout_compact_small_files", "r06"),
-    ("layout_format_roundtrip", "r06"),
-    ("layout_partition_prune", "r06"),
-    ("layout_schema_evolution", "r06"),
-    ("lineitem_price_qty_corr", "r06"),
-    ("lineitem_weighted_median", "r11-restr"),
-    ("multimodal_phash_near_dup", "r06"),
-    ("orders_daily_anomaly", "r06"),
-    # -- RESTRUCTURED in r11, rotated in-window per the rule (11 tail
-    # -- rows displaced to the r12 plan head):
-    # -- percentile family — adaptive value-domain cumulative prefix
-    # -- (with_global_prefix / with_partitioned_prefix under the
-    # -- fact-rowcount hint; bit-identical small branch at driver
-    # -- scale, distributed branch on continuous-value corpora) --
-    ("lineitem_winsorize_prices", "r11-restr"),
-    ("orders_price_mad", "r11-restr"),
-    ("events_histogram_equidepth", "r11-restr"),
-    ("events_conversion_latency", "r11-restr"),
-    ("orders_mann_whitney", "r11-restr"),
-    # -- SRP small-bucket packing (negative-keyed coalesced kernel
-    # -- groups) + the shared GEMM kernel's packed-group dispatch --
-    ("emb_near_dup_srp", "r11-restr"),
-    ("emb_near_dup_cosine", "r11-restr"),
-    # -- ranking-operator callers (rank_col made optional + conf
-    # -- fallback; executed branch unchanged, re-certified under the
-    # -- strict code-changed reading, as r10 did for emb_near_dup_srp)
-    ("customer_rfm_segments", "r11-restr"),
-    ("customer_abc_classes", "r11-restr"),
-    ("customer_gini_revenue", "r11-restr"),
-    # -- cosine_topk shuffle-partitions conf guard --
-    ("emb_cosine_topk", "r11-restr"),
-    # -- skyline: exclusive-running-min routed through the adaptive
-    # -- prefix (the same continuous-price wall the percentile family
-    # -- had; 49.7 vs 69.1 s on the values corpus) --
-    ("lineitem_skyline_frontier", "r11-restr"),
-    # ---- end of the r11 driver window (cut = WINDOW_SIZE) ----
-    # -- committed r12 plan: the 9 r06 + 3 r07 rows displaced by the
-    # -- r11 restructures, then the remaining r07-stale rows in
-    # -- name order, then r08 rows to the next cut (the tail rolls to
-    # -- r13+) --
+    # ---- r12 driver window: the round's 12 RESTRUCTURED queries
+    # ---- first (re-certify-in-window rule), then the committed r12
+    # ---- plan head — the 9 r06-stale rows displaced by the r11
+    # ---- restructures, then r07-stale rows in name order to the cut.
+    # ---- (The r12 displacement: 14 r07 + 5 r08 rows from the old
+    # ---- committed plan roll to the r13 plan below.) ----
+    # -- value-domain family: per-caller small_frame_rows raised to
+    # -- the measured 20M cutoff (ADVICE r11 #2; executed branch at
+    # -- driver scale unchanged, re-certified under the strict
+    # -- code-changed reading, as r11 did for the rank_col change) --
+    ("agg_percentiles_by_flag", "r12-restr"),
+    ("events_histogram_equidepth", "r12-restr"),
+    ("events_conversion_latency", "r12-restr"),
+    ("lineitem_weighted_median", "r12-restr"),
+    ("lineitem_winsorize_prices", "r12-restr"),
+    ("lineitem_skyline_frontier", "r12-restr"),
+    ("orders_price_mad", "r12-restr"),
+    ("orders_mann_whitney", "r12-restr"),
+    # -- GEMM/slab family: slab-sharded broadcasts past the budget,
+    # -- shared zero-norm guard, finalize guard, S=1 packing cap --
+    ("emb_near_dup_srp", "r12-restr"),
+    ("emb_near_dup_cosine", "r12-restr"),
+    ("docs_semantic_dedup", "r12-restr"),
+    ("docs_semantic_dedup_srp", "r12-restr"),
+    # -- committed plan head (VERDICT r11 #1) --
     ("orders_mom_growth", "r06"),
     ("pipeline_render_reports", "r06"),
     ("stream_cms_user_counts", "r06"),
@@ -250,6 +197,10 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("events_session_length_stats", "r07"),
     ("events_watermark_late_audit", "r07"),
     ("fn_higher_order_arrays", "r07"),
+    # ---- end of the r12 driver window (cut = WINDOW_SIZE) ----
+    # -- committed r13 plan: the r07-stale rows displaced above, then
+    # -- r08-stale rows in name order to the next cut (11 r08 rows —
+    # -- q21..q9, the skew pair — roll to r14). --
     ("fn_try_arithmetic", "r07"),
     ("graph_pagerank_int3", "r07"),
     ("incr_join_merge_revenue", "r07"),
@@ -269,6 +220,37 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("docs_cdc_chunk_dedup", "r08"),
     ("docs_dataset_card", "r08"),
     ("docs_feature_hashing", "r08"),
+    ("docs_gopher_quality_rules", "r08"),
+    ("docs_near_dup_components", "r08"),
+    ("docs_near_dup_components_alt", "r08"),
+    ("emb_drift_monitor", "r08"),
+    ("emb_label_noise_audit", "r08"),
+    ("emb_mmr_diversify", "r08"),
+    ("events_bot_detection", "r08"),
+    ("events_cusum_changepoint", "r08"),
+    ("events_ushape_attribution", "r08"),
+    ("graph_link_prediction", "r08"),
+    ("multimodal_binary_features", "r08"),
+    ("multimodal_doc_embedding_join", "r08"),
+    ("multimodal_frame_sample", "r08"),
+    ("multimodal_resize", "r08"),
+    ("orders_benford_audit", "r08"),
+    ("orders_bootstrap_ci", "r08"),
+    ("orders_churn_training_set", "r08"),
+    ("orders_revenue_acf", "r08"),
+    ("part_trigram_search", "r08"),
+    ("q10_returned_items", "r08"),
+    ("q11_important_parts", "r08"),
+    ("q12_late_lines", "r08"),
+    ("q13_customer_distribution", "r08"),
+    ("q14_promo_revenue", "r08"),
+    ("q15_top_supplier", "r08"),
+    ("q16_parts_supplier_relationship", "r08"),
+    ("q17_small_quantity_revenue", "r08"),
+    ("q18_large_volume_customers", "r08"),
+    ("q19_discounted_revenue", "r08"),
+    ("q1_pricing_summary", "r08"),
+    ("q20_potential_promotion", "r08"),
 ]
 
 _DRIVER_WINDOW_PRIORITY = [name for name, _why in _WINDOW_PLAN]

@@ -21,6 +21,20 @@ from medical_examination_data_etl_system_spark.operators.timeseries import (
 from medical_examination_data_etl_system_spark.queries import QueryDef, load, table_rowcount
 
 
+# Value-domain adaptive-prefix cutoff (ADVICE r11 #2): the callers below
+# pass the FACT table's metadata-only rowcount as ``n_rows_hint`` — an
+# upper bound on their distinct-VALUE frame that is structurally loose
+# on bounded domains (a 60M-row fact over ~49k distinct cents). The
+# operator's 1M default was sized for per-customer frames; for these
+# single-window value-domain shapes the plain window stays competitive
+# far longer (the p90 caller measured 14.2 s row-form vs 21.7 s
+# distributed at 15M rows on the continuous-domain corpus), so the
+# switch point is raised to the same measured 20M cutoff. Past it a
+# single sort task genuinely stops fitting and the parallel prefix wins
+# outright (r11: percentiles 160.3 -> 51.2 s at 55M distinct cents).
+VALUE_DOMAIN_SMALL_FRAME_ROWS = 20_000_000
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view → click → purchase funnel (strictly-after semantics)."""
     ev = load(spark, sf_dir, "events")
@@ -935,6 +949,7 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col=None,
         running_sums={"_cumv": "cnt"},
         n_rows_hint=table_rowcount(spark, sf_dir, "events"),
+        small_frame_rows=VALUE_DOMAIN_SMALL_FRAME_ROWS,
     ).select("value", (F.col("_cumv") - F.col("cnt")).alias("off"))
     w_in = Window.partitionBy("value").orderBy("event_id")
     ranked = (
@@ -1353,6 +1368,7 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col=None,
         running_sums={"cum": "cnt"},
         n_rows_hint=table_rowcount(spark, sf_dir, "events"),
+        small_frame_rows=VALUE_DOMAIN_SMALL_FRAME_ROWS,
     ).select(
         "lat_s",
         "cum",
@@ -1716,6 +1732,7 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_sums={"_cumw": "_w"},
         part_total_cols={"_tw": "_w"},
         n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
+        small_frame_rows=VALUE_DOMAIN_SMALL_FRAME_ROWS,
     )
     return (
         ranked.groupBy("l_returnflag")
@@ -1975,6 +1992,7 @@ def orders_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             rank_col=None,
             running_sums={"_cum": "_c"},
             n_rows_hint=hint,
+            small_frame_rows=VALUE_DOMAIN_SMALL_FRAME_ROWS,
         ).crossJoin(F.broadcast(tot))
         return ranked.agg(
             F.min(F.when(2 * F.col("_cum") >= F.col("_nn"), F.col(col))).alias("_med")
@@ -2389,6 +2407,7 @@ def lineitem_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col=None,
         running_mins_excl={"_prev_best": "min_qty"},
         n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
+        small_frame_rows=VALUE_DOMAIN_SMALL_FRAME_ROWS,
     ).filter(
         F.col("_prev_best").isNull() | (F.col("min_qty") < F.col("_prev_best"))
     )
@@ -3227,6 +3246,7 @@ def lineitem_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col=None,
         running_sums={"cum": "c"},
         n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
+        small_frame_rows=VALUE_DOMAIN_SMALL_FRAME_ROWS,
     ).crossJoin(F.broadcast(tot))
     # Both bounds from ONE conditional aggregation (min-over-filter ≡
     # min-of-when): the separate lo/hi aggregates each re-ran the whole
@@ -3928,6 +3948,7 @@ def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col=None,
         running_sums={"_cumt": "ntv"},
         n_rows_hint=table_rowcount(spark, sf_dir, "orders"),
+        small_frame_rows=VALUE_DOMAIN_SMALL_FRAME_ROWS,
     ).select(
         "v",
         "n1v",

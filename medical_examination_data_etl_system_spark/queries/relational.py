@@ -672,6 +672,7 @@ def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits one task and ``with_partitioned_prefix`` recovers the same
     sums from a range-partitioned parallel prefix, bit-identically."""
     from medical_examination_data_etl_system_spark.operators.ranking import with_partitioned_prefix
+    from medical_examination_data_etl_system_spark.queries.analytics import VALUE_DOMAIN_SMALL_FRAME_ROWS
 
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
@@ -684,6 +685,7 @@ def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_sums={"_cum": "_c"},
         part_total_cols={"_n": "_c"},
         n_rows_hint=table_rowcount(spark, sf_dir, "lineitem"),
+        small_frame_rows=VALUE_DOMAIN_SMALL_FRAME_ROWS,
     ).withColumn("_off", F.col("_cum") - F.col("_c"))
 
     def _q(p: float) -> F.Column:

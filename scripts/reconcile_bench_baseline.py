@@ -18,10 +18,25 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r12 start-of-round: the r11 CHANGED set re-entered at fresh values
-# in the e101373 reconcile, so it is cleared here; repopulate as r12
-# restructures land.)
-CHANGED: set[str] = set()
+# (r12: the value-domain family re-enters on the raised 20M
+# small_frame_rows cutoff — at sf0.1 the plain-window branch is
+# unchanged, so fresh ≈ old — and the GEMM/SRP consumers re-enter on
+# the kernel with the zero-norm guard / packing cap / slab dispatch;
+# at sf0.1 the single-broadcast path still engages, so fresh ≈ old.)
+CHANGED: set[str] = {
+    "agg_percentiles_by_flag",
+    "events_histogram_equidepth",
+    "events_conversion_latency",
+    "lineitem_weighted_median",
+    "lineitem_winsorize_prices",
+    "lineitem_skyline_frontier",
+    "orders_price_mad",
+    "orders_mann_whitney",
+    "emb_near_dup_srp",
+    "emb_near_dup_cosine",
+    "docs_semantic_dedup",
+    "docs_semantic_dedup_srp",
+}
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
 # pass (the full pass predated the change): folded as fresh values.
