@@ -141,7 +141,7 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     # ---- (The r12 displacement: 14 r07 + 5 r08 rows from the old
     # ---- committed plan roll to the r13 plan below.) ----
     # -- value-domain family: per-caller small_frame_rows raised to
-    # -- the measured 20M cutoff (ADVICE r11 #2; executed branch at
+    # -- the measured ~10M crossover (ADVICE r11 #2; executed branch at
     # -- driver scale unchanged, re-certified under the strict
     # -- code-changed reading, as r11 did for the rank_col change) --
     ("agg_percentiles_by_flag", "r12-restr"),

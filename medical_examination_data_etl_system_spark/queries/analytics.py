@@ -25,14 +25,22 @@ from medical_examination_data_etl_system_spark.queries import QueryDef, load, ta
 # pass the FACT table's metadata-only rowcount as ``n_rows_hint`` — an
 # upper bound on their distinct-VALUE frame that is structurally loose
 # on bounded domains (a 60M-row fact over ~49k distinct cents). The
-# operator's 1M default was sized for per-customer frames; for these
-# single-window value-domain shapes the plain window stays competitive
-# far longer (the p90 caller measured 14.2 s row-form vs 21.7 s
-# distributed at 15M rows on the continuous-domain corpus), so the
-# switch point is raised to the same measured 20M cutoff. Past it a
-# single sort task genuinely stops fitting and the parallel prefix wins
-# outright (r11: percentiles 160.3 -> 51.2 s at 55M distinct cents).
-VALUE_DOMAIN_SMALL_FRAME_ROWS = 20_000_000
+# operator's 1M default was sized for per-customer frames; the r12
+# calibration on the continuous-value corpus (counts-frame + running
+# sum, the exact shape these callers run) measured the crossover an
+# order of magnitude higher:
+#   5.3M-row frame: plain 7.8 s vs distributed 9.9 s  (plain wins)
+#   19.4M:          plain 20.4 s vs distributed 11.0 s (distributed)
+#   58.2M:          plain 60.1 s vs distributed 31.0 s (distributed)
+# so the switch point sits at the measured ~10M crossover. The hint
+# still OVERESTIMATES bounded domains past it (a >10M fact with a 49k
+# value domain pays the distributed machinery's fixed ~2 s of extra
+# jobs on a tiny frame — the residual price of a metadata-only hint,
+# bounded and documented); on continuous domains the distributed
+# branch engages exactly where the single sort task starts losing.
+# (p90's caller keeps its own measured 20M: its window is partitioned
+# 5-way, so per-task frames are a fifth of these.)
+VALUE_DOMAIN_SMALL_FRAME_ROWS = 10_000_000
 
 
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
