@@ -190,3 +190,21 @@ def test_table_rowcount_memoizes_missing_tables(spark, tmp_path):
     finally:
         q.load = orig_load
         q._ROWCOUNTS.pop((str(tmp_path), "orders"), None)
+
+
+def test_table_rowcount_reprobes_when_table_appears(spark, tmp_path):
+    """ADVICE r11 #5: a memoized MISS whose path later exists (a
+    pipeline-style flow writing the table after a first lookup) is
+    invalidated and recounted — the stale None must not silently
+    disable hint-gated plans for the rest of the process."""
+    from medical_examination_data_etl_system_spark import queries as q
+
+    d = str(tmp_path)
+    assert q.table_rowcount(spark, d, "orders") is None
+    spark.range(7).withColumnRenamed("id", "o_orderkey").write.parquet(
+        f"{d}/orders.parquet"
+    )
+    try:
+        assert q.table_rowcount(spark, d, "orders") == 7
+    finally:
+        q._ROWCOUNTS.pop((d, "orders"), None)
