@@ -124,7 +124,7 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
 # The window cut is WINDOW_SIZE; the import-time check below fails
 # loudly if an insert shifts a restructured row past the cut, and
 # tests/test_edge_cases.py pins the invariant.
-# Positions 51+ are the COMMITTED R13 PLAN: the 14 r07-stale rows the
+# Positions 51+ are the COMMITTED R13 PLAN: the 16 r07-stale rows the
 # r12 restructures displaced, then r08-stale rows in name order (the
 # r08 tail rolls to r14+). Every windowed name is hash-green in the
 # local replica before commit (scripts/parity_subset.py).
@@ -138,7 +138,7 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     # ---- first (re-certify-in-window rule), then the committed r12
     # ---- plan head — the 9 r06-stale rows displaced by the r11
     # ---- restructures, then r07-stale rows in name order to the cut.
-    # ---- (The r12 displacement: 14 r07 + 5 r08 rows from the old
+    # ---- (The r12 displacement: 16 r07 + 5 r08 rows from the old
     # ---- committed plan roll to the r13 plan below.) ----
     # -- value-domain family: per-caller small_frame_rows raised to
     # -- the measured ~10M crossover (ADVICE r11 #2; executed branch at
@@ -158,12 +158,18 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("emb_near_dup_cosine", "r12-restr"),
     ("docs_semantic_dedup", "r12-restr"),
     ("docs_semantic_dedup_srp", "r12-restr"),
+    # -- session family (r12 adversarial-parity findings): the stateful
+    # -- sessionizer's cross-chunk sort fix; the two native
+    # -- session_window queries' oracles corrected to the operator's
+    # -- true end-inclusive merge boundary (> gap splits, not >=) --
+    ("stream_sessionize_stateful", "r12-restr"),
+    ("stream_session_builtin", "r12-restr"),
+    ("events_session_windows", "r12-restr"),
     # -- committed plan head (VERDICT r11 #1) --
     ("orders_mom_growth", "r06"),
     ("pipeline_render_reports", "r06"),
     ("stream_cms_user_counts", "r06"),
     ("stream_running_ewma", "r06"),
-    ("stream_session_builtin", "r06"),
     ("stream_sliding_halfhour", "r06"),
     ("text_rolling_fingerprint", "r06"),
     ("window_distribution_stats", "r06"),
@@ -194,13 +200,14 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("events_activity_streaks", "r07"),
     ("events_dau_wau_stickiness", "r07"),
     ("events_nearest_event_join", "r07"),
+    # ---- end of the r12 driver window (cut = WINDOW_SIZE) ----
+    # -- committed r13 plan: the r07-stale rows displaced above, then
+    # -- r08-stale rows in name order to the next cut (the r13 plan
+    # -- here holds 16 r07 + 36 r08 = 52 rows; its own cut falls
+    # -- where r13's restructures land, tail rolling to r14). --
     ("events_session_length_stats", "r07"),
     ("events_watermark_late_audit", "r07"),
     ("fn_higher_order_arrays", "r07"),
-    # ---- end of the r12 driver window (cut = WINDOW_SIZE) ----
-    # -- committed r13 plan: the r07-stale rows displaced above, then
-    # -- r08-stale rows in name order to the next cut (11 r08 rows —
-    # -- q21..q9, the skew pair — roll to r14). --
     ("fn_try_arithmetic", "r07"),
     ("graph_pagerank_int3", "r07"),
     ("incr_join_merge_revenue", "r07"),

@@ -70,9 +70,15 @@ ORDER BY window_start
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user: 15-minute inactivity gap.
 
-    Spark's ``session_window`` merges events whose [ts, ts+gap) windows
-    overlap, i.e. a new session starts when the gap is ≥ 15 min — the
-    oracle's lag/cumsum sessionization uses the same boundary rule.
+    BOUNDARY (r12, found by exact-parity on the adversarial drain):
+    Spark's ``session_window`` merge is END-INCLUSIVE — an event at
+    EXACTLY last+gap still merges; a new session needs gap STRICTLY
+    greater than 15 min. The oracle's lag/cumsum sessionization
+    mirrors that with ``> INTERVAL '15 minutes'`` (a ``>=`` oracle
+    hash-matched for 11 rounds only because the driver corpora have no
+    exact-900.000000s gaps; the jittered 10M-event corpus has five).
+    The CUSTOM sessionizer (streaming/events.py) keeps the opposite
+    ``>=``-split convention, self-consistently with its own oracle.
     """
     ev = load(spark, sf_dir, "events")
     return (
@@ -95,7 +101,7 @@ SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+                OR ts - lag(ts) OVER w > INTERVAL '15 minutes'
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

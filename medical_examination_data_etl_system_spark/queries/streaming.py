@@ -261,7 +261,8 @@ def stream_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     state) — the built-in complement to the custom
     applyInPandasWithState sessionizer; drained availableNow it equals
     the batch session query, so the oracle is the same lag/cumsum
-    sessionization."""
+    sessionization — with the native END-INCLUSIVE merge boundary
+    (split strictly past the gap; see events_session_windows, r12)."""
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     out = run_available_now(
         stream_session_counts(stream), "q_stream_session_builtin",
@@ -274,7 +275,7 @@ STREAM_SESSION_BUILTIN_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+                OR ts - lag(ts) OVER w > INTERVAL '15 minutes'
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

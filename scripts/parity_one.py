@@ -41,7 +41,12 @@ def main() -> None:
     spark = get_spark(app_name="parity-one")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # Driver testdata tables are single files; Spark-written corpora
+        # (the adversarial dirs) are part-file DIRECTORIES — glob those.
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     failed = []
     for name in args:
         sdf = queries[name](spark, sf).toPandas()

@@ -36,6 +36,14 @@ CHANGED: set[str] = {
     "emb_near_dup_cosine",
     "docs_semantic_dedup",
     "docs_semantic_dedup_srp",
+    # session family (late r12, adversarial-parity findings): the
+    # sessionizer's cross-chunk concat+sort, and the two native
+    # session_window oracles' boundary corrections (> vs >=; the Spark
+    # plans are unchanged for the latter two, but the discipline keys
+    # on the query's code, and the stateful fix adds a concat).
+    "stream_sessionize_stateful",
+    "stream_session_builtin",
+    "events_session_windows",
 }
 
 # Idle min-of-3 for plan-changed queries measured outside the last full

@@ -159,3 +159,38 @@ def test_stateful_sessionizer_across_batches(spark, tmp_path):
         _sorted_pdf(want, ["user_id", "session_start"]),
         check_dtype=False,
     )
+
+
+def test_stateful_sessionizer_multi_chunk_keys(spark, tmp_path):
+    """r12 adversarial-drain regression: a key's micro-batch rows arrive
+    as SEVERAL Arrow chunks whose order follows the SOURCE FILE, not
+    event time, and the fold must sort across chunks, not per chunk
+    (found as a 260-row session diff vs the exact oracle at the
+    10M-event drain, whose jittered part files are not ts-ordered).
+    Reproduced at test scale by streaming a ts-SHUFFLED copy of the
+    events file with tiny Arrow batches so every key spans chunks —
+    this test fails on the per-chunk-sort fold."""
+    ev = load(spark, SF_DIR, "events").toPandas()
+    ev = ev.sample(frac=1.0, random_state=7)  # destroy ts order
+    ev["ts"] = ev["ts"].astype("datetime64[ns]").astype("int64")
+    stream_dir = tmp_path / "events_shuffled"
+    stream_dir.mkdir()
+    ev.to_parquet(stream_dir / "part-0.parquet", index=False)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = read_events_stream(spark, str(stream_dir))
+        got = run_available_now(
+            sessionize_stateful(stream, gap_minutes=15), "sess_chunked"
+        )
+        want = _expected_closed_sessions(spark, 15)
+        pd.testing.assert_frame_equal(
+            _sorted_pdf(got, ["user_id", "session_start"]),
+            _sorted_pdf(want, ["user_id", "session_start"]),
+            check_dtype=False,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
