@@ -205,7 +205,10 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     # -- r08-stale rows in name order to the next cut (the r13 plan
     # -- here holds 16 r07 + 36 r08 = 52 rows; its own cut falls
     # -- where r13's restructures land, tail rolling to r14). --
-    ("events_session_length_stats", "r07"),
+    # (retagged in place: the dur_min oracle corrected from date_diff
+    # boundary-crossing counting to elapsed-minutes floor — r12
+    # adversarial-parity finding)
+    ("events_session_length_stats", "r12-restr"),
     ("events_watermark_late_audit", "r07"),
     ("fn_higher_order_arrays", "r07"),
     ("fn_try_arithmetic", "r07"),

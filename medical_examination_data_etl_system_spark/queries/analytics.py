@@ -2114,8 +2114,12 @@ WITH flagged AS (
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ), sessions AS (
+  -- elapsed whole minutes (floor of elapsed/60s), NOT date_diff: DuckDB's
+  -- date_diff('minute') counts minute-BOUNDARY CROSSINGS, which reads one
+  -- high whenever the sub-minute offsets wrap (r12: max 804 vs the true
+  -- 803 on the jittered 10M-event corpus; driver corpora never hit it)
   SELECT user_id, session_id,
-         CAST(date_diff('minute', min(ts), max(ts)) AS BIGINT) AS dur_min
+         CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS BIGINT) AS dur_min
   FROM sess GROUP BY user_id, session_id
 ), counts AS (
   SELECT dur_min, count(*) AS c FROM sessions GROUP BY dur_min

@@ -44,6 +44,7 @@ CHANGED: set[str] = {
     "stream_sessionize_stateful",
     "stream_session_builtin",
     "events_session_windows",
+    "events_session_length_stats",
 }
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
