@@ -36,15 +36,13 @@ CHANGED: set[str] = {
     "emb_near_dup_cosine",
     "docs_semantic_dedup",
     "docs_semantic_dedup_srp",
-    # session family (late r12, adversarial-parity findings): the
-    # sessionizer's cross-chunk concat+sort, and the two native
-    # session_window oracles' boundary corrections (> vs >=; the Spark
-    # plans are unchanged for the latter two, but the discipline keys
-    # on the query's code, and the stateful fix adds a concat).
+    # session family (late r12, adversarial-parity findings): only the
+    # stateful sessionizer's measured path changed (cross-chunk
+    # concat+sort) — it re-enters at its idle min-of-3 below. The other
+    # three session fixes were ORACLE-side only (boundary semantics);
+    # their Spark plans are byte-identical, so their committed bests
+    # remain valid and they are NOT in CHANGED.
     "stream_sessionize_stateful",
-    "stream_session_builtin",
-    "events_session_windows",
-    "events_session_length_stats",
 }
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
@@ -56,6 +54,9 @@ CHANGED: set[str] = {
 CHANGED_IDLE: dict[str, float] = {
     "docs_semantic_dedup": 4.649,
     "docs_semantic_dedup_srp": 3.850,
+    # late-r12 sessionizer concat fix: idle min-of-3 on a box whose
+    # session-family controls read 1.2-1.5x their cross-VM bests.
+    "stream_sessionize_stateful": 2.056,
 }
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
