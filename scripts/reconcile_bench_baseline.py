@@ -18,46 +18,14 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r12: the value-domain family re-enters on the raised 20M
-# small_frame_rows cutoff — at sf0.1 the plain-window branch is
-# unchanged, so fresh ≈ old — and the GEMM/SRP consumers re-enter on
-# the kernel with the zero-norm guard / packing cap / slab dispatch;
-# at sf0.1 the single-broadcast path still engages, so fresh ≈ old.)
-CHANGED: set[str] = {
-    "agg_percentiles_by_flag",
-    "events_histogram_equidepth",
-    "events_conversion_latency",
-    "lineitem_weighted_median",
-    "lineitem_winsorize_prices",
-    "lineitem_skyline_frontier",
-    "orders_price_mad",
-    "orders_mann_whitney",
-    "emb_near_dup_srp",
-    "emb_near_dup_cosine",
-    "docs_semantic_dedup",
-    "docs_semantic_dedup_srp",
-    # session family (late r12, adversarial-parity findings): only the
-    # stateful sessionizer's measured path changed (cross-chunk
-    # concat+sort) — it re-enters at its idle min-of-3 below. The other
-    # three session fixes were ORACLE-side only (boundary semantics);
-    # their Spark plans are byte-identical, so their committed bests
-    # remain valid and they are NOT in CHANGED.
-    "stream_sessionize_stateful",
-}
+# (r13: the ADVICE slab-mask fix canonicalizes the id hash inside
+# _slab_expr — the sf0.1 single-broadcast path never reaches the slab
+# loop, so no plan change on any benched query yet.)
+CHANGED: set[str] = set()
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
 # pass (the full pass predated the change): folded as fresh values.
-# (r12: the two semantic-dedup movers read 1.46x/1.32x in the fresh
-# pass; same-box A/B against the pre-round commit showed the NEW code
-# at-or-faster — old 5.838/3.630 vs new 4.649/3.850 idle min-of-3 —
-# so the idle figures re-enter, not the ambient-inflated pass values.)
-CHANGED_IDLE: dict[str, float] = {
-    "docs_semantic_dedup": 4.649,
-    "docs_semantic_dedup_srp": 3.850,
-    # late-r12 sessionizer concat fix: idle min-of-3 on a box whose
-    # session-family controls read 1.2-1.5x their cross-VM bests.
-    "stream_sessionize_stateful": 2.056,
-}
+CHANGED_IDLE: dict[str, float] = {}
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
 # extra snapshot. (The r9 entries — pipeline_render_reports 1.80,
