@@ -690,8 +690,18 @@ _SLAB_SEED = 9377
 def _slab_expr(id_col, n_slabs: int):
     """Deterministic slab tag of an id column: pmod(xxhash64(id, seed),
     n_slabs). Evaluated Spark-side only (filters + the ``_sx`` flag) —
-    the kernel never recomputes it."""
-    return F.pmod(F.xxhash64(F.col(id_col), F.lit(_SLAB_SEED)), F.lit(n_slabs))
+    the kernel never recomputes it.
+
+    The id is cast to long BEFORE hashing: xxhash64 is type-dependent
+    (hash(1:int) != hash(1:long)), and this expression is evaluated both
+    on the raw ``id_col`` (pass membership, slab matrix pulls) and on
+    the post-bucketing ``_id`` column, which the kernel schema fixes at
+    LongType — without the canonical cast an IntegerType id would give
+    the two call sites DIFFERENT slab tags and silently drop cross-slab
+    pairs (ADVICE r12 #1, reproduced: 3128 of 8325 pairs lost at S=3)."""
+    return F.pmod(
+        F.xxhash64(F.col(id_col).cast("long"), F.lit(_SLAB_SEED)), F.lit(n_slabs)
+    )
 
 
 def _slab_pass_candidates(
@@ -1077,10 +1087,12 @@ def _sharded_groups_from_tagged(
     """The shard/pack group layout over an ALREADY-BUCKETED frame
     (``_id``, ``_g``, ``_home`` + ``extra_cols``): join the shard plan,
     explode each row to its S block-pair copies, assign the composite
-    (or packed) group keys. Split out of :func:`_srp_sharded_groups` so
-    the slab loop can bucket ONCE into a persisted id-only frame and
-    run this (cheap, JVM-side) tail per slab pass instead of re-hashing
-    every pass."""
+    (or packed) group keys. Factored out as the shared tail of
+    :func:`_srp_sharded_groups` (every caller reaches it through there;
+    the slab loop deliberately re-hashes its two slabs per pass rather
+    than bucketing once and filtering — the bucket-once variant was
+    measured at 3.65× vs 2.45× the single-broadcast wall, see the cost
+    note in :func:`_slab_pass_candidates`)."""
     # Composite group key _g·2³¹ + shard stays unique across buckets and
     # inside int64 (_g ≤ L·2^k ≪ 2³²; shard count < 2³¹ by construction).
     # Packed S=1 buckets take the NEGATIVE id −1−pack instead.

@@ -313,8 +313,11 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
     arrives ≥ gap after the session's last event (i.e. CLOSED sessions;
     each user's open trailing session stays in state awaiting more
     events — correct unbounded-stream semantics). A new session starts
-    when the inter-event gap is ≥ gap, the same boundary rule as
-    ``session_window`` and the DuckDB lag/cumsum oracle.
+    when the inter-event gap is ≥ gap. NOTE: this custom operator
+    deliberately keeps the ≥-split convention — the OPPOSITE boundary
+    to Spark's native ``session_window``, which merges end-inclusively
+    (splits only when the gap is STRICTLY greater; r12 finding) — and
+    its DuckDB oracle uses the matching ``>=`` lag/cumsum rule.
 
     This is the engine's template for operators Spark lacks natively:
     per-key state via ``applyInPandasWithState`` with an explicit state

@@ -570,6 +570,20 @@ def test_srp_slab_sharded_broadcast_invariant(spark):
     assert slab3 == single, "slab passes changed the pair set"
     assert carry == single, "carry fallback changed the pair set"
 
+    # ADVICE r12 #1: an IntegerType id must produce the same pair set —
+    # xxhash64 is type-dependent, so without the canonical long cast in
+    # _slab_expr the pass-membership filter (raw id) and the kernel's
+    # _sx flag (LongType _id) disagree and cross-slab pairs are dropped.
+    emb_int = emb.withColumn("vec_id", F.col("vec_id").cast("int"))
+    slab3_int = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in similarity.embedding_near_duplicates_srp(
+            emb_int, threshold=0.8, dim=32, num_tables=4, size_sample_mod=1,
+            broadcast_corpus_bytes=full // 3 + 1, max_broadcast_slabs=8,
+        ).collect()
+    )
+    assert slab3_int == single, "IntegerType ids changed the slab-pass pair set"
+
 
 def test_gemm_zero_norm_carry_matches_broadcast(spark):
     """ADVICE r11 #3: the carry path's kernel normalization shares the
