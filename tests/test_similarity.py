@@ -522,19 +522,21 @@ def test_srp_broadcast_vectors_invariant(spark):
         rows.append((i, (base + rng.normal(scale=0.05, size=64)).astype("float32").tolist()))
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
 
-    def pairs(budget):
+    def pairs(budget, past_budget="fetch"):
         return sorted(
             (r["id_a"], r["id_b"], r["cos_sim"])
             for r in similarity.embedding_near_duplicates_srp(
                 emb, threshold=0.8, num_tables=2, size_sample_mod=1,
-                broadcast_corpus_bytes=budget,
+                broadcast_corpus_bytes=budget, past_budget=past_budget,
             ).collect()
         )
 
-    rows_path = pairs(0)             # budget 0: vectors ride the rows
+    rows_path = pairs(0, "carry")    # budget 0: vectors ride the rows
+    fetch_path = pairs(0)            # budget 0: co-partitioned fetch join
     bcast_path = pairs(256 << 20)    # broadcast lookup
     assert rows_path, "corpus should produce near-dup pairs"
     assert bcast_path == rows_path, "broadcast path changed the pair set"
+    assert fetch_path == rows_path, "fetch-join path changed the pair set"
 
 
 def test_srp_slab_sharded_broadcast_invariant(spark):
@@ -554,21 +556,24 @@ def test_srp_slab_sharded_broadcast_invariant(spark):
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     full = 300 * 32 * 8
 
-    def pairs(budget, slabs=8):
+    def pairs(budget, slabs=8, past_budget="fetch"):
         return sorted(
             (r["id_a"], r["id_b"], r["cos_sim"])
             for r in similarity.embedding_near_duplicates_srp(
                 emb, threshold=0.8, dim=32, num_tables=4, size_sample_mod=1,
                 broadcast_corpus_bytes=budget, max_broadcast_slabs=slabs,
+                past_budget=past_budget,
             ).collect()
         )
 
     single = pairs(full + 1)
-    slab3 = pairs(full // 3 + 1)         # forces S = 3 → 6 passes
-    carry = pairs(full // 3 + 1, slabs=0)  # same budget, slabs disabled
+    slab3 = pairs(full // 3 + 1, past_budget="slab")  # S = 3 → 6 passes
+    carry = pairs(full // 3 + 1, slabs=0, past_budget="carry")
+    fetch = pairs(full // 3 + 1)         # past-budget default: fetch join
     assert single, "corpus should produce near-dup pairs"
     assert slab3 == single, "slab passes changed the pair set"
     assert carry == single, "carry fallback changed the pair set"
+    assert fetch == single, "fetch-join path changed the pair set"
 
     # ADVICE r12 #1: an IntegerType id must produce the same pair set —
     # xxhash64 is type-dependent, so without the canonical long cast in
@@ -580,6 +585,7 @@ def test_srp_slab_sharded_broadcast_invariant(spark):
         for r in similarity.embedding_near_duplicates_srp(
             emb_int, threshold=0.8, dim=32, num_tables=4, size_sample_mod=1,
             broadcast_corpus_bytes=full // 3 + 1, max_broadcast_slabs=8,
+            past_budget="slab",
         ).collect()
     )
     assert slab3_int == single, "IntegerType ids changed the slab-pass pair set"
