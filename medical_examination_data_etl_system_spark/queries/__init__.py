@@ -124,9 +124,9 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
 # The window cut is WINDOW_SIZE; the import-time check below fails
 # loudly if an insert shifts a restructured row past the cut, and
 # tests/test_edge_cases.py pins the invariant.
-# Positions 51+ are the COMMITTED R13 PLAN: the 16 r07-stale rows the
-# r12 restructures displaced, then r08-stale rows in name order (the
-# r08 tail rolls to r14+). Every windowed name is hash-green in the
+# Positions 51+ are the COMMITTED R14 PLAN: the r08-stale rows the r13
+# cut displaced or never listed, then r09-stale rows in name order (the
+# r09 tail rolls to r15). Every windowed name is hash-green in the
 # local replica before commit (scripts/parity_subset.py).
 # Retired rows-only originals (VERDICT r8 #2) are in RETIRED below —
 # out of the driver/bench registry, still importable and pytest-smoked
@@ -134,81 +134,16 @@ def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int | None:
 WINDOW_SIZE = 50
 
 _WINDOW_PLAN: list[tuple[str, str]] = [
-    # ---- r12 driver window: the round's 12 RESTRUCTURED queries
-    # ---- first (re-certify-in-window rule), then the committed r12
-    # ---- plan head — the 9 r06-stale rows displaced by the r11
-    # ---- restructures, then r07-stale rows in name order to the cut.
-    # ---- (The r12 displacement: 16 r07 + 5 r08 rows from the old
-    # ---- committed plan roll to the r13 plan below.) ----
-    # -- value-domain family: per-caller small_frame_rows raised to
-    # -- the measured ~10M crossover (ADVICE r11 #2; executed branch at
-    # -- driver scale unchanged, re-certified under the strict
-    # -- code-changed reading, as r11 did for the rank_col change) --
-    ("agg_percentiles_by_flag", "r12-restr"),
-    ("events_histogram_equidepth", "r12-restr"),
-    ("events_conversion_latency", "r12-restr"),
-    ("lineitem_weighted_median", "r12-restr"),
-    ("lineitem_winsorize_prices", "r12-restr"),
-    ("lineitem_skyline_frontier", "r12-restr"),
-    ("orders_price_mad", "r12-restr"),
-    ("orders_mann_whitney", "r12-restr"),
-    # -- GEMM/slab family: slab-sharded broadcasts past the budget,
-    # -- shared zero-norm guard, finalize guard, S=1 packing cap --
-    ("emb_near_dup_srp", "r12-restr"),
-    ("emb_near_dup_cosine", "r12-restr"),
-    ("docs_semantic_dedup", "r12-restr"),
-    ("docs_semantic_dedup_srp", "r12-restr"),
-    # -- session family (r12 adversarial-parity findings): the stateful
-    # -- sessionizer's cross-chunk sort fix; the two native
-    # -- session_window queries' oracles corrected to the operator's
-    # -- true end-inclusive merge boundary (> gap splits, not >=) --
-    ("stream_sessionize_stateful", "r12-restr"),
-    ("stream_session_builtin", "r12-restr"),
-    ("events_session_windows", "r12-restr"),
-    # -- committed plan head (VERDICT r11 #1) --
-    ("orders_mom_growth", "r06"),
-    ("pipeline_render_reports", "r06"),
-    ("stream_cms_user_counts", "r06"),
-    ("stream_running_ewma", "r06"),
-    ("stream_sliding_halfhour", "r06"),
-    ("text_rolling_fingerprint", "r06"),
-    ("window_distribution_stats", "r06"),
-    ("window_range_30d_sum", "r06"),
-    ("agg_bitmap_distinct_parts", "r07"),
-    ("agg_hll_md5_rollup_exact", "r07"),
-    ("agg_kmv_overlap_exact", "r07"),
-    ("customer_cohort_ltv", "r07"),
-    ("docs_bm25_search", "r07"),
-    ("docs_bpe_pair_merges", "r07"),
-    ("docs_dup_span_audit", "r07"),
-    ("docs_langid_confusion", "r07"),
-    ("docs_lm_quality", "r07"),
-    ("docs_ngram_novelty", "r07"),
-    ("docs_quality_calibration", "r07"),
-    ("docs_simhash_md5_exact", "r07"),
-    ("docs_temperature_mix", "r07"),
-    ("emb_ann_recall_report", "r07"),
-    ("emb_ivf_topk_exact", "r07"),
-    ("emb_ivfpq_topk", "r07"),
-    ("emb_kmeans_assign_round1", "r07"),
-    ("emb_kmeans_iter2_exact", "r07"),
-    ("emb_power_iteration_exact", "r07"),
-    ("emb_pq_adc_topk", "r07"),
-    ("emb_pq_encode", "r07"),
-    ("emb_srp_bucket_profile", "r07"),
-    ("emb_srp_topk_exact", "r07"),
-    ("events_activity_streaks", "r07"),
-    ("events_dau_wau_stickiness", "r07"),
-    ("events_nearest_event_join", "r07"),
-    # ---- end of the r12 driver window (cut = WINDOW_SIZE) ----
-    # -- committed r13 plan: the r07-stale rows displaced above, then
-    # -- r08-stale rows in name order to the next cut (the r13 plan
-    # -- here holds 16 r07 + 36 r08 = 52 rows; its own cut falls
-    # -- where r13's restructures land, tail rolling to r14). --
-    # (retagged in place: the dur_min oracle corrected from date_diff
-    # boundary-crossing counting to elapsed-minutes floor — r12
-    # adversarial-parity finding)
-    ("events_session_length_stats", "r12-restr"),
+    # ---- r13 driver window: the round's 2 RESTRUCTURED queries
+    # ---- first (re-certify-in-window rule; the slab id-hash
+    # ---- canonicalization + the past-budget fetch-join default
+    # ---- changed embedding_near_duplicates_srp, the operator both
+    # ---- consume), then the committed r13 plan — 16 r07-stale rows
+    # ---- and 32 r08-stale rows in name order to the cut. (The 4
+    # ---- displaced r08 rows join the r14 plan below; the 50 rows
+    # ---- of the r12 window leave with fresh r12 evidence.) ----
+    ("emb_near_dup_srp", "r13-restr"),
+    ("docs_semantic_dedup_srp", "r13-restr"),
     ("events_watermark_late_audit", "r07"),
     ("fn_higher_order_arrays", "r07"),
     ("fn_try_arithmetic", "r07"),
@@ -257,10 +192,61 @@ _WINDOW_PLAN: list[tuple[str, str]] = [
     ("q15_top_supplier", "r08"),
     ("q16_parts_supplier_relationship", "r08"),
     ("q17_small_quantity_revenue", "r08"),
+    # ---- end of the r13 driver window (cut = WINDOW_SIZE) ----
+    # -- committed r14 plan: the 4 r08 rows the cut displaced, the
+    # -- 11 r08 rows never yet listed (TPC-H q2-q9/q21 + the two
+    # -- skew demos), then r09-stale rows in name order (10 r09
+    # -- rows roll to r15). --
     ("q18_large_volume_customers", "r08"),
     ("q19_discounted_revenue", "r08"),
     ("q1_pricing_summary", "r08"),
     ("q20_potential_promotion", "r08"),
+    ("q21_suppliers_who_kept_waiting", "r08"),
+    ("q2_min_cost_supplier", "r08"),
+    ("q3_shipping_priority", "r08"),
+    ("q4_order_priority", "r08"),
+    ("q5_local_supplier_volume", "r08"),
+    ("q6_forecast_revenue", "r08"),
+    ("q7_volume_shipping", "r08"),
+    ("q8_market_share", "r08"),
+    ("q9_product_profit", "r08"),
+    ("skew_salted_count_distinct", "r08"),
+    ("skew_salted_join", "r08"),
+    ("agg_approx_distinct_parts", "r09"),
+    ("agg_cube_status_priority", "r09"),
+    ("agg_distinct_per_segment", "r09"),
+    ("agg_rollup_region_nation", "r09"),
+    ("customer_ab_assignment", "r09"),
+    ("customer_cuped_readout", "r09"),
+    ("customer_ipw_spend", "r09"),
+    ("dedup_first_lineitem_per_order", "r09"),
+    ("docs_chunk_overlap", "r09"),
+    ("docs_curation_pipeline", "r09"),
+    ("docs_dedup_exact", "r09"),
+    ("docs_domain_cap", "r09"),
+    ("docs_fuzzy_levenshtein", "r09"),
+    ("docs_hash_sample", "r09"),
+    ("docs_incremental_dedup", "r09"),
+    ("docs_minhash_calibration", "r09"),
+    ("docs_minhash_md5_exact", "r09"),
+    ("docs_ngram_jaccard", "r09"),
+    ("docs_pack_sequences", "r09"),
+    ("docs_pii_redact", "r09"),
+    ("emb_matryoshka_recall", "r09"),
+    ("events_asof_attribution", "r09"),
+    ("events_json_extract", "r09"),
+    ("events_offpolicy_eval", "r09"),
+    ("events_psi_drift", "r09"),
+    ("events_sliding_windows", "r09"),
+    ("events_tumbling_hourly", "r09"),
+    ("fn_array_ops", "r09"),
+    ("fn_conditional_case", "r09"),
+    ("fn_datetime_extract", "r09"),
+    ("fn_map_ops", "r09"),
+    ("fn_math_string", "r09"),
+    ("join_anti_customers_without_orders", "r09"),
+    ("join_bucketed_colocated", "r09"),
+    ("join_inner_enrich", "r09"),
 ]
 
 _DRIVER_WINDOW_PRIORITY = [name for name, _why in _WINDOW_PLAN]
