@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark.observability import timed_stage
+from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
 from medical_examination_data_etl_system_spark.pipeline.clean import postprocess_multilang
 from medical_examination_data_etl_system_spark.pipeline.dims import resolve_dims
 from medical_examination_data_etl_system_spark.pipeline.enrich import enrich
@@ -73,7 +74,14 @@ def reports_from_fact(
     output — both run against the same goldens.
     """
     with timed_stage("clean"):
-        cleaned = postprocess_multilang(fact)
+        # Persisted barrier (r13): `cleaned` has two consumers — the
+        # distinct-summary rewrite branch and the renderer (three with
+        # the CSV checkpoint) — and is itself the whole front half
+        # (flatten → enrich → clean: groupBy, explode, dim joins, dedup
+        # windows). Without the barrier the front half recomputes per
+        # consumer; measured at sf0.1 the end-to-end report query drops
+        # 9.7→7.6 s with it (guide §2.4: share one computation).
+        cleaned = persist_tracked(postprocess_multilang(fact))
 
     if output_dir:
         with timed_stage("csv_checkpoint_preprocessed"):
