@@ -26,6 +26,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
+
+def _persist_partitioned(df: DataFrame, key: str) -> DataFrame:
+    """Materialize a STATIC loop input clustered and sorted by its
+    per-round join key.
+
+    ``localCheckpoint`` truncates lineage but surfaces as
+    ``UnknownPartitioning`` (the Python checkpoint path drops the
+    physical partitioning), so every loop round re-shuffles AND re-sorts
+    the full frame for its equi-join. A persisted
+    ``repartition(key).sortWithinPartitions(key)`` keeps the exchange
+    and the sort INSIDE the cached plan — InMemoryTableScan exposes the
+    cached child's outputPartitioning/outputOrdering — so an N-round
+    loop pays the |frame| exchange+sort once instead of N times (guide
+    §2.4: operations keyed the same way share one exchange). The
+    tracked persist is released by the caller's cache_scope; an eager
+    count() gives checkpoint-equivalent run-once semantics for the deep
+    upstream plan."""
+    out = persist_tracked(df.repartition(key).sortWithinPartitions(key))
+    out.count()
+    return out
+
 
 def connected_components(
     pairs: DataFrame,
@@ -45,6 +68,12 @@ def connected_components(
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # localCheckpoint, not the persist-with-layout variant
+    # (_persist_partitioned): label-prop converges in ~2 rounds on
+    # near-dup blob graphs, and the r13 A/B measured the persist a wash
+    # at sf0.1 (6.63 vs 6.88 s) — the extra materialization job and
+    # columnar-cache reads offset the one saved edge exchange when the
+    # round count is this small.
     edges = edges.localCheckpoint(eager=True)
 
     # Per-round shuffle sizing is AQE's job, not a session-conf mutation
@@ -146,18 +175,27 @@ def connected_components_alternating(
         return (row["n"], row["h"])
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
-        # Neighborhood minima per node over BOTH directions.
+        from pyspark.sql import Window as W
+
+        # Neighborhood minimum m(u) = min(Γ(u) ∪ u) attached INLINE by a
+        # window over the mirrored edges — one exchange on u — instead
+        # of the former groupBy(u) + self-join back, which shuffled the
+        # 2|E| mirrored frame twice per half-round (r13; guide §2.4).
         und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        joined = und.join(mins, "u")
+        withm = und.withColumn(
+            "m", F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
+        )
         if large:
-            out = joined.filter(F.col("v") > F.col("u")).select(
+            out = withm.filter(F.col("v") > F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")
             )
         else:
-            out = joined.filter(F.col("v") <= F.col("u")).select(
+            # The (u, m) self-edges arrive once per incident edge here
+            # (the old form emitted them once per node via `mins`); the
+            # trailing distinct collapses them identically.
+            out = withm.filter(F.col("v") <= F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")
-            ).unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+            ).unionByName(withm.select(F.col("u"), F.col("m").alias("v")))
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     prev = _edge_digest(edges)
@@ -249,6 +287,12 @@ def pagerank(
     # eager checkpoint every round re-reads. The per-round contribution
     # pass is then one equi-join ranks⋈edges; no per-round degree join,
     # no second copy of the edge set.
+    # localCheckpoint, not persist (r13 A/B): the persist-with-layout
+    # variant (see _persist_partitioned) was measured 1.4 s WORSE here
+    # at sf0.1 — three extra materialization jobs plus columnar-cache
+    # read cost per round outweigh the per-round edge exchange it
+    # saves when the round count is small and the rank side re-shuffles
+    # anyway (it is a fresh lazy checkpoint every round).
     e_deg = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -324,10 +368,11 @@ def bfs_depths(
     a recursive CTE with UNION dedup, so the driver hash gate covers
     the whole iterative loop.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # Clustered by src — the key every round's frontier⋈edges join uses —
+    # so each round moves only the frontier, not the full edge set.
+    e = _persist_partitioned(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        "src",
     )
     spark = edges.sparkSession
     visited = spark.createDataFrame(
