@@ -531,8 +531,9 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    # persisted: feeds deg, the orientation join, and n_edges — without
-    # the barrier each consumer recomputes the distinct self-join.
+    # persisted: feeds the mirrored adjacency (both directions) and
+    # n_edges — without the barrier each consumer recomputes the
+    # distinct self-join.
     und = persist_tracked(
         a.join(
             b,
@@ -542,25 +543,33 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    deg = (
-        und.select(F.col("u").alias("n"))
-        .unionByName(und.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
+    # r13 restructure of the orientation stage: degrees ride WITH the
+    # mirrored adjacency via one window over c (the pagerank-int3
+    # degree discipline), and the orientation falls out of a per-edge
+    # min_by — each undirected edge appears exactly twice in the
+    # mirrored frame (as (u,v,deg u) and (v,u,deg v)), so the row with
+    # the lexicographically smaller (degree, id) IS the oriented edge.
+    # The former shape (degree groupBy + TWO |E| joins back) planned
+    # three exchanges and four sorts; this is two exchanges (by c, by
+    # edge key) and no join. Measured 6.8 → 5.0 s at sf0.1, summary row
+    # bit-identical. Tie rule unchanged: equal degrees fall back to the
+    # smaller id (c differs within a pair, so min_by is deterministic).
+    adjdc = persist_tracked(
+        und.select(F.col("u").alias("c"), F.col("v").alias("n"))
+        .unionByName(und.select(F.col("v").alias("c"), F.col("u").alias("n")))
+        .withColumn("dc", F.count(F.lit(1)).over(Window.partitionBy("c")))
     )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    ranked = und.join(du, "u").join(dv, "v")
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    # persisted: adj and the edge scan are two consumers of the
-    # orientation join.
+    # No exchange: adjdc is already clustered by c from the window.
+    deg = adjdc.groupBy("c").agg(F.first("dc").alias("d"))
     oriented = persist_tracked(
-        ranked.select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        adjdc.groupBy(F.least("c", "n").alias("_lo"), F.greatest("c", "n").alias("_hi"))
+        .agg(
+            F.min_by(
+                F.struct(F.col("c").alias("src"), F.col("n").alias("dst")),
+                F.struct(F.col("dc"), F.col("c")),
+            ).alias("_sd")
         )
+        .select(F.col("_sd.src").alias("src"), F.col("_sd.dst").alias("dst"))
     )
     # persisted: the packed lists feed BOTH endpoint joins below —
     # without the barrier the collect_list aggregation runs twice.
