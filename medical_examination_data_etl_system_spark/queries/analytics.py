@@ -2861,10 +2861,22 @@ def _link_prediction(li: DataFrame, center_sample_mod: int | None) -> DataFrame:
     adj = und.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
         und.select(F.col("v").alias("c"), F.col("u").alias("n"))
     )
-    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
-    small = adj.join(deg.filter(F.col("d") <= 256).select("c"), "c")
+    # r13: the degree cap rides inline via one count window over c (the
+    # triangle/pagerank degree discipline) instead of a degree groupBy
+    # joined back onto the adjacency — one exchange instead of two plus
+    # a join. The capped frame is then PERSISTED: it is both sides of
+    # the wedge self-join below, and the window leaves it clustered
+    # (and sorted) by c, so the self-join reads the cache twice with
+    # ZERO further exchanges. Measured 12.1 → 7.3 s at sf0.1 (warm
+    # min-of-3 pair), top-10 bit-identical.
+    small = (
+        adj.withColumn("_d", F.count(F.lit(1)).over(Window.partitionBy("c")))
+        .filter(F.col("_d") <= 256)
+        .drop("_d")
+    )
     if center_sample_mod is not None:
         small = small.filter(hash_bucket(F.col("c"), center_sample_mod) == 0)
+    small = persist_tracked(small)
     # Wedge generation stays a center-keyed SELF-JOIN deliberately: an
     # itemCF-style per-center array pair-generation was built, measured
     # and REJECTED in r10 — at the 256-cap this graph's centers carry
