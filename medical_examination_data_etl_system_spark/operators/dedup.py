@@ -314,10 +314,17 @@ def _minhash_md5_rep_pairs(
         F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm")
     )
     n = F.greatest(F.length("_norm") - (shingle_k - 1), F.lit(1))
+    # Persisted clustered by _id (r13): three consumers aggregate or
+    # join this frame on _id (the signature groupBy, the sizes groupBy,
+    # the verification probe) and each re-exchanged the full exploded
+    # shingle frame; one repartition before the persist is reused by
+    # all three (guide §2.4). Measured 14.8 → 13.7 s across the three
+    # md5-MinHash driver queries at sf0.1.
     sh = persist_tracked(
         staged.select("_id", "_norm", F.explode(F.sequence(F.lit(1), n)).alias("_pos"))
         .select("_id", F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k)).alias("_s"))
         .distinct()
+        .repartition("_id")
     )
     # INDEPENDENT signature components, not Broder double hashing: the
     # first cut used min(h1 + i·h2) from one digest, and the
@@ -524,7 +531,16 @@ def minhash_near_duplicates(
     # Persisted (tracked — release via operators.cache): the shingle
     # rows feed the signature agg AND the distinct index; the distinct
     # index feeds the size agg and both verification joins.
-    rows_df = persist_tracked(shingle_hash_rows(docs, text_col, id_col, shingle_k))
+    # Persisted clustered by _id (r13, same move as the md5 kernel's
+    # shingle frame): the signature groupBy(_id), the distinct (whose
+    # (_id,_h) clustering a hashpartitioning(_id) already satisfies),
+    # the sizes groupBy(_id) and the side-A verification probe all key
+    # on _id — one repartition before the persist replaces their
+    # per-consumer exchanges, and distinct_rows inherits the layout.
+    # Measured 6.95 → 6.05 s on docs_near_dup_components at sf0.1.
+    rows_df = persist_tracked(
+        shingle_hash_rows(docs, text_col, id_col, shingle_k).repartition("_id")
+    )
     distinct_rows = persist_tracked(rows_df.distinct())
     sig_aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_s{i}") for i in range(num_hashes)
