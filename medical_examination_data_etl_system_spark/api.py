@@ -17,6 +17,7 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
+from medical_examination_data_etl_system_spark.operators.cache import cache_scope
 from medical_examination_data_etl_system_spark.pipeline import process_records
 from medical_examination_data_etl_system_spark.pipeline.run import reports_to_json
 
@@ -30,8 +31,12 @@ def handle_process_request(
     """`POST /process` semantics: dict payloads are promoted to a
     1-element batch (reference text_processing.py:152); returns
     ``{"rows": [{"report": ...}, ...]}`` in request order."""
-    reports = process_records(spark, payload, output_dir=output_dir, llm_mode=llm_mode)
-    return reports_to_json(reports)
+    # cache_scope per request (ADVICE r13): the pipeline persists its
+    # cleaned fact; a long-lived server must release it after the
+    # response's collect, not accumulate one cached frame per request.
+    with cache_scope():
+        reports = process_records(spark, payload, output_dir=output_dir, llm_mode=llm_mode)
+        return reports_to_json(reports)
 
 
 def create_app(spark: SparkSession, output_dir: str | None = None):

@@ -94,6 +94,14 @@ def postprocess_multilang(df: DataFrame) -> DataFrame:
     # keep-first dedup on the 8-col key, "first" = lowest ord.
     string_cols = [c for c in SUBSET if c != "GROUPNO"]
     df = df.na.fill("", subset=string_cols)
+    # One COARSE exchange for the whole stage (r14, guide §2.4): the
+    # dedup key contains RECORD_ID, so hashpartitioning(RECORD_ID)
+    # satisfies the dedup window's clustering AND the two per-record
+    # windows below — one shuffle instead of hash(8-col key) followed
+    # by hash(RECORD_ID). Skew bound is per-record row count, the same
+    # bound w_rec/w_sort already imposed; AQE sizes/coalesces the
+    # partitions at runtime.
+    df = df.repartition("RECORD_ID")
     w_dedup = Window.partitionBy(*SUBSET_2_KEEP).orderBy("ord")
     df = (
         df.withColumn("_rn", F.row_number().over(w_dedup))

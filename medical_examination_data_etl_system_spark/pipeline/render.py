@@ -260,6 +260,15 @@ def render_reports_sql(cleaned: DataFrame, rewrites: DataFrame) -> DataFrame:
     from medical_examination_data_etl_system_spark.schemas import LANGU_MAP
 
     rows = _prepare_render_rows(cleaned, rewrites)
+    # One COARSE exchange for the whole renderer (r14, guide §2.4):
+    # every window/groupBy below is keyed by a superset of
+    # {RECORD_ID}, so hashpartitioning(RECORD_ID) satisfies all of
+    # them — measured plan went from TWO renderer exchanges
+    # (hash(RECORD_ID, GROUP) for the block windows + hash(RECORD_ID,
+    # rec_ord, request) for the final per-record aggregate) to this
+    # single one. Skew bound = rows per record, identical to the
+    # per-record windows the plan already ran.
+    rows = rows.repartition("RECORD_ID")
 
     lang = F.trim(F.col("LANG_NO").cast("string"))
     default_text = F.lit("")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
+from medical_examination_data_etl_system_spark.operators.cache import cache_scope
 from medical_examination_data_etl_system_spark.pipeline.dims import fallback_dims
 from medical_examination_data_etl_system_spark.pipeline.enrich import enrich
 from medical_examination_data_etl_system_spark.pipeline.ingest import flatten
@@ -51,14 +52,20 @@ def stream_reports(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        nested = batch_df.withColumn(
-            "_rec_idx",
-            F.dense_rank().over(W.orderBy("RECORD_ID")).cast("long") - 1,
-        ).select(*[f.name for f in BATCH_SCHEMA.fields])
-        flat = flatten(nested)
-        enriched = enrich(flat, dims if dims is not None else fallback_dims(flat))
-        reports = reports_from_fact(enriched, llm_mode=llm_mode)
-        reports.write.mode("append").parquet(output_path)
+        # cache_scope per micro-batch (ADVICE r13): reports_from_fact
+        # persists its cleaned fact; without a scope every batch would
+        # park that frame on the process-global tracked list for the
+        # stream's lifetime. The write action runs inside the scope, so
+        # the barrier is consumed before release.
+        with cache_scope():
+            nested = batch_df.withColumn(
+                "_rec_idx",
+                F.dense_rank().over(W.orderBy("RECORD_ID")).cast("long") - 1,
+            ).select(*[f.name for f in BATCH_SCHEMA.fields])
+            flat = flatten(nested)
+            enriched = enrich(flat, dims if dims is not None else fallback_dims(flat))
+            reports = reports_from_fact(enriched, llm_mode=llm_mode)
+            reports.write.mode("append").parquet(output_path)
 
     return (
         records_stream.writeStream.foreachBatch(_process)

@@ -20,3 +20,14 @@ def test_handle_process_request_dict_promotion(spark):
     single = sample_request()[0]
     out = handle_process_request(spark, single)
     assert len(out["rows"]) == 1
+
+
+def test_handle_process_request_releases_caches(spark):
+    """ADVICE r13: the pipeline's internal persists must not accumulate
+    on the process-global tracked list across requests — a long-lived
+    server would otherwise grow cache usage per request."""
+    from medical_examination_data_etl_system_spark.operators.cache import tracked_frames
+
+    before = len(tracked_frames())
+    handle_process_request(spark, sample_request())
+    assert len(tracked_frames()) == before

@@ -39,3 +39,32 @@ def test_stream_reports_matches_batch(spark, tmp_path):
             want[r["record_id"]] = r["report"]
     assert got == want
     assert len(got) == len(batch1) + len(batch2)
+
+
+def test_stream_reports_releases_caches_per_batch(spark, tmp_path):
+    """ADVICE r13: each foreachBatch invocation persists the cleaned
+    fact inside its own cache_scope — nothing may leak onto the
+    process-global tracked list across micro-batches."""
+    import json
+
+    from medical_examination_data_etl_system_spark.operators.cache import tracked_frames
+    from medical_examination_data_etl_system_spark.streaming.pipeline import (
+        read_records_stream,
+        stream_reports,
+    )
+
+    from .fixtures import sample_request
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rec = dict(sample_request()[0])
+    (in_dir / "r1.json").write_text(json.dumps(rec) + "\n")
+
+    before = len(tracked_frames())
+    q = stream_reports(
+        read_records_stream(spark, str(in_dir), max_files_per_trigger=1),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert len(tracked_frames()) == before
