@@ -2876,12 +2876,21 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_summary(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     """Shared downstream of the semantic-dedup variants: components →
-    min-id representative → per-label removal summary."""
+    min-id representative → per-label removal summary.
+
+    Components via the alternating-star algorithm (r14): the cosine
+    near-dup graph at this threshold is CHAIN-shaped (A≈B≈C transitive
+    runs — measured 17 label-prop rounds at sf0.1, the exact pathology
+    connected_components_alternating exists for). O(log² n) rounds vs
+    O(diameter); same-box A/B 7.2 → 5.5 s on the pair graph, output
+    bit-identical (the two algorithms are equivalence-pinned in
+    tests/test_clustering.py, and this query's full DuckDB oracle
+    hash-covers the swap)."""
     from medical_examination_data_etl_system_spark.operators.clustering import (
-        connected_components,
+        connected_components_alternating,
     )
 
-    comp = connected_components(pairs)
+    comp = connected_components_alternating(pairs)
     labels = (
         emb.select("vec_id", "label")
         .join(comp, emb.vec_id == comp.node, "left")
