@@ -1056,18 +1056,45 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"r_{valcol}"),
         )
 
-    ranked = (
-        li.join(F.broadcast(doubled_rank("qty")), [flag, "qty"])
-        .join(doubled_rank("cents"), [flag, "cents"])
-        .select(flag, F.col("r_qty").alias("rx"), F.col("r_cents").alias("ry"))
+    # The cents rank never rides back onto the FACT rows (r14): every
+    # Spearman sum is expressible over the per-cents tie groups once the
+    # qty rank is pre-aggregated into them — integer multiplication
+    # distributes exactly over the group sums, so Σ rx·ry =
+    # Σ_c (Σ_{rows in c} rx)·r_c, Σ ry² = Σ_c m_c·r_c², etc. That
+    # removes the old plan's join of the fact against the ~|cents
+    # domain| rank table (a 594k-row broadcast build at sf0.1, the
+    # single most expensive stage: +1.5 s of 3.5), leaving one fact
+    # shuffle (the per-cents groupBy, map-side partial) and small-frame
+    # work after it. Exact-parity discipline: the qty join is LEFT so a
+    # row with no qty rank still counts in `m_all` (the rank offsets —
+    # the old sizes frame counted every row), while the final sums use
+    # only joined rows (`m_j`, the old inner-join semantics), and the
+    # null-cents group — which the old fact⋈ranks join dropped — is
+    # filtered after the window has consumed its offset mass.
+    joined = li.join(F.broadcast(doubled_rank("qty")), [flag, "qty"], "left")
+    per_cents = joined.groupBy(flag, "cents").agg(
+        F.count(F.lit(1)).alias("_m_all"),
+        F.count("r_qty").cast("decimal(38,0)").alias("_m_j"),
+        F.sum("r_qty").alias("_sx"),
+        F.sum(F.col("r_qty") * F.col("r_qty")).alias("_sxx"),
     )
+    w_off = (
+        Window.partitionBy(flag)
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_cents.withColumn(
+        "ry",
+        (2 * F.coalesce(F.sum("_m_all").over(w_off), F.lit(0)) + F.col("_m_all") + 1)
+        .cast("decimal(38,0)"),
+    ).filter(F.col("cents").isNotNull())
     agg = ranked.groupBy(flag).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum("_m_j").alias("n"),
+        F.sum("_sx").alias("sx"),
+        F.sum(F.col("_m_j") * F.col("ry")).alias("sy"),
+        F.sum(F.col("_sx") * F.col("ry")).alias("sxy"),
+        F.sum("_sxx").alias("sxx"),
+        F.sum(F.col("_m_j") * F.col("ry") * F.col("ry")).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = F.sqrt(
