@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
 from medical_examination_data_etl_system_spark.schemas import (
     FULLWIDTH_SRC,
     HALFWIDTH_DST,
@@ -73,6 +75,14 @@ def postprocess_multilang(df: DataFrame) -> DataFrame:
     # A3 + F7: GROUPNO 0/null → max+1 sentinel, cast int
     # (reference :62-65). Global max via 1-row broadcast cross-join.
     df = df.withColumn("GROUPNO", F.col("GROUPNO").cast("int"))
+    # Persisted barrier (r14, guide §5): `df` is referenced twice from
+    # here — the 1-row max aggregate below and the main path — and with
+    # no barrier the whole upstream (flatten → enrich, a record-keyed
+    # aggregation plus dim joins) re-evaluates for the max branch.
+    # Interleaved same-process A/B at sf0.1: ingest_enrich_clean
+    # 4.23 → 3.24 s, e2e_reports 9.27 → 8.75 s. Released by the
+    # caller's cache_scope (bench, API, foreachBatch all open one).
+    df = persist_tracked(df)
     max_df = df.agg(F.coalesce(F.max("GROUPNO"), F.lit(0)).alias("_max_groupno"))
     df = df.crossJoin(F.broadcast(max_df))
     df = df.withColumn(
