@@ -23,10 +23,19 @@ pin exact components on known graphs).
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from medical_examination_data_etl_system_spark.operators.cache import persist_tracked
+
+# A plan probe receives (label, frame) for each loop round's
+# PRE-materialization frame, so optimization rounds can commit the
+# round-k physical plan as evidence (VERDICT r13 #1: loop plans are
+# epilogue-only once localCheckpoint truncates lineage). None → zero
+# overhead; scripts/capture_loop_plans.py is the consumer.
+PlanProbe = Callable[[str, DataFrame], None]
 
 
 def _persist_partitioned(df: DataFrame, key: str) -> DataFrame:
@@ -55,9 +64,19 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    adapt_after: int = 3,
+    plan_probe: PlanProbe | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
-    node id reachable through the pair graph."""
+    node id reachable through the pair graph.
+
+    ``adapt_after``: round count after which a still-unconverged loop
+    re-materializes the static edge frame clustered by its join key
+    (``_persist_partitioned``) — blob graphs (the near-dup common case)
+    converge in ~2 rounds and never pay the extra materialization,
+    while a long-diameter graph amortizes it over its remaining rounds
+    (r14 crossover measurement in OPTIMIZATION_r14.md). ``plan_probe``
+    (see :data:`PlanProbe`) captures each round's pre-checkpoint plan."""
     # Materialize the DIRECTED edges first: the mirrored union otherwise
     # embeds the pairs subtree twice in one plan (no subtree reuse), and
     # upstream pair producers (MinHash + exact-collapse expansion) are
@@ -68,12 +87,14 @@ def connected_components(
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    # localCheckpoint, not the persist-with-layout variant
-    # (_persist_partitioned): label-prop converges in ~2 rounds on
-    # near-dup blob graphs, and the r13 A/B measured the persist a wash
-    # at sf0.1 (6.63 vs 6.88 s) — the extra materialization job and
-    # columnar-cache reads offset the one saved edge exchange when the
-    # round count is this small.
+    # localCheckpoint to START (not the persist-with-layout variant):
+    # label-prop converges in ~2 rounds on near-dup blob graphs, and the
+    # r13 A/B measured the persist a wash at sf0.1 (6.63 vs 6.88 s) —
+    # the extra materialization job and columnar-cache reads offset the
+    # one saved edge exchange when the round count is small. A loop
+    # still running after ``adapt_after`` rounds switches to the
+    # persisted dst-clustered layout (see the loop body) — the r14
+    # long-diameter A/B figures are in OPTIMIZATION_r14.md.
     edges = edges.localCheckpoint(eager=True)
 
     # Per-round shuffle sizing is AQE's job, not a session-conf mutation
@@ -103,16 +124,25 @@ def connected_components(
     # one plan, and eager materialization is what guarantees the deep
     # pair-producing subtree evaluates once.)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+    for i in range(max_iter):
+        if i == adapt_after:
+            # Still unconverged: the graph is long-diameter (chain-
+            # shaped near-dup runs), so the remaining rounds amortize a
+            # dst-clustered persisted layout — each subsequent
+            # frontier join reads the edge side as a bare
+            # InMemoryTableScan, no per-round |E| exchange+sort.
+            edges = _persist_partitioned(edges, "dst")
         nbr_min = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), F.col("comp")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(nbr_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=False)
         )
+        if plan_probe is not None:
+            plan_probe(f"round{i + 1}", new_labels)
+        labels = new_labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -125,6 +155,7 @@ def connected_components_alternating(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    plan_probe: PlanProbe | None = None,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star rounds.
 
@@ -199,10 +230,13 @@ def connected_components_alternating(
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     prev = _edge_digest(edges)
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # Lazy checkpoint: the digest action materializes it (see
         # connected_components — one job per round instead of two).
-        edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=False)
+        new_edges = _star(_star(edges, large=True), large=False)
+        if plan_probe is not None:
+            plan_probe(f"round{i + 1}", new_edges)
+        edges = new_edges.localCheckpoint(eager=False)
         cur = _edge_digest(edges)
         if cur == prev:
             break
@@ -226,6 +260,13 @@ def connected_components_alternating(
         .groupBy("node")
         .agg(F.min("comp").alias("comp"))
     )
+
+
+# Measured crossover for pagerank's static-edge layout (r14, 10M-edge
+# random digraph, same-process A/B — see OPTIMIZATION_r14.md): the
+# persisted src-clustered layout loses at 3 rounds, wins from ~10. The
+# constant is round-count economics, not a data-size tunable.
+_PAGERANK_PERSIST_MIN_ROUNDS = 10
 
 
 def dedup_by_components(
@@ -256,6 +297,8 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 15,
+    edge_layout: str = "auto",
+    plan_probe: PlanProbe | None = None,
 ) -> DataFrame:
     """(node, rank) by power iteration with uniform teleport and
     dangling-mass redistribution; Σ rank = 1 at every round.
@@ -284,21 +327,28 @@ def pagerank(
     # Degrees ride WITH the edges, attached by a window over the one
     # pass that builds the graph — the expensive upstream (a pair
     # self-join, typically) materializes exactly ONCE, into the single
-    # eager checkpoint every round re-reads. The per-round contribution
-    # pass is then one equi-join ranks⋈edges; no per-round degree join,
-    # no second copy of the edge set.
-    # localCheckpoint, not persist (r13 A/B): the persist-with-layout
-    # variant (see _persist_partitioned) was measured 1.4 s WORSE here
-    # at sf0.1 — three extra materialization jobs plus columnar-cache
-    # read cost per round outweigh the per-round edge exchange it
-    # saves when the round count is small and the rank side re-shuffles
-    # anyway (it is a fresh lazy checkpoint every round).
+    # materialized frame every round re-reads. The per-round
+    # contribution pass is then one equi-join ranks⋈edges; no per-round
+    # degree join, no second copy of the edge set.
+    # ``edge_layout``: the checkpoint-vs-persisted-layout choice is
+    # ROUND-COUNT economics (r13 A/B: persist 1.4 s WORSE at 3 rounds
+    # at sf0.1 — extra materialization jobs + columnar-cache reads;
+    # r14 10M-edge A/B: persist WINS from ~10 rounds up, figures in
+    # OPTIMIZATION_r14.md). "auto" applies the measured crossover.
+    if edge_layout == "auto":
+        edge_layout = "persist" if n_iter >= _PAGERANK_PERSIST_MIN_ROUNDS else "checkpoint"
     e_deg = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
-        .localCheckpoint(eager=True)
     )
+    if edge_layout == "persist":
+        # The window above already clusters by src, but localCheckpoint
+        # drops the physical layout (UnknownPartitioning); the persisted
+        # repartition keeps it visible to every round's ranks⋈edges join.
+        e_deg = _persist_partitioned(e_deg, "src")
+    else:
+        e_deg = e_deg.localCheckpoint(eager=True)
     nodes = (
         e_deg.select(F.col("src").alias("node"))
         .union(e_deg.select(F.col("dst").alias("node")))
@@ -313,7 +363,7 @@ def pagerank(
     )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         # no broadcast hint: a web-scale graph can have a HUGE dangling
         # set (sinks are common) — AQE broadcasts when it fits, shuffles
         # when it doesn't; semantics identical.
@@ -332,12 +382,14 @@ def pagerank(
             + F.lit(damping) * F.col("_dangling") / F.lit(float(n_nodes))
             + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select("node", new_rank.alias("rank"))
-            .localCheckpoint(eager=False)
         )
+        if plan_probe is not None:
+            plan_probe(f"round{i + 1}", new_ranks)
+        ranks = new_ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -347,6 +399,8 @@ def bfs_depths(
     max_depth: int = 4,
     src: str = "src",
     dst: str = "dst",
+    edge_layout: str = "persist",
+    plan_probe: PlanProbe | None = None,
 ) -> DataFrame:
     """(node, depth) — minimum hop count from ``source`` for every node
     within ``max_depth`` hops, by frontier-expansion BFS.
@@ -370,24 +424,29 @@ def bfs_depths(
     """
     # Clustered by src — the key every round's frontier⋈edges join uses —
     # so each round moves only the frontier, not the full edge set.
-    e = _persist_partitioned(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
-        "src",
-    )
+    # ("checkpoint" is the A/B control arm for the layout measurement;
+    # production default is the persisted layout, r13+r14 figures.)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if edge_layout == "persist":
+        e = _persist_partitioned(e, "src")
+    else:
+        e = e.localCheckpoint(eager=True)
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(int(source), 0)], "node bigint, depth int"
     ).localCheckpoint(eager=True)
     frontier = visited.select("node")
     for d in range(1, max_depth + 1):
-        nxt = (
+        nxt_plan = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d).cast("int"))
-            .localCheckpoint(eager=True)
         )
+        if plan_probe is not None:
+            plan_probe(f"round{d}", nxt_plan)
+        nxt = nxt_plan.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)

@@ -154,3 +154,29 @@ class TestPageRank:
         assert len(top) == 20
         assert top == sorted(top, key=lambda r: r["rnk"])
         assert all(r["rank"] > 0 for r in top)
+
+
+def test_components_adaptive_layout_matches_checkpoint_arm(spark):
+    """r14: a loop still unconverged after `adapt_after` rounds switches
+    the static edge frame to the persisted dst-clustered layout. The
+    switch is layout-only: components on a long chain must be identical
+    to the never-adapting arm, and the persist must be scope-released."""
+    from medical_examination_data_etl_system_spark.operators.cache import (
+        cache_scope,
+        tracked_frames,
+    )
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 20)] + [(30, 31)])
+    before = len(tracked_frames())
+    with cache_scope():
+        adaptive = {
+            r["node"]: r["comp"]
+            for r in connected_components(pairs, adapt_after=3).collect()
+        }
+        never = {
+            r["node"]: r["comp"]
+            for r in connected_components(pairs, adapt_after=10**9).collect()
+        }
+    assert adaptive == never
+    assert set(adaptive.values()) == {1, 30}
+    assert len(tracked_frames()) == before
