@@ -59,6 +59,32 @@ def _settle(max_wait_sec: int = 60, load_per_cpu: float = 0.25) -> None:
         pass  # platform without getloadavg
 
 
+def _box_info() -> dict:
+    """Coarse VM-class identifier recorded with every snapshot (VERDICT
+    r13 #3: the per-query-best baseline mixed boxes ~1.2-1.6x apart with
+    no record of which best came from which class). `probe_mops` is a
+    ~100 ms single-thread integer-loop calibration — a speed CLASS, not
+    a precise number."""
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    acc = 0
+    while time.perf_counter() - t0 < 0.1:
+        for i in range(100_000):
+            acc += i
+        n += 1
+    mops = round(n * 0.1 / (time.perf_counter() - t0) * 10)
+    return {"cpu": model, "cores": os.cpu_count(), "probe_mops": mops}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -111,9 +137,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     with open(queries_file, "w") as fh:
-        json.dump({"sf": sf, "total_sec": total, "queries": timings}, fh, indent=1, sort_keys=True)
-    # Human/file detail first; the machine-readable summary is the LAST line.
-    print(json.dumps({"queries": timings}, sort_keys=True))
+        json.dump(
+            {"sf": sf, "total_sec": total, "box": _box_info(), "queries": timings},
+            fh, indent=1, sort_keys=True,
+        )
+    # Human/file detail first; the machine-readable summary is the LAST
+    # line (byte-identical contract). The per-query map is printed as
+    # MANY complete ≤200-char JSON lines rather than one long line
+    # (VERDICT r13 #2): a bounded tail capture used to truncate the
+    # single line's head, making it unparseable — short standalone
+    # chunks keep every captured line valid JSON, and the full map is
+    # in bench_queries.json (snapshotted per round as
+    # BENCH_rNN_queries.json).
+    items = sorted(timings.items())
+    chunk: dict[str, float] = {}
+    for name, val in items:
+        chunk[name] = val
+        if len(json.dumps({"queries": chunk}, separators=(",", ":"))) > 160:
+            print(json.dumps({"queries": chunk}, sort_keys=True, separators=(",", ":")))
+            chunk = {}
+    if chunk:
+        print(json.dumps({"queries": chunk}, sort_keys=True, separators=(",", ":")))
     print(
         json.dumps(
             {

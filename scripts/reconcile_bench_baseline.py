@@ -56,9 +56,15 @@ IDLE_REMEASURED: dict[str, float] = {}
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 path = os.path.join(repo, "bench_queries.json")
+meta_path = os.path.join(repo, "bench_baseline_meta.json")
 cur = json.load(open(path))
 fresh = cur["queries"]
 folded = dict(fresh)
+# Per-query provenance (VERDICT r13 #3: the baseline mixes VM classes
+# ~1.2-1.6x apart — record which box/revision each best came from so
+# cross-round ratios can be discounted by class).
+fresh_box = cur.get("box", {})
+prov = {name: {"source": "fresh", "box": fresh_box} for name in folded}
 for rev in sys.argv[1:]:
     out = subprocess.run(
         ["git", "-C", repo, "show", f"{rev}:bench_queries.json"],
@@ -68,19 +74,24 @@ for rev in sys.argv[1:]:
     if str(hist.get("sf")) != str(cur.get("sf")):
         raise SystemExit(f"{rev}: sf {hist.get('sf')} != {cur.get('sf')}")
     for name, v in hist["queries"].items():
-        if name in folded and name not in CHANGED:
-            folded[name] = min(folded[name], float(v))
+        if name in folded and name not in CHANGED and float(v) < folded[name]:
+            folded[name] = float(v)
+            prov[name] = {"source": rev, "box": hist.get("box", {})}
 for name, v in IDLE_REMEASURED.items():
-    if name in folded and name not in CHANGED:
-        folded[name] = min(folded[name], v)
+    if name in folded and name not in CHANGED and v < folded[name]:
+        folded[name] = v
+        prov[name] = {"source": "idle_remeasure", "box": fresh_box}
 for name, v in CHANGED_IDLE.items():
     if name in folded:
         folded[name] = v
+        prov[name] = {"source": "changed_idle", "box": fresh_box}
 improved = sum(1 for n in folded if folded[n] < fresh[n])
 total = round(sum(folded.values()), 3)
 json.dump(
-    {"sf": cur["sf"], "total_sec": total, "queries": folded},
+    {"sf": cur["sf"], "total_sec": total, "box": fresh_box, "queries": folded},
     open(path, "w"), indent=1, sort_keys=True,
 )
+json.dump(prov, open(meta_path, "w"), indent=1, sort_keys=True)
 print(f"reconciled: {len(folded)} queries, total {total}s "
-      f"({improved} took a historical best; fresh total {cur['total_sec']}s)")
+      f"({improved} took a historical best; fresh total {cur['total_sec']}s); "
+      f"provenance -> bench_baseline_meta.json")
