@@ -38,7 +38,7 @@ from medical_examination_data_etl_system_spark.operators.cache import persist_tr
 PlanProbe = Callable[[str, DataFrame], None]
 
 
-def _persist_partitioned(df: DataFrame, key: str) -> DataFrame:
+def _persist_partitioned(df: DataFrame, key: str, distinct: bool = False) -> DataFrame:
     """Materialize a STATIC loop input clustered and sorted by its
     per-round join key.
 
@@ -53,8 +53,17 @@ def _persist_partitioned(df: DataFrame, key: str) -> DataFrame:
     §2.4: operations keyed the same way share one exchange). The
     tracked persist is released by the caller's cache_scope; an eager
     count() gives checkpoint-equivalent run-once semantics for the deep
-    upstream plan."""
-    out = persist_tracked(df.repartition(key).sortWithinPartitions(key))
+    upstream plan.
+
+    ``distinct=True`` dedups AFTER the repartition: hashpartitioning on
+    ``key`` satisfies the all-column clustering a distinct needs (key ⊆
+    all columns), so the dedup reuses the layout exchange instead of
+    adding its own full-frame shuffle first (r14 A/B on the sf0.1
+    co-purchase build: 3.1 → 2.0 s)."""
+    out = df.repartition(key)
+    if distinct:
+        out = out.distinct()
+    out = persist_tracked(out.sortWithinPartitions(key))
     out.count()
     return out
 
@@ -337,16 +346,24 @@ def pagerank(
     # OPTIMIZATION_r14.md). "auto" applies the measured crossover.
     if edge_layout == "auto":
         edge_layout = "persist" if n_iter >= _PAGERANK_PERSIST_MIN_ROUNDS else "checkpoint"
+    # repartition BEFORE distinct: hashpartitioning(src) satisfies both
+    # the dedup's all-column clustering and the degree window, so the
+    # whole build is ONE exchange instead of distinct's (src, dst)
+    # shuffle followed by the window's src shuffle (r14 A/B: 2.4 →
+    # 1.7 s at sf0.1).
     e_deg = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
         .distinct()
         .withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
     )
     if edge_layout == "persist":
-        # The window above already clusters by src, but localCheckpoint
-        # drops the physical layout (UnknownPartitioning); the persisted
-        # repartition keeps it visible to every round's ranks⋈edges join.
-        e_deg = _persist_partitioned(e_deg, "src")
+        # The window leaves the frame clustered AND sorted by src, but
+        # localCheckpoint would drop that layout (UnknownPartitioning);
+        # the persist keeps it visible to every round's ranks⋈edges
+        # join. Eager count: run-once semantics for the deep upstream.
+        e_deg = persist_tracked(e_deg)
+        e_deg.count()
     else:
         e_deg = e_deg.localCheckpoint(eager=True)
     nodes = (
@@ -426,11 +443,12 @@ def bfs_depths(
     # so each round moves only the frontier, not the full edge set.
     # ("checkpoint" is the A/B control arm for the layout measurement;
     # production default is the persisted layout, r13+r14 figures.)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if edge_layout == "persist":
-        e = _persist_partitioned(e, "src")
+        # distinct rides the layout exchange (see _persist_partitioned).
+        e = _persist_partitioned(e, "src", distinct=True)
     else:
-        e = e.localCheckpoint(eager=True)
+        e = e.distinct().localCheckpoint(eager=True)
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(int(source), 0)], "node bigint, depth int"

@@ -261,6 +261,10 @@ def graph_pagerank_int3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build pass, so the expensive self-join materializes exactly once
     # and each round is ONE ranks⋈edges equi-join — no per-round
     # degree groupBy or second copy of the edge set.
+    # repartition BEFORE distinct (r14): hashpartitioning(src)
+    # satisfies both the dedup's (src, dst) clustering and the degree
+    # window, so the edge build pays ONE exchange instead of two
+    # (same-process A/B on this build: 2.4 → 1.7 s at sf0.1).
     e_deg = (
         a.join(
             b,
@@ -268,6 +272,7 @@ def graph_pagerank_int3(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .repartition("src")
         .distinct()
         .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .localCheckpoint(eager=True)
