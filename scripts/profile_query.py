@@ -27,6 +27,8 @@ def main() -> None:
     def opt(name: str, default: str | None) -> str | None:
         if name in args:
             i = args.index(name)
+            if i + 1 >= len(args):
+                raise SystemExit(f"{name} needs a value")
             v = args[i + 1]
             del args[i : i + 2]
             return v
@@ -41,6 +43,12 @@ def main() -> None:
         args.remove("--no-plan")
 
     qs = all_queries()
+    unknown = [n for n in args if n not in qs]
+    if unknown:
+        raise SystemExit(
+            f"unknown queries: {unknown}; valid names are all_queries() keys "
+            f"(e.g. {sorted(qs)[:3]} ...)"
+        )
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                              "plans", tag)
     os.makedirs(plans_dir, exist_ok=True)

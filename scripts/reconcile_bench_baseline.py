@@ -18,34 +18,35 @@ import subprocess
 import sys
 
 # Queries whose physical plan changed this round: fresh value only.
-# (r13 optimization round: the cleaned-fact persist, the BFS edge
-# layout, the window-form star rounds, the windowed-degree orientation
-# and capped-adjacency persist, and the shingle-frame clustering — see
-# OPTIMIZATION_r13.md.)
+# (r14 optimization round: the RECORD_ID exchange collapse + enriched-
+# fact barrier in the pipeline, the alternating-star semantic dedup,
+# the Spearman tie-group algebra, and the repartition-before-distinct
+# graph builds — see OPTIMIZATION_r14.md. Queries whose code paths
+# gained only dormant machinery — plan probes, the adapt_after switch
+# that never fires on the benched blob graphs — keep their historical
+# bests: the executed sf0.1 plan is identical.)
 CHANGED: set[str] = {
     "pipeline_e2e_reports",
+    "pipeline_render_reports",
+    "pipeline_ingest_enrich_clean",
+    "docs_semantic_dedup",
+    "docs_semantic_dedup_srp",
+    "lineitem_spearman_corr",
     "graph_bfs_depths",
-    "graph_triangle_stats",
-    "graph_link_prediction",
-    "docs_near_dup_components",
-    "docs_near_dup_components_alt",
-    "docs_minhash_md5_exact",
-    "docs_minhash_calibration",
-    "docs_incremental_dedup",
+    "graph_pagerank_int3",
 }
 
-# Idle min-of-3 for plan-changed queries measured outside the last full
-# pass (the full pass predated the change): folded as fresh values.
-# (r13: idle min-of-4/5 via scripts/profile_query.py on the post-change
-# tree, kept only where BELOW the full pass's min — the full pass ran
-# under this box's documented load-blip class.)
+# Idle min-of-N for plan-changed queries measured outside the last full
+# pass: folded as fresh values where BELOW the full pass's min (the
+# bench pass carries this box's documented load-blip class).
+# (r14: idle min-of-5 via scripts/profile_query.py on the final tree,
+# same box as the full pass — box id recorded in bench_queries.json.)
 CHANGED_IDLE: dict[str, float] = {
-    "pipeline_e2e_reports": 8.571,
-    "graph_triangle_stats": 5.760,
-    "graph_link_prediction": 7.352,
-    "docs_minhash_calibration": 4.296,
-    "graph_bfs_depths": 6.276,
-    "docs_incremental_dedup": 6.429,
+    "pipeline_render_reports": 2.747,
+    "pipeline_ingest_enrich_clean": 2.543,
+    "docs_semantic_dedup": 4.457,
+    "docs_semantic_dedup_srp": 4.351,
+    "lineitem_spearman_corr": 2.773,
 }
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
