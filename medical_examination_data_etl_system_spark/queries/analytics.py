@@ -566,6 +566,22 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # No exchange: adjdc is already clustered by c from the window.
     deg = adjdc.groupBy("c").agg(F.first("dc").alias("d"))
+    # Persisted CLUSTERED BY src (r14): the oriented frame has three
+    # src-keyed consumers (the packed-list groupBy, the src endpoint
+    # join) plus the dst join; the min_by groupBy leaves it
+    # hash(_lo, _hi)-partitioned, which none of them can use. Storing
+    # the cache src-clustered was measured as the active ingredient in
+    # a 4-arm same-process A/B (repartition × join order, 2 passes):
+    # rep arms 4.48-4.82 s vs no-rep 5.27-5.89 s; join order alone was
+    # noise. NOTE the consumers still PLAN their exchanges — a lazy
+    # cache under AQE exposes UnknownPartitioning at plan time — so
+    # the win is runtime-side (clustered cache partitions feed the
+    # src-keyed shuffles); an EAGER materialized layout
+    # (repartition+sort+count, the bfs trick) did remove the plan-side
+    # exchanges but measured SLOWER here (4.9-5.0 s): one extra
+    # materialization job over three consumers doesn't amortize at
+    # this size. Inner joins commute; src-first kept for locality.
+    # Summary row bit-identical; oracle hash green at sf0.01 + sf0.1.
     oriented = persist_tracked(
         adjdc.groupBy(F.least("c", "n").alias("_lo"), F.greatest("c", "n").alias("_hi"))
         .agg(
@@ -575,6 +591,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_sd")
         )
         .select(F.col("_sd.src").alias("src"), F.col("_sd.dst").alias("dst"))
+        .repartition("src")
     )
     # persisted: the packed lists feed BOTH endpoint joins below —
     # without the barrier the collect_list aggregation runs twice.
@@ -584,8 +601,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inner joins: an edge whose dst has no out-neighbors closes no
     # triangle, so dropping it is both correct and smaller.
     tri = (
-        oriented.join(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("_nv")), "dst")
-        .join(adj.select("src", F.col("nbrs").alias("_nu")), "src")
+        oriented.join(adj.select("src", F.col("nbrs").alias("_nu")), "src")
+        .join(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("_nv")), "dst")
         .select(F.size(F.array_intersect("_nu", "_nv")).alias("_t"))
         .agg(F.sum("_t").cast("long").alias("n_triangles"))
         .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
