@@ -34,6 +34,7 @@ CHANGED: set[str] = {
     "lineitem_spearman_corr",
     "graph_bfs_depths",
     "graph_pagerank_int3",
+    "graph_triangle_stats",
 }
 
 # Idle min-of-N for plan-changed queries measured outside the last full
@@ -47,6 +48,9 @@ CHANGED_IDLE: dict[str, float] = {
     "docs_semantic_dedup": 4.457,
     "docs_semantic_dedup_srp": 4.351,
     "lineitem_spearman_corr": 2.773,
+    # measured after the triangle src-clustering change, which postdates
+    # the round's full bench pass
+    "graph_triangle_stats": 4.736,
 }
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
