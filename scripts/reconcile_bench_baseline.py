@@ -48,9 +48,6 @@ CHANGED_IDLE: dict[str, float] = {
     "docs_semantic_dedup": 4.457,
     "docs_semantic_dedup_srp": 4.351,
     "lineitem_spearman_corr": 2.773,
-    # measured after the triangle src-clustering change, which postdates
-    # the round's full bench pass
-    "graph_triangle_stats": 4.736,
 }
 
 # Idle re-measurements made OUTSIDE a full bench pass, folded as an
